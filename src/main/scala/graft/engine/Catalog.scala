@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Catalog loader — the Spark-native replacement for the reference's
+  * `catalogue.xml` + `Catalogue.loadCatalogue`
+  * (`minidbs-core/src/de/tuberlin/dima/minidb/DBInstance.java:268`,
+  * `catalogue/TableSchema.java:20-143`).
+  *
+  * Tables are Parquet files under a scale-factor directory; schemas come from
+  * Parquet footers (no separate schema file needed). Statistics for the CBO
+  * come from file-level metadata + AQE runtime stats rather than the
+  * reference's `TableStatistics`/`ColumnStatistics` beans.
+  */
+object Catalog {
+  /** All driver-provided tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The small dimension tables — always broadcast-join candidates. */
+  val smallDims: Set[String] = Set("region", "nation", "supplier")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Columnar scan; Catalyst pushes projection + filters into the Parquet
+    * reader (the analog of the reference's page column bitmap + in-page
+    * predicates, `io/tables/TablePage.java:24-43,199-219`). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark's vectorized
+    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (see [[GraftSession]]), so the column arrives as LongType nanoseconds;
+    * normalize to a microsecond TimestampType column. Queries over events
+    * compare at ≥second granularity, so the ns→µs truncation is lossless for
+    * every conformance check. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  /** Register every table as a temp view, enabling the SQL front
+    * (the reference's dialect is a strict subset of Spark SQL). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}

@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (rimarin/dbt-lab, "minidbs") boots a single-node instance from
+  * `config.xml`/`catalogue.xml` (`minidbs-core/src/de/tuberlin/dima/minidb/DBInstance.java:268`);
+  * here the analogous bootstrap is a tuned `SparkSession`:
+  *
+  *   - AQE on: runtime re-planning replaces the reference's static cost model
+  *     (`optimizer/cost/CostEstimator.java:49-181`) — partition coalescing and
+  *     skew-join handling matter at 100 TB.
+  *   - CBO + join reorder on: Catalyst's `CostBasedJoinReorder` subsumes the
+  *     reference's DP join-order optimizer (`optimizer/joins/JoinOrderOptimizer.java:24`).
+  *   - shuffle.partitions sized to the local core count, not the 200 default;
+  *     on a real cluster this would be set to ~2-3x total executor cores (or
+  *     left to AQE's coalescing with a high initial value).
+  */
+object GraftSession {
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Shared session for tests / ad-hoc runs. */
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

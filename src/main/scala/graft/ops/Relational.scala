@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.engine.Catalog
+
+/** The relational operator surface of the reference engine, re-expressed as
+  * Spark combinators (`DataFrame => DataFrame`). Inventory: SURVEY.md §2.
+  *
+  * Design notes (Spark-first, 100 TB-minded):
+  *   - Scans are declarative: projection and conjunctive predicates reach the
+  *     Parquet reader via Catalyst (`ColumnPruning`, `PushDownPredicate`),
+  *     subsuming the reference's page column bitmap + `LowLevelPredicate[]`
+  *     (`io/tables/TablePage.java:24-43,199-219`,
+  *     `qexec/OperatorFactory.java:68-81`).
+  *   - Index operators (B-tree key/RID lookups,
+  *     `io/index/BTreeIndex.java:56-102`) have no Spark analog and are
+  *     deliberately designed away: every index+fetch composition collapses to
+  *     a value-space filter or join; Parquet min/max row-group skipping plus
+  *     partition pruning is the performance analog.
+  *   - Joins: the reference only has NLJ + merge join
+  *     (`qexec/OperatorFactory.java:260-315`); Spark adds broadcast-hash and
+  *     shuffled-hash which we use by default and hint explicitly where the
+  *     dimension side is known small.
+  *   - Aggregation: the reference is sort-based with a sorted-input
+  *     prerequisite (`optimizer/GroupByPlanOperator.java:98-101`); Spark's
+  *     `HashAggregateExec` with partial (map-side) aggregation replaces it —
+  *     the reference's own MapReduce layer (`mapred/qexec/HadoopOperator.java`)
+  *     already concedes group-by is a partial/final dataflow.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 TableScan (`OperatorFactory.createTableScanOperator`,
+    * `OperatorFactory.java:68-81`): full scan with conjunctive predicates and
+    * projection (duplicate output columns allowed via aliases). */
+  def tableScan(
+      spark: SparkSession,
+      sfDir: String,
+      table: String,
+      columns: Seq[Column] = Nil,
+      predicates: Seq[Column] = Nil): DataFrame = {
+    val base = Catalog.load(spark, sfDir, table)
+    val filtered = predicates.foldLeft(base)(_ filter _)
+    if (columns.isEmpty) filtered else filtered.select(columns: _*)
+  }
+
+  /** S2 IndexScan (`AbstractExtensionFactory.java:236-243`): key values in
+    * [lower, upper] with inclusive flags → value-space range filter; Parquet
+    * row-group min/max stats do the skipping a B-tree descent did. */
+  def indexRangeScan(
+      df: DataFrame,
+      key: String,
+      lower: Any, lowerInclusive: Boolean,
+      upper: Any, upperInclusive: Boolean): DataFrame = {
+    val lo = if (lowerInclusive) col(key) >= lit(lower) else col(key) > lit(lower)
+    val hi = if (upperInclusive) col(key) <= lit(upper) else col(key) < lit(upper)
+    df.filter(lo && hi)
+  }
+
+  /** S3 IndexLookup equality (`OperatorFactory.java:91-98`). */
+  def indexPointLookup(df: DataFrame, key: String, value: Any): DataFrame =
+    df.filter(col(key) === lit(value))
+
+  /** S5 IndexCorrelatedLookup + S6 Fetch (`OperatorFactory.java:132-139,169-177`):
+    * the "re-open the index per outer tuple, fetch by RID" composition is an
+    * equi-join; Spark broadcasts the small side (index-NLJ analog). */
+  def correlatedLookupJoin(
+      outer: DataFrame, inner: DataFrame, joinCond: Column): DataFrame =
+    outer.join(inner, joinCond, "inner")
+
+  // ---------------------------------------------------------------- sinks
+
+  /** S7 Insert sink (`AbstractExtensionFactory.java:274-293`) — append to a
+    * Parquet table; index maintenance is moot (no secondary indexes). */
+  def insertInto(df: DataFrame, tablePath: String): Unit =
+    df.write.mode("append").parquet(tablePath)
+
+  /** S8 Delete sink (`AbstractExtensionFactory.java:294-300`,
+    * `TablePage.deleteTuple`): Parquet is immutable → copy-on-write rewrite of
+    * the surviving rows. The reference itself never executes DML
+    * (`QueryProcessor.java:162-172` throws) — provided for completeness. */
+  def deleteWhere(spark: SparkSession, tablePath: String, pred: Column): Unit = {
+    val survivors = spark.read.parquet(tablePath).filter(!pred)
+    val tmp = tablePath + ".cow"
+    survivors.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  // ------------------------------------------------- filter / project
+
+  /** P2 Filter (`OperatorFactory.java:188-195`) — predicate algebra (P4) is
+    * `Column` boolean algebra; the reference dialect is conjunctive-only
+    * (`parser/SQLTokenizer.java:361-424` has no OR token) but the runtime
+    * level supports disjunction (`LocalPredicateDisjunction.java:18`), so we
+    * accept any `Column`. */
+  def filterOp(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  /** P1 projection via column maps with duplicates allowed (the reference
+    * permits `producedColumnIndexes = {4,1,6,4}`; `OperatorFactory.java:41-48`).
+    * Each (source, alias) pair becomes an aliased column. */
+  def project(df: DataFrame, cols: Seq[(Column, String)]): DataFrame =
+    df.select(cols.map { case (c, a) => c.as(a) }: _*)
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1 NestedLoopJoin (`OperatorFactory.java:260-270`): inner θ-join or
+    * Cartesian. Non-equi conditions plan as `BroadcastNestedLoopJoin`; equi
+    * conditions are upgraded to hash joins by Catalyst automatically. */
+  def nestedLoopJoin(left: DataFrame, right: DataFrame, cond: Option[Column]): DataFrame =
+    cond match {
+      case Some(c) => left.join(right, c, "inner")
+      case None    => left.crossJoin(right)
+    }
+
+  /** J2 MergeJoin (`OperatorFactory.java:305-315`): sort-merge equi-join.
+    * Spark inserts the required sorts itself (`EnsureRequirements`); the hint
+    * pins the strategy the reference mandated. */
+  def mergeJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.hint("merge").join(right, cond, "inner")
+
+  /** J3 Index-NLJ (`PhysicalPlanGeneratorUtils.createIndexNestedLoopJoinInner`,
+    * `optimizer/generator/util/PhysicalPlanGeneratorUtils.java:432`): the
+    * Spark analog of "probe an index per outer row" is broadcasting the small
+    * probe side into a hash join. */
+  def indexNestedLoopJoin(outer: DataFrame, smallInner: DataFrame, cond: Column): DataFrame =
+    outer.join(broadcast(smallInner), cond, "inner")
+
+  // ---------------------------------------------------------- aggregation
+
+  /** Exact SUM over a double column, made engine-portable: summing doubles is
+    * order-dependent, so distributed partial aggregation would make results
+    * nondeterministic vs an oracle. The data's doubles carry 2 decimals, so
+    * summing as DECIMAL(18,2) is exact and associative; the final cast back to
+    * DOUBLE is deterministic. At 100 TB this matters for reproducibility of
+    * pipeline outputs, not just oracle tests. */
+  def sumExact(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact AVG companion to [[sumExact]] (single double division at the end). */
+  def avgExact(c: Column): Column = sumExact(c) / count(c)
+
+  /** A1/A2/A3 GroupBy (`OperatorFactory.java:393-406`): hash aggregation with
+    * automatic partial/final split — the reference's `HadoopGroupBy`
+    * map/combine/reduce (`AbstractExtensionFactory.java:614-620`) is exactly
+    * Spark's partial_agg → exchange → final_agg. Empty `groupCols` = global
+    * aggregation (A2). The reference supports COUNT/SUM/AVG/MIN/MAX with
+    * SUM/AVG restricted to arithmetic types (`OperatorFactory.java:357-361`);
+    * callers pass standard `functions._` aggregates.
+    */
+  def groupByAgg(df: DataFrame, groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+
+  // ------------------------------------------------------------------ sort
+
+  /** O1 Sort (`OperatorFactory.java:335-345`): multi-column asc/desc
+    * external sort. Spark range-partitions then sorts per partition with
+    * spill (`UnsafeExternalSorter`), replacing the reference's QueryHeap
+    * two-phase external merge-sort (`qexec/heap/QueryHeap.java`). */
+  def sortOp(df: DataFrame, keys: Seq[(String, Boolean)]): DataFrame =
+    df.orderBy(keys.map { case (k, ascending) =>
+      if (ascending) col(k).asc else col(k).desc
+    }: _*)
+}

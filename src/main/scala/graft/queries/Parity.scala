@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.ops.Relational._
+
+/** Conformance queries replicating the reference's operator test corpus
+  * (SURVEY.md §2/§5, FIXTURES.md §3) over the driver's TPC-H-ish tables.
+  * Reference plans cited per query. */
+object Parity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // S1 TableScan w/ conjunctive predicates + duplicate-column projection
+    // (TestPhysicalOperatorsIStudents.java:181)
+    Q("s1_scan_filter_project",
+      (s, dir) => {
+        val li = tableScan(s, dir, "lineitem",
+          predicates = Seq(col("l_quantity") <= 25, col("l_returnflag") === "R"))
+        project(li, Seq(
+          col("l_orderkey") -> "l_orderkey",
+          col("l_linenumber") -> "l_linenumber",
+          col("l_quantity") -> "l_quantity",
+          col("l_extendedprice") -> "l_extendedprice",
+          col("l_returnflag") -> "l_returnflag",
+          col("l_quantity") -> "l_quantity_dup"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |       l_returnflag, l_quantity AS l_quantity_dup
+             |FROM lineitem WHERE l_quantity <= 25 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // S2 IndexScan: key range over the "index" (TestPhysicalOperatorsIStudents.java:370)
+    Q("s2_index_range_scan",
+      (s, dir) =>
+        indexRangeScan(t(s, dir, "part"), "p_partkey", 100L, true, 300L, true)
+          .select("p_partkey").orderBy("p_partkey"),
+      Some("SELECT p_partkey FROM part WHERE p_partkey BETWEEN 100 AND 300 ORDER BY p_partkey")),
+
+    // S3 IndexLookup equality + S6 Fetch (TestPhysicalOperatorsIIStudents.java:263)
+    Q("s3_index_point_lookup",
+      (s, dir) => indexPointLookup(t(s, dir, "part"), "p_partkey", 101L)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+             |FROM part WHERE p_partkey = 101""".stripMargin)),
+
+    // S4 IndexLookup between with open/closed bounds (TestPhysicalOperatorsIIStudents.java:299)
+    Q("s4_index_range_open",
+      (s, dir) =>
+        indexRangeScan(t(s, dir, "orders"), "o_orderkey", 100L, false, 500L, true)
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey > 100 AND o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // S5 IndexCorrelatedLookup as equi-join + extra local predicates
+    // (index-NLJ w/ filter, TestPhysicalOperatorsIIStudents.java:368,411)
+    Q("s5_correlated_lookup_join",
+      (s, dir) => {
+        val o = filterOp(t(s, dir, "orders"), col("o_orderpriority") === "1-URGENT")
+        val li = filterOp(t(s, dir, "lineitem"), col("l_quantity") > 45)
+        correlatedLookupJoin(o, li, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice", "l_quantity")
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+
+    // P2 Filter: conjunctive predicate tree incl. timestamp comparison
+    // (FilterOperatorImpl; OperatorFactory.java:188-195)
+    Q("p2_filter_conjunctive",
+      (s, dir) =>
+        filterOp(t(s, dir, "orders"),
+          col("o_orderstatus") === "O" &&
+            col("o_totalprice") < 50000.0 &&
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice < 50000
+             |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P5 arithmetic expression tree in SELECT (parser/Expression.java:13-36);
+    // per-row IEEE double ops are deterministic and engine-portable.
+    Q("p5_arithmetic_expr",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS disc_price,
+             |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J1 NestedLoopJoin: θ-join (non-equi ⇒ BroadcastNestedLoopJoin)
+    // (NestedLoopJoinOperatorImpl.java:110-174)
+    Q("j1_theta_nlj",
+      (s, dir) =>
+        nestedLoopJoin(t(s, dir, "region"), t(s, dir, "nation"),
+          Some(col("n_regionkey") > col("r_regionkey")))
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region JOIN nation ON n_regionkey > r_regionkey
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // J1 Cartesian variant (predicate-less NLJ)
+    Q("j1_cross_join",
+      (s, dir) =>
+        nestedLoopJoin(t(s, dir, "region").select("r_name"),
+          t(s, dir, "nation").select("n_name"), None)
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // J2 MergeJoin: sort-merge equi-join, strategy pinned via hint
+    // (OperatorFactory.java:305-315; TestPhysicalOperatorsIIIStudents.java:405)
+    Q("j2_merge_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        mergeJoin(c, o, c("c_custkey") === o("o_custkey"))
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // J3 index-NLJ ⇒ broadcast-hash join of dims; 5-way multiway join chain
+    // (TestPhysicalOperatorsIIStudents.java:488-560, re-targeted per FIXTURES.md)
+    Q("j3_multiway_join",
+      (s, dir) => {
+        val r = filterOp(t(s, dir, "region"), col("r_name") === "AFRICA")
+        val n = t(s, dir, "nation")
+        val su = t(s, dir, "supplier")
+        val li = t(s, dir, "lineitem")
+        val p = filterOp(t(s, dir, "part"), col("p_brand") === "Brand#13")
+        indexNestedLoopJoin(
+          indexNestedLoopJoin(
+            li,
+            broadcastChain(r, n, su), col("l_suppkey") === col("s_suppkey")),
+          p, col("l_partkey") === col("p_partkey"))
+          .select("n_name", "s_name", "p_partkey", "p_brand",
+            "l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT n_name, s_name, p_partkey, p_brand,
+             |       l_orderkey, l_linenumber, l_quantity
+             |FROM region
+             |JOIN nation   ON n_regionkey = r_regionkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |JOIN lineitem ON l_suppkey = s_suppkey
+             |JOIN part     ON l_partkey = p_partkey
+             |WHERE r_name = 'AFRICA' AND p_brand = 'Brand#13'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A1 GroupBy with all 5 reference aggregates — the flagship pipeline
+    // (TestPhysicalOperatorsIIIStudents.java:231-301): scan→join→agg→sort.
+    Q("a1_groupby_5agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        groupByAgg(
+          indexNestedLoopJoin(c, n, col("c_nationkey") === col("n_nationkey")),
+          Seq(col("n_name")),
+          Seq(
+            count(col("c_acctbal")).as("cnt_bal"),
+            sumExact(col("c_acctbal")).as("sum_bal"),
+            avgExact(col("c_acctbal")).as("avg_bal"),
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal")))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  COUNT(c_acctbal) AS cnt_bal,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+             |  MIN(c_acctbal) AS min_bal,
+             |  MAX(c_acctbal) AS max_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // A2 global aggregation, no grouping (TestPhysicalOperatorsIIIStudents.java:203)
+    Q("a2_global_agg",
+      (s, dir) =>
+        groupByAgg(t(s, dir, "lineitem"), Nil, Seq(
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_q"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          min(col("l_shipdate")).as("min_sd"),
+          max(col("l_shipdate")).as("max_sd"))),
+      Some("""SELECT COUNT(*) AS cnt, COUNT(l_quantity) AS cnt_q,
+             |  MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+             |  MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd
+             |FROM lineitem""".stripMargin)),
+
+    // A2 empty-input semantics: global agg ⇒ one row (COUNT 0, MIN/MAX NULL)
+    // (golden OperatorsIII_testAggregateCustomersEmpty.dat)
+    Q("a2_empty_global_agg",
+      (s, dir) =>
+        groupByAgg(t(s, dir, "lineitem").filter(col("l_quantity") < 0), Nil, Seq(
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_q"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"))),
+      Some("""SELECT COUNT(*) AS cnt, COUNT(l_quantity) AS cnt_q,
+             |  MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+             |FROM lineitem WHERE l_quantity < 0""".stripMargin)),
+
+    // A1 empty-input grouped ⇒ zero rows
+    Q("a2_empty_grouped_agg",
+      (s, dir) =>
+        groupByAgg(t(s, dir, "lineitem").filter(col("l_quantity") < 0),
+          Seq(col("l_returnflag")), Seq(count(lit(1)).as("cnt")))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+             |WHERE l_quantity < 0 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A3 HadoopGroupBy analog: partial (map-side) + final aggregation, the
+    // TPC-H Q1 shape (mapred/qexec; AbstractExtensionFactory.java:614-620)
+    Q("a3_partial_agg_q1",
+      (s, dir) =>
+        groupByAgg(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(
+            sumExact(col("l_quantity")).as("sum_qty"),
+            sumExact(col("l_extendedprice")).as("sum_base_price"),
+            avgExact(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order")))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // HAVING as post-aggregation filter (semantics/AnalyzedSelectQuery.java:41-46)
+    Q("a4_having",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"), sumExact(col("c_acctbal")).as("sum_bal"))
+          .filter(col("n_cust") > 60)
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS n_cust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 60
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // O1 multi-column asc/desc external sort (TestPhysicalOperatorsIIIStudents.java:133-201)
+    Q("o1_sort_multicol",
+      (s, dir) =>
+        sortOp(
+          t(s, dir, "lineitem").filter(col("l_quantity") < 10)
+            .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+          Seq(("l_returnflag", true), ("l_quantity", false),
+            ("l_orderkey", true), ("l_linenumber", true))),
+      Some("""SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+             |FROM lineitem WHERE l_quantity < 10
+             |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Nested sub-query in FROM, re-joined on its aggregate
+    // (TestJoinOrderOptimizerStudents.java:476-501, re-targeted per FIXTURES.md §3.10).
+    // Runs through the SQL front: the reference dialect is a subset of Spark SQL.
+    Q("subq_min_retail",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT r.r_name, p.p_brand, s.s_name, p.p_retailprice
+            |FROM supplier s, nation n, region r, lineitem l, part p,
+            |  (SELECT r2.r_name AS r_name, p2.p_brand AS p_brand,
+            |          MIN(p2.p_retailprice) AS min_retail
+            |   FROM supplier s2, nation n2, region r2, lineitem l2, part p2
+            |   WHERE s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            |     AND l2.l_suppkey = s2.s_suppkey AND l2.l_partkey = p2.p_partkey
+            |   GROUP BY r2.r_name, p2.p_brand) pCalc
+            |WHERE s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+            |  AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+            |  AND pCalc.min_retail = p.p_retailprice
+            |  AND pCalc.p_brand = p.p_brand AND pCalc.r_name = r.r_name
+            |ORDER BY r.r_name, p.p_brand, s.s_name, p.p_retailprice""".stripMargin)
+      },
+      Some("""SELECT r.r_name, p.p_brand, s.s_name, p.p_retailprice
+             |FROM supplier s, nation n, region r, lineitem l, part p,
+             |  (SELECT r2.r_name AS r_name, p2.p_brand AS p_brand,
+             |          MIN(p2.p_retailprice) AS min_retail
+             |   FROM supplier s2, nation n2, region r2, lineitem l2, part p2
+             |   WHERE s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+             |     AND l2.l_suppkey = s2.s_suppkey AND l2.l_partkey = p2.p_partkey
+             |   GROUP BY r2.r_name, p2.p_brand) pCalc
+             |WHERE s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+             |  AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+             |  AND pCalc.min_retail = p.p_retailprice
+             |  AND pCalc.p_brand = p.p_brand AND pCalc.r_name = r.r_name
+             |ORDER BY r.r_name, p.p_brand, s.s_name, p.p_retailprice""".stripMargin))
+  )
+
+  /** region→nation→supplier dim chain, pre-joined then broadcast (all tiny). */
+  private def broadcastChain(r: DataFrame, n: DataFrame, su: DataFrame): DataFrame =
+    broadcast(
+      r.join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("s_nationkey") === col("n_nationkey")))
+}

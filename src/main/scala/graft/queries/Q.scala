@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One conformance query: a Spark implementation plus (where SQL-expressible)
+  * an ANSI-SQL oracle the driver runs in DuckDB over the same Parquet tables.
+  *
+  * Determinism contract (driver hashes values): every query output is either
+  * totally ordered by an explicit ORDER BY over a unique key prefix, and all
+  * floating-point aggregates go through the exact-decimal path
+  * ([[graft.ops.Relational.sumExact]]) so Spark's partial-aggregation order
+  * cannot perturb low bits vs the oracle.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Assemble maps for SparkEntry from module query lists. */
+  def queryMap(qs: Seq[Q]): Map[String, (SparkSession, String) => DataFrame] =
+    qs.map(q => q.name -> q.run).toMap
+  def oracleMap(qs: Seq[Q]): Map[String, String] =
+    qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
