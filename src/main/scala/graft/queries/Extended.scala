@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.engine.Catalog
+import graft.ops.AsOfJoin
+
+/** Relational surface beyond the reference's inventory (SURVEY.md §2.3/§2.6
+  * list these as absent): set operations, outer/semi/anti joins, window
+  * functions, DISTINCT, LIMIT/top-k, ROLLUP/CUBE, PIVOT, correlated and
+  * scalar subqueries, and an as-of join. A user of the reference switching to
+  * this engine gets all of them; each is oracle-checked. */
+object Extended {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------- set ops
+    Q("set_union",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("set_intersect",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("set_except",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |EXCEPT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // -------------------------------------------------- outer / semi / anti
+    Q("join_left_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val b = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("bk"))
+        val h = c.filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("hk"))
+        b.join(h, col("bk") === col("hk"), "full_outer")
+          .select(
+            coalesce(col("bk"), col("hk")).as("c_custkey"),
+            col("bk").isNotNull.as("in_building"),
+            col("hk").isNotNull.as("in_highbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT COALESCE(b.bk, h.hk) AS c_custkey,
+             |       b.bk IS NOT NULL AS in_building,
+             |       h.hk IS NOT NULL AS in_highbal
+             |FROM (SELECT c_custkey AS bk FROM customer WHERE c_mktsegment = 'BUILDING') b
+             |FULL OUTER JOIN
+             |     (SELECT c_custkey AS hk FROM customer WHERE c_acctbal > 5000) h
+             |ON b.bk = h.hk
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_semi",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --------------------------------------------------------------- windows
+    Q("w1_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders) x
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    Q("w2_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("w3_rank_lag",
+      (s, dir) => {
+        val wRank = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(wRank).as("price_rank"),
+            lag(col("o_totalprice"), 1).over(wSeq).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(wSeq).as("next_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+             |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS next_price
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------- distinct / top-k
+    Q("distinct_pairs",
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("topk_limit",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------- rollup / cube / pivot
+    Q("rollup_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("cube_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+             |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+             |  COUNT(*) AS cnt
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("pivot_priority_counts",
+      (s, dir) => {
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val renames = Map(
+          "1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high", "3-MEDIUM" -> "p_medium",
+          "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+        val pivoted = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", priorities)
+          .agg(count(lit(1)))
+        val safe = renames.foldLeft(pivoted) { case (df, (from, to)) =>
+          df.withColumnRenamed(from, to) }
+        // absent (status, priority) combos pivot to null; the oracle's
+        // conditional COUNT yields 0 — normalize
+        safe.select(col("o_orderstatus") +:
+          renames.values.toSeq.sorted.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+             |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+             |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+             |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+             |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ------------------------------------------ subqueries via the SQL front
+    // P3 FilterCorrelated (OperatorFactory.java:209-217): Catalyst
+    // decorrelates the EXISTS into a semi-join.
+    Q("p3_correlated_exists",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                |WHERE EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("scalar_subquery",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                |                                 / COUNT(*) FROM orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |                                 / COUNT(*) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------ as-of join
+    // For each purchase event, the most recent prior-or-same-instant click by
+    // the same user (ns→µs via unix_micros/epoch_us keeps both engines on the
+    // same clock).
+    Q("asof_purchase_click",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event"),
+            unix_micros(col("ts")).as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+        AsOfJoin.priorJoin(purchases, clicks,
+            key = "user_id", ts = "us", tieBreak = "event_id",
+            payload = Seq("event_id", "value"))
+          .orderBy("user_id", "p_event")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+             |           FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS us
+             |           FROM events WHERE event_type = 'purchase'),
+             |     m AS (SELECT p.user_id, p.p_event, p.us,
+             |                  (SELECT MAX(c.us) FROM c
+             |                   WHERE c.user_id = p.user_id AND c.us <= p.us) AS right_us
+             |           FROM p),
+             |     m2 AS (SELECT m.*,
+             |                   (SELECT MAX(c.event_id) FROM c
+             |                    WHERE c.user_id = m.user_id AND c.us = m.right_us) AS right_event_id
+             |            FROM m)
+             |SELECT m2.user_id, m2.p_event, m2.us, m2.right_event_id,
+             |       (SELECT c.value FROM c
+             |        WHERE c.user_id = m2.user_id AND c.us = m2.right_us
+             |          AND c.event_id = m2.right_event_id) AS right_value,
+             |       m2.right_us
+             |FROM m2 ORDER BY user_id, p_event""".stripMargin))
+  )
+}
