@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.functions.Hashing._
+import graft.ops.{Dedup, Similarity}
+
+/** Oracle-checked deduplication queries over the `documents` and `embeddings`
+  * tables. The DuckDB oracles are GENERATED from the same
+  * [[graft.functions.Hashing]] constants as the Spark plans, so both engines
+  * evaluate identical integer recurrences — the check is exact, not
+  * statistical. */
+object DedupQ {
+
+  /** Shared oracle prelude: tokenized docs + n-gram shingle sets (DuckDB). */
+  private def shingleCte(n: Int): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= $n),
+       |sh AS (SELECT doc_id, ${shinglesDuck("w", n)} AS s FROM dd)""".stripMargin
+
+  private val jaccDuck =
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup (hash-groupBy keep-first). The corpus has no exact dups, so
+    // the probe plants them: union the table with an id-shifted clone; dedup
+    // must keep exactly the original rows.
+    Q("dedup_exact",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        Dedup.exactKeepFirst(docs.union(planted), col("text"), col("doc_id"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+             |r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |      FROM all_docs)
+             |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // MinHash + LSH banding: word-3-gram shingles, 32 hashes, 8 bands of 4;
+    // candidates via band equi-join, verified by exact Jaccard >= 0.5.
+    Q("dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy("d1", "d2"),
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, list_transform(s, sh0 -> ${polyHashDuck("sh0")}) AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |j AS (SELECT d1, d2, $jaccDuck AS jacc
+           |      FROM cand JOIN sh a ON a.doc_id = cand.d1
+           |                JOIN sh b ON b.doc_id = cand.d2)
+           |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.5 ORDER BY d1, d2""".stripMargin
+      }),
+
+    // Exact n-gram (bigram) Jaccard with token-count bucket blocking.
+    Q("dedup_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 2, threshold = 0.6, bucketWidth = 16)
+          .orderBy("d1", "d2"),
+      Some(s"""WITH ${shingleCte(2)},
+              |wb AS (SELECT doc_id, unnest([CAST(floor(len(s)/16) AS BIGINT),
+              |                              CAST(floor(len(s)/16) AS BIGINT) + 1]) AS bk FROM sh),
+              |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+              |         FROM wb l JOIN wb r ON l.bk = r.bk AND l.doc_id < r.doc_id),
+              |j AS (SELECT d1, d2, $jaccDuck AS jacc
+              |      FROM cand JOIN sh a ON a.doc_id = cand.d1
+              |                JOIN sh b ON b.doc_id = cand.d2)
+              |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.6 ORDER BY d1, d2""".stripMargin)),
+
+    // SimHash: 32-bit fingerprint over token hashes, byte-block LSH,
+    // Hamming <= 1 (the synthetic corpus has a tiny vocabulary, so simhash
+    // distances compress; 1 keeps the verify meaningful).
+    Q("dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", maxHamming = 1)
+          .orderBy("d1", "d2"),
+      Some(s"""WITH hs AS (SELECT doc_id,
+              |  list_transform(string_split(text, ' '), t0 -> ${polyHashDuck("t0")}) AS Hs
+              |  FROM documents),
+              |simt AS (SELECT doc_id, ${simhashDuck("Hs")} AS sh FROM hs),
+              |keyed AS (SELECT doc_id, sh, t.k, (sh >> (t.k*8)) & 255 AS byte
+              |          FROM simt, (SELECT unnest(range(0, 4)) AS k) t),
+              |p AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+              |             ${hammingDuck("l.sh", "r.sh")} AS ham
+              |      FROM keyed l JOIN keyed r
+              |        ON l.k = r.k AND l.byte = r.byte AND l.doc_id < r.doc_id)
+              |SELECT d1, d2, ham FROM p WHERE ham <= 1 ORDER BY d1, d2""".stripMargin)),
+
+    // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
+    // `label`): exact cosine >= 0.4 on candidate pairs only.
+    Q("dedup_embedding_cosine",
+      (s, dir) =>
+        Dedup.cosinePairs(Catalog.load(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", threshold = 0.4)
+          .orderBy("v1", "v2"),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+              |p AS (SELECT l.vec_id AS v1, r.vec_id AS v2, l.label AS label,
+              |             ${Similarity.cosDuck("l.embedding", "r.embedding")} AS cos
+              |      FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+              |SELECT v1, v2, label, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin))
+  )
+}

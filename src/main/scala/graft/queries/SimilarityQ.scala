@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.ops.Similarity
+import graft.ops.Similarity.cosDuck
+
+/** Oracle-checked similarity-search queries over `embeddings`. Probes are
+  * every 100th vector; cosines fold left-to-right in both engines, so values
+  * are bit-identical. */
+object SimilarityQ {
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact top-10 by cosine — the recall=1.0 baseline.
+    Q("ann_bruteforce_topk",
+      (s, dir) => {
+        val vecs = Catalog.load(s, dir, "embeddings")
+        Similarity.knnBruteForce(vecs, vecs.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", k = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |scored AS (SELECT q_vec, e.vec_id AS neighbor,
+              |                  ${cosDuck("q_emb", "e.embedding")} AS cos
+              |           FROM e, q WHERE e.vec_id <> q.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+              |ORDER BY q_vec, rank""".stripMargin)),
+
+    // IVF-style ANN: coarse partitions = `label`, representative = min-id
+    // member, nprobe=2 — searches only ~2/10 of the corpus per probe.
+    Q("ann_ivf_topk",
+      (s, dir) => {
+        val vecs = Catalog.load(s, dir, "embeddings")
+        Similarity.knnIvf(vecs, vecs.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", "label", nprobe = 2, k = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+              |reps AS (SELECT label AS rep_label, embedding AS rep_emb FROM (
+              |    SELECT label, embedding,
+              |           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              |    FROM embeddings) x WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |pp AS (SELECT q_vec, q_emb, rep_label FROM (
+              |    SELECT q_vec, q_emb, rep_label,
+              |           ROW_NUMBER() OVER (PARTITION BY q_vec
+              |               ORDER BY ${cosDuck("q_emb", "rep_emb")} DESC, rep_label ASC) AS pr
+              |    FROM q, reps) y WHERE pr <= 2),
+              |scored AS (SELECT pp.q_vec, e.vec_id AS neighbor,
+              |                  ${cosDuck("pp.q_emb", "e.embedding")} AS cos
+              |           FROM e JOIN pp ON e.label = pp.rep_label AND e.vec_id <> pp.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+              |ORDER BY q_vec, rank""".stripMargin))
+  )
+}
