@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQ, Extended, Parity, Q, SimilarityQ}
+import graft.queries.{DedupQ, Extended, MultimodalQ, Parity, Q, SimilarityQ, StreamQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All conformance queries, grouped by module. */
-  def allQueries: Seq[Q] = Parity.all ++ Extended.all ++ DedupQ.all ++ SimilarityQ.all
+  def allQueries: Seq[Q] =
+    Parity.all ++ Extended.all ++ DedupQ.all ++ SimilarityQ.all ++
+      TextQ.all ++ MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's group-customers pipeline (scan→join→agg→sort,

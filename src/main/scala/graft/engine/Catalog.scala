@@ -39,7 +39,7 @@ object Catalog {
     * normalize to a microsecond TimestampType column. Queries over events
     * compare at ≥second granularity, so the ns→µs truncation is lossless for
     * every conformance check. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.streaming.Streams
+
+/** Oracle-checked streaming / event-pipeline queries. The streaming variants
+  * drain the parquet-backed stream with `Trigger.AvailableNow`, so results
+  * are deterministic and comparable to batch SQL. */
+object StreamQ {
+
+  val all: Seq[Q] = Seq(
+
+    // Structured Streaming: tumbling 1h event-time windows with watermark.
+    Q("stream_tumbling_agg",
+      (s, dir) => Streams.tumblingAgg(s, dir),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // Sessionization via typed flatMapGroups (custom per-key state logic);
+    // the oracle derives the same sessions with lag + cumulative-sum SQL.
+    Q("sessionize_events",
+      (s, dir) =>
+        Streams.sessionizeBatch(Catalog.load(s, dir, "events"))
+          .orderBy("user_id", "session_start_us"),
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              |x AS (SELECT user_id, us,
+              |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > ${Streams.SessionGapUs}
+              |       THEN 1 ELSE 0 END AS brk FROM e),
+              |y AS (SELECT user_id, us,
+              |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+              |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+              |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+              |       COUNT(*) AS n_events
+              |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Semi-structured props extraction (regex-based, engine-portable) +
+    // per-key exact aggregation.
+    Q("events_props_extract",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(regexp_extract(props, '\"k\": (-?[0-9]+)', 1) AS INT)").as("k"),
+            col("value"))
+          .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            graft.ops.Relational.sumExact(col("value")).as("sum_val"))
+          .orderBy("event_type", "k_bucket"),
+      Some("""SELECT event_type,
+             |  CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.functions.Hashing._
+import graft.functions.TextAnalysis._
+
+/** Oracle-checked text-analysis queries over `documents`. */
+object TextQ {
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish pre-tokenizer runs.
+    Q("text_token_count",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("length(text)").as("n_chars2"),
+            expr("size(split(text, ' '))").as("n_ws_tokens"),
+            expr(s"size(regexp_extract_all(text, '$BpePattern', 0))").as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, length(text) AS n_chars2,
+              |  len(string_split(text, ' ')) AS n_ws_tokens,
+              |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: lexical diversity, stopword ratio, length-capped score.
+    Q("text_quality",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"),
+            expr("size(w)").as("n_tokens"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("distinct_ratio"),
+            expr(s"CAST(${hitsSpark("w", StopEn)} AS DOUBLE) / size(w)").as("stop_ratio"))
+          .withColumn("quality", expr(qualityScore))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |x AS (SELECT doc_id, len(w) AS n_tokens,
+              |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+              |  CAST(${hitsDuck("w", StopEn)} AS DOUBLE) / len(w) AS stop_ratio
+              |FROM d)
+              |SELECT doc_id, n_tokens, distinct_ratio, stop_ratio,
+              |       $qualityScore AS quality
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // Language ID: stopword-hit argmax vs the labeled lang column.
+    Q("text_langid",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"), col("lang"),
+            expr(hitsSpark("w", StopEn)).as("en_hits"),
+            expr(hitsSpark("w", StopEs)).as("es_hits"),
+            expr(hitsSpark("w", StopFr)).as("fr_hits"))
+          .withColumn("pred_lang", expr(langIdCase))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+              |x AS (SELECT doc_id, lang,
+              |  ${hitsDuck("w", StopEn)} AS en_hits,
+              |  ${hitsDuck("w", StopEs)} AS es_hits,
+              |  ${hitsDuck("w", StopFr)} AS fr_hits
+              |FROM d)
+              |SELECT doc_id, lang, en_hits, es_hits, fr_hits,
+              |       $langIdCase AS pred_lang
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: whole-text polynomial hash + winnowing-lite
+    // min-8-gram-window hash (shift-resistant).
+    Q("text_fingerprint",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .filter(expr("length(text) >= 8"))
+          .select(col("doc_id"),
+            expr(polyHashSpark("text")).as("fp_full"),
+            expr(minWindowHashSpark("text")).as("fp_min8"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ${polyHashDuck("text")} AS fp_full,
+              |  ${minWindowHashDuck("text")} AS fp_min8
+              |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin))
+  )
+}

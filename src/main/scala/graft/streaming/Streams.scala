@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.engine.Catalog
+
+/** Structured-Streaming operators over the `events` table. The reference has
+  * no streaming surface at all (SURVEY.md §2.8); this is north-star
+  * territory: event-time windows + watermarks, and custom session state via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale notes: the tumbling aggregation is partial-aggregated per
+  * microbatch and keyed-state-backed; the watermark bounds state. Sessions
+  * are keyed by user, so state scales with |active users|, not |events|;
+  * the event-time timeout evicts idle users.
+  */
+object Streams {
+
+  final case class Ev(user_id: Long, us: Long)
+  final case class Session(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** 30-minute session gap, in microseconds. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Tumbling 1-hour event-time windows over a parquet-backed stream:
+    * readStream → watermark → window agg → memory sink, drained with
+    * `Trigger.AvailableNow` (batch-on-stream). Complete output mode so every
+    * window is visible to the conformance check. Sum is DECIMAL-exact
+    * (order-independent across microbatches). */
+  def tumblingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Catalog.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    // The file stream source requires a directory: stream the table dir with
+    // a glob pinned to the events file.
+    val ev = Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_val"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_val"))
+
+    val name = s"graft_tumbling_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ws", "event_type")
+  }
+
+  /** Session state machine shared by the batch and streaming variants: split
+    * a user's time-ordered event micros into sessions at gaps > the session
+    * gap. Pure and deterministic. */
+  def sessionsOf(userId: Long, sortedUs: Seq[Long]): Seq[Session] = {
+    if (sortedUs.isEmpty) return Nil
+    val out = Seq.newBuilder[Session]
+    var start = sortedUs.head
+    var last = sortedUs.head
+    var n = 1L
+    sortedUs.tail.foreach { us =>
+      if (us - last > SessionGapUs) {
+        out += Session(userId, start, last, n)
+        start = us; n = 0L
+      }
+      last = us; n += 1
+    }
+    out += Session(userId, start, last, n)
+    out.result()
+  }
+
+  /** Batch sessionization via typed `KeyValueGroupedDataset.flatMapGroups`:
+    * one shuffle on user_id, per-user in-memory pass (bounded by events per
+    * user, not table size). */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid: Long, it: Iterator[Ev]) =>
+        sessionsOf(uid, it.map(_.us).toSeq.sorted).iterator)
+      .toDF()
+  }
+
+  /** Streaming sessionization with custom keyed state: buffers each user's
+    * event times in `GroupState`, emits closed sessions when the event-time
+    * timeout fires (watermark passed last-seen + gap), keeps the open tail in
+    * state. Exercised by the StreamingSpec against [[sessionizeBatch]]. */
+  def sessionizeStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+      .toDF()
+  }
+
+  /** Per-user state transition for [[sessionizeStream]]. Top-level (not a
+    * closure) so the task serializes only the function, no enclosing scope.
+    * Keyed rows keep the watermarked `ts` column all the way to the stateful
+    * operator (a typed .map would strip the event-time tag). */
+  private def onUser(uid: Long, in: Iterator[(Long, java.sql.Timestamp, Long)],
+      state: GroupState[Seq[Long]]): Iterator[Session] = {
+    val buffered = state.getOption.getOrElse(Seq.empty)
+    if (state.hasTimedOut) {
+      // Watermark passed the open session's end + gap: close everything.
+      state.remove()
+      sessionsOf(uid, buffered.sorted).iterator
+    } else {
+      val all = (buffered ++ in.map(_._3)).sorted
+      val done = sessionsOf(uid, all)
+      // Sessions strictly before the open tail are final once the watermark
+      // passes their end + gap; emit them then, keep only the tail now.
+      val tail = done.last
+      val keep = all.filter(_ >= tail.session_start_us)
+      state.update(keep)
+      state.setTimeoutTimestamp(tail.session_end_us / 1000 + SessionGapUs / 1000)
+      done.init.iterator
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+      (2L, "completely different words about spark shuffles and parquet files here"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank")  // exact dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactKeepFirst keeps the min-id row per key") {
+    val kept = Dedup.exactKeepFirst(docs, col("text"), col("doc_id"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("minhashLshPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(exact._3 === 1.0) // identical shingle sets
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("simhashPairs: identical docs at hamming 0; blocking finds them") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("cosinePairs respects partition blocking and threshold") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),
+      (1L, 0, Seq(1.0f, 0.01f)),  // ~same direction as 0
+      (2L, 0, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, 1, Seq(1.0f, 0.0f))    // same as 0 but other partition → never paired
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.cosinePairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+}

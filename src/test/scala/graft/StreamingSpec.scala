@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Session, SessionGapUs}
+
+class StreamingSpec extends SparkSpec {
+
+  test("sessionsOf splits at gaps > 30min and counts events") {
+    val m = 60L * 1000 * 1000 // one minute in µs
+    val us = Seq(0L, 10 * m, 29 * m + 10 * m, 100 * m, 200 * m)
+    // gaps: 10m, 29m, 61m (split), 100m (split)
+    assert(Streams.sessionsOf(7L, us) === Seq(
+      Session(7L, 0L, 39 * m, 3L),
+      Session(7L, 100 * m, 100 * m, 1L),
+      Session(7L, 200 * m, 200 * m, 1L)))
+  }
+
+  test("sessionsOf properties: events conserved, gap invariants hold") {
+    val genUs = Gen.listOf(Gen.chooseNum(0L, 10L * 3600 * 1000 * 1000)).map(_.sorted)
+    (0 until 100).foreach { i =>
+      val us = genUs.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val sessions = Streams.sessionsOf(1L, us)
+      assert(sessions.map(_.n_events).sum === us.length)
+      // consecutive sessions are separated by more than the gap
+      sessions.sliding(2).foreach {
+        case Seq(a, b) => assert(b.session_start_us - a.session_end_us > SessionGapUs)
+        case _ =>
+      }
+      // within a session, start <= end and both are real event times
+      sessions.foreach { sess =>
+        assert(sess.session_start_us <= sess.session_end_us)
+        assert(us.contains(sess.session_start_us) && us.contains(sess.session_end_us))
+      }
+    }
+  }
+
+  test("batch sessionize matches window-SQL formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(48 * 3600).toLong * 1000000L)
+    }
+    val events = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = Streams.sessionizeBatch(events)
+      .orderBy("user_id", "session_start_us").collect()
+
+    events.createOrReplaceTempView("ev_tmp")
+    val want = spark.sql(
+      s"""WITH e AS (SELECT user_id, unix_micros(ts) AS us FROM ev_tmp),
+         |x AS (SELECT user_id, us,
+         |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS brk FROM e),
+         |y AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+         |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         |       COUNT(*) AS n_events
+         |FROM y GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("streaming sessionize emits closed sessions across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L * 1000 * 1000 // one hour in µs
+
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_micros(col("_2")).as("ts"))
+
+    val out = Streams.sessionizeStream(events, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    // Base offset: rows with ts <= the initial watermark (epoch 0) would be
+    // dropped as late on arrival.
+    val t0 = 1000L * h
+    try {
+      // batch 1: user 1 two close events; user 2 one event
+      mem.addData((1L, t0), (1L, t0 + 600L * 1000000), (2L, t0))
+      q.processAllAvailable()
+      // batch 2: user 1 jumps 2h ahead → closes their first session on arrival;
+      // the watermark (2h - 10min) also passes user 2's timeout (t0 + 30min).
+      mem.addData((1L, t0 + 2 * h))
+      q.processAllAvailable()
+      // one more batch so the timeout for user 2 (armed in batch 1, watermark
+      // advanced in batch 2) actually fires.
+      mem.addData((3L, t0 + 4 * h))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_test")
+        .orderBy("user_id", "session_start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.contains((1L, t0, t0 + 600L * 1000000, 2L)), s"user 1 closed session, got ${got.toSeq}")
+      assert(got.contains((2L, t0, t0, 1L)), s"user 2 timed-out session, got ${got.toSeq}")
+    } finally q.stop()
+  }
+}
