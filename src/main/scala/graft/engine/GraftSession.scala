@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Dimension/doc-set tables up to 64 MB broadcast instead of shuffling
+      // big probe sides (10 MB default is conservative for modern executors).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

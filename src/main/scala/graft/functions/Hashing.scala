@@ -69,8 +69,10 @@ object Hashing {
     s"list_min(list_transform($hArr, h -> (${A(i)}*h + ${B(i)}) % $P))"
 
   /** LSH band signature: polynomial combine of the band's 4 minhashes —
-    * one BIGINT per band, equi-joinable. */
-  private def combine(ms: Seq[String]): String =
+    * one BIGINT per band, equi-joinable. Public so callers holding the
+    * minhashes as pre-aggregated COLUMNS (codegen path) can build the same
+    * signature the array expressions produce. */
+  def combine(ms: Seq[String]): String =
     ms.reduceLeft((acc, m) => s"(($acc)*31 + $m) % $P")
 
   def bandSigSpark(hArr: String, band: Int): String =

@@ -39,19 +39,49 @@ object Dedup {
       .filter(expr(s"size(w) >= $n"))
       .select(col(idCol), expr(shinglesSpark("w", n)).as("s"))
 
+  /** Shingle sets in hashed (BIGINT) space: Jaccard over hashes is the
+    * standard trick — set ops on longs are far cheaper than on strings, and
+    * since both engines run the identical polynomial hash, the oracle agrees
+    * exactly (collisions, if any, collapse identically). Output: idCol, `s`
+    * (SORTED array of distinct hashes — sorted once per doc so pair
+    * verification can merge-intersect). */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.expressions.PolyHash.polyHash
+    // The lambda body is ONE native expression (tight primitive loop), not a
+    // per-character expression tree — so the per-element cost of the HOF is a
+    // single eval call.
+    shingleSets(docs, idCol, textCol, n)
+      .select(col(idCol),
+        sort_array(array_distinct(transform(col("s"), sh0 => polyHash(sh0)))).as("s"))
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → polyhash → 32 minhashes → 8 band
     * signatures → equi-join on (band, sig) → exact Jaccard ≥ `threshold`.
     * Output: d1, d2, jacc — one row per near-dup pair, d1 < d2. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
-    val hs = sh.select(col(idCol), expr(s"transform(s, sh0 -> ${polyHashSpark("sh0")})").as("H"))
+    // The hashed sets feed three plan branches (minhash explode + both sides
+    // of the verify join); persist so tokenize+shingle+hash runs once.
+    val sh = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Explode shingle hashes and compute the 32 minhashes as hash-aggregate
+    // MINs — whole-stage-codegen'd with map-side partial aggregation, instead
+    // of 32 interpreted higher-order array passes per document.
+    val hx = sh.select(col(idCol), explode(col("s")).as("h"))
+    val mins = hx.groupBy(col(idCol)).agg(
+      min(expr(s"(${A(0)}*h + ${B(0)}) % $P")).as("m0"),
+      (1 until NumHashes).map(i =>
+        min(expr(s"(${A(i)}*h + ${B(i)}) % $P")).as(s"m$i")): _*)
 
     val bandStructs = (0 until Bands)
-      .map(b => s"named_struct('band', $b, 'sig', ${bandSigSpark("H", b)})")
+      .map { b =>
+        val sig = combine((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"m$i"))
+        s"named_struct('band', $b, 'sig', $sig)"
+      }
       .mkString("array(", ", ", ")")
-    val bands = hs
+    val bands = mins
       .select(col(idCol), explode(expr(bandStructs)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
@@ -74,38 +104,75 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bucketWidth: Int): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
-    val withB = sh.select(col(idCol), (size(col("s")) divide bucketWidth).cast("long").as("b"))
-      .select(col(idCol), explode(expr("array(b, b + 1)")).as("bk"))
+    // Three plan branches (bucket keys + both verify sides) → persist.
+    val sh = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withB = sh
+      .select(col(idCol), size(col("s")).as("n"),
+        expr(s"CAST(floor(size(s) / $bucketWidth) AS BIGINT)").as("b"))
+      .select(col(idCol), col("n"), explode(expr("array(b, b + 1)")).as("bk"))
+    // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|; applying it
+    // at the join prunes most candidates before the expensive set intersect.
     val cand = withB.as("l")
       .join(withB.as("r"),
-        col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol"))
+        col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol") &&
+          expr(s"CAST(least(l.n, r.n) AS DOUBLE) >= $threshold * greatest(l.n, r.n)"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
-  /** SimHash near-dup pairs: 32-bit simhash over token hashes, blocked on any
-    * of the 4 simhash bytes matching (standard simhash LSH), verified by
-    * Hamming distance ≤ `maxHamming`. Output: d1, d2, ham. */
+  /** SimHash near-dup pairs: 32-bit simhash over token hashes, blocked by
+    * splitting the hash into `maxHamming + 1` bit-blocks — by pigeonhole, a
+    * pair within the Hamming budget must agree on at least one whole block,
+    * so an equi-join on (block index, block value) finds every such pair.
+    * Fewer, wider blocks = higher-entropy join keys = less candidate fan-out
+    * (the deciding factor on low-entropy corpora). Verified by exact Hamming
+    * distance ≤ `maxHamming`. Output: d1, d2, ham. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val hs = docs
-      .select(col(idCol), expr(s"split($textCol, ' ')").as("w"))
-      .select(col(idCol), expr(s"transform(w, t0 -> ${polyHashSpark("t0")})").as("Hs"))
-    val sim = hs.select(col(idCol), expr(simhashSpark("Hs")).as("sh"))
+    val nBlocks = maxHamming + 1
+    require(32 % nBlocks == 0, s"32-bit simhash must split evenly into $nBlocks blocks")
+    val bits = 32 / nBlocks
+    val mask = (1L << bits) - 1
+
+    // Explode tokens (multiplicity preserved) and compute the 32 per-bit
+    // ±1 sums as codegen'd hash aggregates — one pass over the tokens with
+    // map-side combine, instead of 32 interpreted array passes per document.
+    val th = docs
+      .select(col(idCol), explode(expr(s"split($textCol, ' ')")).as("tok"))
+      .select(col(idCol), graft.expressions.PolyHash.polyHash(col("tok")).as("h"))
+    val bitSums = th.groupBy(col(idCol)).agg(
+      sum(expr("(shiftright(h, 0) & 1)*2 - 1")).as("b0"),
+      (1 until 32).map(b =>
+        sum(expr(s"(shiftright(h, $b) & 1)*2 - 1")).as(s"b$b")): _*)
+    val shExpr = (0 until 32)
+      .map(b => s"IF(b$b > 0, ${1L << b}, 0)").mkString(" + ")
+    val sim = bitSums.select(col(idCol), expr(s"CAST($shExpr AS BIGINT)").as("sh"))
 
     val keyed = sim.select(col(idCol), col("sh"),
-      explode(expr("transform(sequence(0, 3), k -> named_struct('k', k, 'byte', shiftright(sh, k*8) & 255))")).as("kb"))
-      .select(col(idCol), col("sh"), col("kb.k").as("k"), col("kb.byte").as("byte"))
+      explode(expr(s"transform(sequence(0, ${nBlocks - 1}), " +
+        s"k -> named_struct('k', k, 'blk', shiftright(sh, k*$bits) & $mask))")).as("kb"))
+      .select(col(idCol), col("sh"), col("kb.k").as("k"), col("kb.blk").as("blk"))
+
+    // A pair matching on several blocks would be emitted once per block;
+    // keeping only the FIRST matching block (all earlier blocks differ)
+    // emits each pair exactly once — cheap bit arithmetic instead of a
+    // shuffle-distinct over all candidate pairs.
+    val firstMatch = expr((1 until nBlocks).foldLeft("l.k = 0") { (acc, k0) =>
+      val diffs = (0 until k0)
+        .map(j => s"(shiftright(l.sh, ${j * bits}) & $mask) <> (shiftright(r.sh, ${j * bits}) & $mask)")
+        .mkString(" AND ")
+      s"$acc OR (l.k = $k0 AND $diffs)"
+    })
 
     keyed.as("l")
       .join(keyed.as("r"),
-        col("l.k") === col("r.k") && col("l.byte") === col("r.byte") &&
+        col("l.k") === col("r.k") && col("l.blk") === col("r.blk") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
+      .filter(firstMatch)
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
         expr(hammingSpark("l.sh", "r.sh")).as("ham"))
-      .distinct()
       .filter(col("ham") <= maxHamming)
   }
 
@@ -116,24 +183,28 @@ object Dedup {
   def cosinePairs(
       vecs: DataFrame, idCol: String, vecCol: String, byCol: String,
       threshold: Double): DataFrame = {
-    val v = vecs.select(col(idCol), col(byCol), col(vecCol))
+    import graft.expressions.DotProduct.dot
+    // Norms once per vector (|V| rows), not three dot products per pair.
+    val v = vecs.select(col(idCol), col(byCol), col(vecCol),
+      Similarity.norm(col(vecCol)).as("nrm"))
     v.as("l").join(v.as("r"),
         col(s"l.$byCol") === col(s"r.$byCol") && col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("v1"), col(s"r.$idCol").as("v2"),
         col(s"l.$byCol").as(byCol),
-        expr(Similarity.cosSpark(s"l.$vecCol", s"r.$vecCol")).as("cos"))
+        (dot(col(s"l.$vecCol"), col(s"r.$vecCol")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Exact Jaccard over candidate pairs (d1, d2) against shingle sets. */
+  /** Exact Jaccard over candidate pairs (d1, d2) against sorted hashed
+    * shingle sets: codegen'd two-pointer merge-intersect, once per pair. */
   private def verifyJaccard(
       cand: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    import graft.expressions.IntersectSize.intersectSize
     val s1 = sh.select(col(idCol).as("d1"), col("s").as("s1"))
     val s2 = sh.select(col(idCol).as("d2"), col("s").as("s2"))
     cand.join(s1, "d1").join(s2, "d2")
-      .withColumn("jacc",
-        expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / " +
-          "(size(s1) + size(s2) - size(array_intersect(s1, s2)))"))
+      .withColumn("ni", intersectSize(col("s1"), col("s2")))
+      .withColumn("jacc", expr("CAST(ni AS DOUBLE) / (size(s1) + size(s2) - ni)"))
       .filter(col("jacc") >= threshold)
       .select("d1", "d2", "jacc")
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.DotProduct.dot
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). North-star operator — absent from the reference.
   *
@@ -41,13 +43,20 @@ object Similarity {
     * vectors by cosine (desc, id asc on ties). Probes are broadcast; the
     * corpus is scanned once, ranked per probe. Output:
     * q_vec, rank, neighbor, cos. */
+  /** `sqrt(dot(v, v))` — precompute once per vector so pair scoring costs one
+    * dot product, not three. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+  def normDuck(v: String): String = s"sqrt(${dotDuck(v, v)})"
+
   def knnBruteForce(
       vecs: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"))
-    val scored = vecs.join(broadcast(q), col(idCol) =!= col("q_vec"))
+    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
+      norm(col(vecCol)).as("q_nrm"))
+    val v = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val scored = v.join(broadcast(q), col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
-        expr(cosSpark("q_emb", vecCol)).as("cos"))
+        (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -68,21 +77,25 @@ object Similarity {
       .withColumn("_rn", row_number().over(wRep)).filter(col("_rn") === 1)
       .select(col(labelCol).as("rep_label"), col(vecCol).as("rep_emb"))
 
-    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"))
+    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
+      norm(col(vecCol)).as("q_nrm"))
 
     val wProbe = Window.partitionBy("q_vec")
       .orderBy(col("rep_cos").desc, col("rep_label").asc)
     val probeParts = q.crossJoin(broadcast(reps))
-      .select(col("q_vec"), col("q_emb"), col("rep_label"),
-        expr(cosSpark("q_emb", "rep_emb")).as("rep_cos"))
+      .select(col("q_vec"), col("q_emb"), col("q_nrm"), col("rep_label"),
+        (dot(col("q_emb"), col("rep_emb")) / sqrt(dot(col("q_emb"), col("q_emb")))
+          / sqrt(dot(col("rep_emb"), col("rep_emb")))).as("rep_cos"))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nprobe)
-      .select("q_vec", "q_emb", "rep_label")
+      .select("q_vec", "q_emb", "q_nrm", "rep_label")
 
-    val scored = vecs.join(broadcast(probeParts),
+    val v = vecs.select(col(idCol), col(labelCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val scored = v.join(broadcast(probeParts),
         col(labelCol) === col("rep_label") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
-        expr(cosSpark("q_emb", vecCol)).as("cos"))
+        (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -13,15 +13,21 @@ import graft.ops.{Dedup, Similarity}
   * statistical. */
 object DedupQ {
 
-  /** Shared oracle prelude: tokenized docs + n-gram shingle sets (DuckDB). */
+  /** Shared oracle prelude: tokenized docs + hashed n-gram shingle sets
+    * (DuckDB) — mirrors [[Dedup.hashedShingleSets]]. */
   private def shingleCte(n: Int): String =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= $n),
-       |sh AS (SELECT doc_id, ${shinglesDuck("w", n)} AS s FROM dd)""".stripMargin
+       |sh0x AS (SELECT doc_id, ${shinglesDuck("w", n)} AS s0 FROM dd),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(s0, shx -> ${polyHashDuck("shx")})) AS s FROM sh0x)""".stripMargin
 
-  private val jaccDuck =
-    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
-      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+  /** Jaccard verify CTEs over candidate pairs (expects `cand` and `sh`). */
+  private val jaccCtes =
+    """j0 AS (SELECT d1, d2, len(list_intersect(a.s, b.s)) AS ni,
+      |              len(a.s) AS n1, len(b.s) AS n2
+      |       FROM cand JOIN sh a ON a.doc_id = cand.d1
+      |                 JOIN sh b ON b.doc_id = cand.d2),
+      |j AS (SELECT d1, d2, CAST(ni AS DOUBLE) / (n1 + n2 - ni) AS jacc FROM j0)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -54,14 +60,12 @@ object DedupQ {
           .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
           .mkString("\nUNION ALL ")
         s"""WITH ${shingleCte(3)},
-           |hs AS (SELECT doc_id, list_transform(s, sh0 -> ${polyHashDuck("sh0")}) AS H FROM sh),
+           |hs AS (SELECT doc_id, s AS H FROM sh),
            |bands AS ($bandSelects),
            |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
            |         FROM bands l JOIN bands r
            |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-           |j AS (SELECT d1, d2, $jaccDuck AS jacc
-           |      FROM cand JOIN sh a ON a.doc_id = cand.d1
-           |                JOIN sh b ON b.doc_id = cand.d2)
+           |$jaccCtes
            |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.5 ORDER BY d1, d2""".stripMargin
       }),
 
@@ -72,13 +76,13 @@ object DedupQ {
             "doc_id", "text", n = 2, threshold = 0.6, bucketWidth = 16)
           .orderBy("d1", "d2"),
       Some(s"""WITH ${shingleCte(2)},
-              |wb AS (SELECT doc_id, unnest([CAST(floor(len(s)/16) AS BIGINT),
-              |                              CAST(floor(len(s)/16) AS BIGINT) + 1]) AS bk FROM sh),
+              |wb AS (SELECT doc_id, len(s) AS n,
+              |              unnest([CAST(floor(len(s)/16) AS BIGINT),
+              |                      CAST(floor(len(s)/16) AS BIGINT) + 1]) AS bk FROM sh),
               |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-              |         FROM wb l JOIN wb r ON l.bk = r.bk AND l.doc_id < r.doc_id),
-              |j AS (SELECT d1, d2, $jaccDuck AS jacc
-              |      FROM cand JOIN sh a ON a.doc_id = cand.d1
-              |                JOIN sh b ON b.doc_id = cand.d2)
+              |         FROM wb l JOIN wb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+              |           AND CAST(least(l.n, r.n) AS DOUBLE) >= 0.6 * greatest(l.n, r.n)),
+              |$jaccCtes
               |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.6 ORDER BY d1, d2""".stripMargin)),
 
     // SimHash: 32-bit fingerprint over token hashes, byte-block LSH,
@@ -93,12 +97,14 @@ object DedupQ {
               |  list_transform(string_split(text, ' '), t0 -> ${polyHashDuck("t0")}) AS Hs
               |  FROM documents),
               |simt AS (SELECT doc_id, ${simhashDuck("Hs")} AS sh FROM hs),
-              |keyed AS (SELECT doc_id, sh, t.k, (sh >> (t.k*8)) & 255 AS byte
-              |          FROM simt, (SELECT unnest(range(0, 4)) AS k) t),
-              |p AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+              |keyed AS (SELECT doc_id, sh, t.k, (sh >> (t.k*16)) & 65535 AS blk
+              |          FROM simt, (SELECT unnest(range(0, 2)) AS k) t),
+              |p AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
               |             ${hammingDuck("l.sh", "r.sh")} AS ham
               |      FROM keyed l JOIN keyed r
-              |        ON l.k = r.k AND l.byte = r.byte AND l.doc_id < r.doc_id)
+              |        ON l.k = r.k AND l.blk = r.blk AND l.doc_id < r.doc_id
+              |      WHERE l.k = 0
+              |         OR (l.k = 1 AND (l.sh & 65535) <> (r.sh & 65535)))
               |SELECT d1, d2, ham FROM p WHERE ham <= 1 ORDER BY d1, d2""".stripMargin)),
 
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
@@ -108,9 +114,10 @@ object DedupQ {
         Dedup.cosinePairs(Catalog.load(s, dir, "embeddings"),
             "vec_id", "embedding", "label", threshold = 0.4)
           .orderBy("v1", "v2"),
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
               |p AS (SELECT l.vec_id AS v1, r.vec_id AS v2, l.label AS label,
-              |             ${Similarity.cosDuck("l.embedding", "r.embedding")} AS cos
+              |             ${Similarity.dotDuck("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cos
               |      FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
               |SELECT v1, v2, label, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin))
   )

@@ -21,11 +21,13 @@ object SimilarityQ {
             "vec_id", "embedding", k = 10)
           .orderBy("q_vec", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb FROM embeddings
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
               |      WHERE vec_id % 100 = 0),
               |scored AS (SELECT q_vec, e.vec_id AS neighbor,
-              |                  ${cosDuck("q_emb", "e.embedding")} AS cos
+              |                  ${Similarity.dotDuck("q_emb", "e.embedding")} / (q_nrm * nrm) AS cos
               |           FROM e, q WHERE e.vec_id <> q.q_vec),
               |r AS (SELECT q_vec, neighbor, cos,
               |             ROW_NUMBER() OVER (PARTITION BY q_vec
@@ -43,20 +45,22 @@ object SimilarityQ {
             "vec_id", "embedding", "label", nprobe = 2, k = 10)
           .orderBy("q_vec", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
               |reps AS (SELECT label AS rep_label, embedding AS rep_emb FROM (
               |    SELECT label, embedding,
               |           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
               |    FROM embeddings) x WHERE rn = 1),
-              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb FROM embeddings
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
               |      WHERE vec_id % 100 = 0),
-              |pp AS (SELECT q_vec, q_emb, rep_label FROM (
-              |    SELECT q_vec, q_emb, rep_label,
+              |pp AS (SELECT q_vec, q_emb, q_nrm, rep_label FROM (
+              |    SELECT q_vec, q_emb, q_nrm, rep_label,
               |           ROW_NUMBER() OVER (PARTITION BY q_vec
               |               ORDER BY ${cosDuck("q_emb", "rep_emb")} DESC, rep_label ASC) AS pr
               |    FROM q, reps) y WHERE pr <= 2),
               |scored AS (SELECT pp.q_vec, e.vec_id AS neighbor,
-              |                  ${cosDuck("pp.q_emb", "e.embedding")} AS cos
+              |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
               |           FROM e JOIN pp ON e.label = pp.rep_label AND e.vec_id <> pp.q_vec),
               |r AS (SELECT q_vec, neighbor, cos,
               |             ROW_NUMBER() OVER (PARTITION BY q_vec
