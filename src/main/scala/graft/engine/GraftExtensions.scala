@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{DotProduct, IntersectSize, PolyHash}
+
+/** Registers the graft native expressions with the SQL front, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works like any built-in:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic
+  *   // or: .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+  * }}}
+  *
+  * This is the `SparkSessionExtensions.injectFunction` path — the same
+  * mechanism third-party engines use to extend Spark SQL without forking it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(
+      name: String,
+      builder: Seq[Expression] => Expression,
+      usage: String): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf"),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_dot",
+      { case Seq(a, b) => DotProduct(a, b) },
+      "graft_dot(a, b) - dot product of two array<float> vectors (double)."))
+    ext.injectFunction(fn("graft_intersect_size",
+      { case Seq(a, b) => IntersectSize(a, b) },
+      "graft_intersect_size(a, b) - |a ∩ b| of two sorted distinct array<bigint>."))
+    ext.injectFunction(fn("graft_polyhash",
+      { case Seq(a) => PolyHash(a) },
+      "graft_polyhash(s) - polynomial rolling hash (mod 1e9+7) of a string."))
+  }
+}

@@ -22,6 +22,7 @@ object GraftSession {
 
   def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)

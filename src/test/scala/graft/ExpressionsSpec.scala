@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProduct.dot
+import graft.expressions.IntersectSize.intersectSize
+import graft.expressions.PolyHash.polyHash
+import graft.functions.Hashing
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("DotProduct matches the SQL higher-order formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.0f)))
+      .toDF("a", "b")
+    val native = df.select(dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    val hof = df.selectExpr(
+      "aggregate(transform(sequence(1, size(a)), i -> " +
+        "CAST(element_at(a, i) AS DOUBLE) * CAST(element_at(b, i) AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (x, y) -> x + y)").collect()(0).getDouble(0)
+    assert(native === hof)
+    assert(native === 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
+  }
+
+  test("DotProduct is null-safe") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Seq[Float]], Option(Seq(1.0f)))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("IntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(7L), Seq(7L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)))
+    val df = cases.toDF("a", "b")
+    val got = df.select(intersectSize(col("a"), col("b"))).collect().map(_.getInt(0))
+    val want = df.selectExpr("size(array_intersect(a, b))").collect().map(_.getInt(0))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("PolyHash matches the dual-dialect SQL fragment on ASCII text") {
+    import spark.implicits._
+    val df = Seq("hello", "", "the quick brown fox", "a").toDF("s")
+    val native = df.select(polyHash(col("s"))).collect().map(_.getLong(0))
+    val frag = df.selectExpr(Hashing.polyHashSpark("s")).collect().map(_.getLong(0))
+    assert(native.toSeq === frag.toSeq)
+    // reference value: fold of 'hello' codes
+    var h = 0L
+    "hello".foreach(c => h = (h * 31 + c.toLong) % Hashing.P)
+    assert(native(0) === h)
+  }
+
+  test("extensions expose the functions to SQL") {
+    import spark.implicits._
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT graft_dot(a, b) AS d, graft_polyhash('hello') AS h FROM vecs").collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 99162322L)
+  }
+}

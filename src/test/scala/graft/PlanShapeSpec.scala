@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape guards: the properties that make these pipelines survive a
+  * 100 TB scale-up are visible in the physical plan — filters reaching the
+  * parquet reader, column pruning, dimension broadcasts, map-side partial
+  * aggregation. Pin them so a refactor can't silently regress the plan. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("s1 scan pushes filters and prunes columns at the parquet reader") {
+    val p = plan(SparkEntry.queries("s1_scan_filter_project")(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,25.0)") ||
+      p.contains("IsNotNull(l_quantity)"), p)
+    // only the 5 referenced columns are read, not all 16
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("j3 multiway join broadcasts the dimension chain — no sort-merge join") {
+    val p = plan(SparkEntry.queries("j3_multiway_join")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("a3 grouped aggregation is partial (map-side) then final") {
+    val p = plan(SparkEntry.queries("a3_partial_agg_q1")(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial_sum/partial_count before the exchange
+  }
+
+  test("a1 flagship joins the dimension by broadcast") {
+    val p = plan(SparkEntry.queries("a1_groupby_5agg")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("as-of join is a single window pass — exactly one shuffle on the key") {
+    val p = plan(SparkEntry.queries("asof_purchase_click")(spark, dir))
+    assert(p.contains("Window"), p)
+    // no join operator at all: the union+window formulation avoids the
+    // range-join explosion entirely
+    assert(!p.contains("Join"), p)
+  }
+}
