@@ -277,6 +277,41 @@ object Parity {
              |FROM lineitem WHERE l_quantity < 10
              |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin)),
 
+    // S7 Insert sink (AbstractExtensionFactory.java:274-293): append two
+    // batches to a fresh Parquet table, read back — the round trip IS the
+    // conformance check (the oracle recomputes the appended multiset).
+    Q("s7_insert_sink",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString + "/t"
+        val c = t(s, dir, "customer")
+        insertInto(c.filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_acctbal"), tmp)
+        insertInto(c.filter(col("c_acctbal") > 9000)
+          .select("c_custkey", "c_acctbal"), tmp)
+        s.read.parquet(tmp)
+          .groupBy("c_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH w AS (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+             |SELECT c_custkey, COUNT(*) AS cnt FROM w
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // S8 Delete sink (TablePage.deleteTuple tombstones → copy-on-write
+    // rewrite on immutable Parquet; the reference specs DML but never
+    // executes it, QueryProcessor.java:162-172).
+    Q("s8_delete_sink",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString + "/t"
+        insertInto(t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice"), tmp)
+        deleteWhere(s, tmp, col("o_totalprice") < 100000.0)
+        s.read.parquet(tmp).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE NOT (o_totalprice < 100000) ORDER BY o_orderkey""".stripMargin)),
+
     // Nested sub-query in FROM, re-joined on its aggregate
     // (TestJoinOrderOptimizerStudents.java:476-501, re-targeted per FIXTURES.md §3.10).
     // Runs through the SQL front: the reference dialect is a subset of Spark SQL.

@@ -38,6 +38,24 @@ object StreamQ {
               |       COUNT(*) AS n_events
               |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Sliding event-time windows (1h length, 30m slide — every event lands in
+    // exactly two windows); the oracle materializes both window anchors per
+    // event in integer microseconds.
+    Q("stream_sliding_agg",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"), col("cnt"))
+          .orderBy("ws_us", "event_type"),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+             |x AS (SELECT us - (us % 1800000000) - 1800000000 AS w0,
+             |             us - (us % 1800000000) AS w1, event_type FROM e),
+             |w AS (SELECT w0 AS ws_us, event_type FROM x
+             |      UNION ALL SELECT w1, event_type FROM x)
+             |SELECT ws_us, event_type, COUNT(*) AS cnt FROM w
+             |GROUP BY ws_us, event_type ORDER BY ws_us, event_type""".stripMargin)),
+
     // Semi-structured props extraction (regex-based, engine-portable) +
     // per-key exact aggregation.
     Q("events_props_extract",
