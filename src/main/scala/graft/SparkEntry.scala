@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQ, Extended, MultimodalQ, Parity, Q, SimilarityQ, StreamQ, TextQ}
+import graft.queries.{DedupQ, Extended, Flagship, MultimodalQ, Parity, Q, SimilarityQ, StreamQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All conformance queries, grouped by module. */
   def allQueries: Seq[Q] =
-    Parity.all ++ Extended.all ++ DedupQ.all ++ SimilarityQ.all ++
+    Parity.all ++ Extended.all ++ Flagship.all ++ DedupQ.all ++ SimilarityQ.all ++
       TextQ.all ++ MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

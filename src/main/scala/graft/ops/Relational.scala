@@ -144,6 +144,13 @@ object Relational {
   def sumExact(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** [[sumExact]] at an explicit scale — use scale = the number of exact
+    * decimal digits of the summand (e.g. 4 for a product of two 2-decimal
+    * factors), so the double→decimal rounding never lands on an
+    * engine-dependent half-way case. */
+  def sumExactScaled(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
   /** Exact AVG companion to [[sumExact]] (single double division at the end). */
   def avgExact(c: Column): Column = sumExact(c) / count(c)
 

@@ -38,6 +38,13 @@ object StreamQ {
               |       COUNT(*) AS n_events
               |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Streaming dedup with watermark-bounded state.
+    Q("stream_dedup_events",
+      (s, dir) => Streams.dedupStream(s, dir),
+      Some("""SELECT event_type,
+             |  COUNT(DISTINCT (user_id, date_trunc('hour', ts))) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Sliding event-time windows (1h length, 30m slide — every event lands in
     // exactly two windows); the oracle materializes both window anchors per
     // event in integer microseconds.

@@ -59,6 +59,31 @@ object Streams {
     spark.table(name).orderBy("ws", "event_type")
   }
 
+  /** Streaming dedup: at-most-one event per (user, type, hour), state bounded
+    * by the watermark (`dropDuplicatesWithinWatermark` evicts keys once the
+    * watermark passes them — the 100 TB-safe form of streaming distinct).
+    * Emits per-type distinct counts so the result is order-insensitive. */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Catalog.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    val ev = Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+
+    val deduped = ev
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val name = s"graft_dedup_${sinkId.incrementAndGet()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Session state machine shared by the batch and streaming variants: split
     * a user's time-ordered event micros into sessions at gaps > the session
     * gap. Pure and deterministic. */
