@@ -62,8 +62,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     // The hashed sets feed three plan branches (minhash explode + both sides
-    // of the verify join); persist so tokenize+shingle+hash runs once.
+    // of the verify join); persist so tokenize+shingle+hash runs once. The
+    // repartition matters: downstream joins are all broadcasts (no exchange),
+    // so without it the verify stage would inherit the file-scan partitioning
+    // — possibly one task for a small-file corpus.
     val sh = hashedShingleSets(docs, idCol, textCol, n)
+      .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Explode shingle hashes and compute the 32 minhashes as hash-aggregate
@@ -104,21 +108,26 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bucketWidth: Int): DataFrame = {
-    // Three plan branches (bucket keys + both verify sides) → persist.
+    // Three plan branches (bucket keys + both verify sides) → persist; the
+    // repartition spreads the broadcast-join-only verify stage across cores
+    // (see minhashLshPairs).
     val sh = hashedShingleSets(docs, idCol, textCol, n)
+      .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withB = sh
       .select(col(idCol), size(col("s")).as("n"),
         expr(s"CAST(floor(size(s) / $bucketWidth) AS BIGINT)").as("b"))
-      .select(col(idCol), col("n"), explode(expr("array(b, b + 1)")).as("bk"))
-    // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|; applying it
-    // at the join prunes most candidates before the expensive set intersect.
+      .select(col(idCol), col("n"), col("b"), explode(expr("array(b, b + 1)")).as("bk"))
+    // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|. Pairs in
+    // the same base bucket would match on BOTH emitted keys; keeping only the
+    // smallest shared key (= greatest base bucket) emits each pair exactly
+    // once without a shuffle-distinct.
     val cand = withB.as("l")
       .join(withB.as("r"),
         col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol") &&
+          col("l.bk") === greatest(col("l.b"), col("r.b")) &&
           expr(s"CAST(least(l.n, r.n) AS DOUBLE) >= $threshold * greatest(l.n, r.n)"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
-      .distinct()
     verifyJaccard(cand, sh, idCol, threshold)
   }
 

@@ -76,11 +76,12 @@ object DedupQ {
             "doc_id", "text", n = 2, threshold = 0.6, bucketWidth = 16)
           .orderBy("d1", "d2"),
       Some(s"""WITH ${shingleCte(2)},
-              |wb AS (SELECT doc_id, len(s) AS n,
+              |wb AS (SELECT doc_id, len(s) AS n, CAST(floor(len(s)/16) AS BIGINT) AS b,
               |              unnest([CAST(floor(len(s)/16) AS BIGINT),
               |                      CAST(floor(len(s)/16) AS BIGINT) + 1]) AS bk FROM sh),
-              |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+              |cand AS (SELECT l.doc_id AS d1, r.doc_id AS d2
               |         FROM wb l JOIN wb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+              |           AND l.bk = greatest(l.b, r.b)
               |           AND CAST(least(l.n, r.n) AS DOUBLE) >= 0.6 * greatest(l.n, r.n)),
               |$jaccCtes
               |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.6 ORDER BY d1, d2""".stripMargin)),
