@@ -38,6 +38,41 @@ object StreamQ {
               |       COUNT(*) AS n_events
               |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Stream-stream inner join with two-sided watermarks + time-range bound.
+    Q("stream_stream_join",
+      (s, dir) => Streams.purchaseClickJoin(s, dir),
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT p_id, click_id FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c_us >= p_us - 1800000000 AND c_us <= p_us
+             |ORDER BY p_id, click_id""".stripMargin)),
+
+    // Salted two-phase aggregation over a 3-distinct-key (maximally skewed)
+    // grouping — result identical to the direct GROUP BY, which is the oracle.
+    Q("skew_salted_agg",
+      (s, dir) =>
+        graft.ops.Skew.saltedCountSum(
+            Catalog.load(s, dir, "lineitem"),
+            col("l_returnflag"), col("l_quantity"), salts = 32)
+          .orderBy("k"),
+      Some("""SELECT l_returnflag AS k, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin)),
+
+    // Sketch aggregates (HLL distinct, t-digest-ish percentile): approximate
+    // by design, so no exact oracle — the driver records a rows-only check.
+    Q("sketch_approx_stats",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"))
+          .orderBy("event_type"),
+      None),
+
     // Streaming dedup with watermark-bounded state.
     Q("stream_dedup_events",
       (s, dir) => Streams.dedupStream(s, dir),

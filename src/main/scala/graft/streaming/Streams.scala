@@ -84,6 +84,37 @@ object Streams {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Stream-stream inner join: each purchase matched to the same user's
+    * clicks within the preceding 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event time on both, so Spark can evict join
+    * state — the scalable form of a streaming join (unbounded state
+    * otherwise). Inner matches emit eagerly; `AvailableNow` drains the
+    * history deterministically. */
+  def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Catalog.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    def stream = Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+
+    val joined = purchases.join(clicks,
+        expr("user_id = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"))
+      .select(col("p_id"), col("click_id"))
+
+    val name = s"graft_ssjoin_${sinkId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("p_id", "click_id")
+  }
+
   /** Session state machine shared by the batch and streaming variants: split
     * a user's time-ordered event micros into sessions at gaps > the session
     * gap. Pure and deterministic. */

@@ -36,6 +36,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3) === Row(2L, 500L, "p4", null, null, null))
   }
 
+  test("priorJoin matches the naive join+rank specification on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 300).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble()))
+      .toDF("k", "t", "event_id", "value")
+
+    val got = AsOfJoin.priorJoin(left, right, "k", "t", "event_id", Seq("event_id", "value"))
+      .select("lid", "right_event_id", "right_value", "right_t")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1)
+
+    // Naive spec: join all at-or-before rights, keep max (t, event_id).
+    val w = Window.partitionBy("lid")
+      .orderBy(col("r_t").desc_nulls_last, col("r_eid").desc_nulls_last)
+    val want = left.join(right.select(col("k").as("rk"), col("t").as("r_t"),
+          col("event_id").as("r_eid"), col("value").as("r_val")),
+        col("k") === col("rk") && col("r_t") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("lid", "r_eid", "r_val", "r_t")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1)
+
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("priorJoin carries whole right rows, never mixes columns across rows") {
     import spark.implicits._
     // Right row at ts 20 has a null value; a per-column carry would leak 1.0
