@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.engine.Catalog
+
+/** Source/sink format coverage beyond Parquet: JSON and CSV round trips, and
+  * a hive-style partitioned write whose read-back prunes partitions (the
+  * on-disk layout that makes 100 TB scans selective). The oracle always reads
+  * the original Parquet — so the round trip itself is what's checked. */
+object SourcesQ {
+
+  val all: Seq[Q] = Seq(
+
+    // JSON sink + source round trip (schema re-inferred on read).
+    Q("src_json_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/t"
+        Catalog.load(s, dir, "nation").write.json(tmp)
+        s.read.json(tmp)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // CSV sink + source round trip with explicit schema.
+    Q("src_csv_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
+        val sup = Catalog.load(s, dir, "supplier")
+        sup.write.option("header", "true").csv(tmp)
+        s.read.schema(sup.schema).option("header", "true").csv(tmp)
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_acctbal").cast(DecimalType(18, 2)).cast(DoubleType).as("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // Hive-style partitioned write; the read-back filter prunes to one
+    // partition directory (PartitionFilters — pinned in PlanShapeSpec).
+    Q("src_partitioned_write",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+        Catalog.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .write.partitionBy("l_returnflag").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag").cast("string").as("l_returnflag"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Integer-exact term statistics (document frequency + total term
+    // frequency) — the exact core of TF-IDF without the engine-dependent log.
+    Q("text_term_stats",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+          .groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+          .orderBy(col("df").desc, col("term").asc)
+          .limit(20),
+      Some("""SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+             |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin))
+  )
+}

@@ -41,6 +41,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("partitioned write is pruned to one partition on read-back") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag")
+      .write.partitionBy("l_returnflag").parquet(tmp)
+    val p = plan(spark.read.parquet(tmp).filter(col("l_returnflag") === "R"))
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("l_returnflag"), p)
+    // the data filter moved entirely into partition pruning
+    assert(p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get.contains("R"), p)
+  }
+
   test("as-of join is a single window pass — exactly one shuffle on the key") {
     val p = plan(SparkEntry.queries("asof_purchase_click")(spark, dir))
     assert(p.contains("Window"), p)
