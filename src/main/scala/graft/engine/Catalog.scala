@@ -50,4 +50,26 @@ object Catalog {
     tableNames.foreach { t =>
       load(spark, sfDir, t).createOrReplaceTempView(t)
     }
+
+  /** Register tables as MANAGED catalog tables and ANALYZE them — the full
+    * replacement for the reference's catalogue statistics
+    * (`catalogue/TableStatistics.java:19-29`, `ColumnStatistics.java:21-31`):
+    * row counts, sizes, and per-column NDV/min/max feed Catalyst's CBO
+    * (`CostBasedJoinReorder` subsumes the reference's DP join-order search,
+    * `optimizer/joins/JoinOrderOptimizer.java:24`). Temp views cannot carry
+    * stats, so this copies into the session warehouse — use for stats-driven
+    * workloads; `registerAll` for zero-copy. */
+  def registerAllWithStats(
+      spark: SparkSession, sfDir: String, tables: Seq[String] = tableNames): Unit =
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // The in-memory catalog forgets tables across JVMs but their warehouse
+      // directories survive; clear any orphaned location before re-creating.
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, t)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      load(spark, sfDir, t).write.mode("overwrite").saveAsTable(t)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
 }

@@ -166,6 +166,16 @@ object Relational {
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
 
+  // ----------------------------------------------------------- CHAR(n) glue
+
+  /** CHAR(n) blank-padded comparison semantics (`DataType.java:400-410`,
+    * fixed-length blank-padded CHAR): Spark tables normalize CHAR to STRING,
+    * so reference-equivalent comparisons strip/extend trailing blanks
+    * explicitly. `charEq` ignores trailing-blank differences; `charPad`
+    * reproduces the padded value. */
+  def charPad(c: Column, n: Int): Column = rpad(c, n, " ")
+  def charEq(a: Column, b: Column): Column = rtrim(a) === rtrim(b)
+
   // ------------------------------------------------------------------ sort
 
   /** O1 Sort (`OperatorFactory.java:335-345`): multi-column asc/desc
