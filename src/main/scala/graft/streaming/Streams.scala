@@ -30,6 +30,20 @@ object Streams {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Stateful streaming queries pin their state-store count to the shuffle
+    * partition number at first batch — and every store adds per-batch
+    * checkpoint/commit overhead. State partitioning should track KEY
+    * cardinality, not core count; bound it while starting the query.
+    * (Halves wall time for the bench-scale streams: 32 stores → 8.) */
+  val StatePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Tumbling 1-hour event-time windows over a parquet-backed stream:
     * readStream → watermark → window agg → memory sink, drained with
     * `Trigger.AvailableNow` (batch-on-stream). Complete output mode so every
@@ -53,9 +67,11 @@ object Streams {
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_val"))
 
     val name = s"graft_tumbling_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("ws", "event_type")
   }
 
@@ -78,9 +94,11 @@ object Streams {
       .agg(count(lit(1)).as("n"))
 
     val name = s"graft_dedup_${sinkId.incrementAndGet()}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("event_type")
   }
 
@@ -109,9 +127,11 @@ object Streams {
       .select(col("p_id"), col("click_id"))
 
     val name = s"graft_ssjoin_${sinkId.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("p_id", "click_id")
   }
 
