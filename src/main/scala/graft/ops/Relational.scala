@@ -83,10 +83,27 @@ object Relational {
     * `TablePage.deleteTuple`): Parquet is immutable → copy-on-write rewrite of
     * the surviving rows. The reference itself never executes DML
     * (`QueryProcessor.java:162-172` throws) — provided for completeness. */
-  def deleteWhere(spark: SparkSession, tablePath: String, pred: Column): Unit = {
-    val survivors = spark.read.parquet(tablePath).filter(!pred)
+  def deleteWhere(spark: SparkSession, tablePath: String, pred: Column): Unit =
+    copyOnWrite(spark, tablePath)(_.filter(!pred))
+
+  /** UPDATE (`parser/UpdateQuery.java` — parsed by the reference, never
+    * executed): copy-on-write rewrite applying `assignments` to rows
+    * matching `pred`. */
+  def updateWhere(
+      spark: SparkSession, tablePath: String, pred: Column,
+      assignments: Map[String, Column]): Unit =
+    copyOnWrite(spark, tablePath) { cur =>
+      assignments.foldLeft(cur) { case (df, (c, v)) =>
+        df.withColumn(c, when(pred, v).otherwise(col(c)))
+      }
+    }
+
+  /** Rewrite-and-swap for DML on immutable Parquet. */
+  private def copyOnWrite(
+      spark: SparkSession, tablePath: String)(f: DataFrame => DataFrame): Unit = {
+    val next = f(spark.read.parquet(tablePath))
     val tmp = tablePath + ".cow"
-    survivors.write.mode("overwrite").parquet(tmp)
+    next.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tablePath)

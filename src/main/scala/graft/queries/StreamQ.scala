@@ -98,6 +98,53 @@ object StreamQ {
              |SELECT ws_us, event_type, COUNT(*) AS cnt FROM w
              |GROUP BY ws_us, event_type ORDER BY ws_us, event_type""".stripMargin)),
 
+    // Time-series regularization: hourly per-user value sums gap-filled onto
+    // a dense grid with forward-fill (per-key sequence+explode, one window
+    // pass — no driver loop).
+    Q("ts_gapfill_hourly",
+      (s, dir) => {
+        val hourly = Catalog.load(s, dir, "events")
+          .filter(col("user_id") < 5)
+          .groupBy(col("user_id"),
+            unix_micros(date_trunc("hour", col("ts"))).as("h"))
+          .agg(graft.ops.Relational.sumExact(col("value")).as("v"))
+        graft.ops.TimeSeries.gapFill(hourly, "user_id", "h", "v", 3600000000L)
+          .select("user_id", "h", "v", "observed")
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 3600000000, 3600000000)) AS h
+             |         FROM bounds),
+             |j AS (SELECT g.user_id, g.h, hourly.v, hourly.v IS NOT NULL AS observed
+             |      FROM grid g LEFT JOIN hourly USING (user_id, h))
+             |SELECT user_id, h,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             |  observed
+             |FROM j ORDER BY user_id, h""".stripMargin)),
+
+    // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
+    // reference): copy-on-write column rewrite on a Parquet table.
+    Q("s9_update_sink",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString + "/t"
+        graft.ops.Relational.insertInto(
+          Catalog.load(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"), tmp)
+        graft.ops.Relational.updateWhere(s, tmp,
+          col("o_totalprice") > 400000.0,
+          Map("o_orderpriority" -> lit("0-IMMEDIATE")))
+        s.read.parquet(tmp).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_totalprice > 400000 THEN '0-IMMEDIATE'
+             |       ELSE o_orderpriority END AS o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Semi-structured props extraction (regex-based, engine-portable) +
     // per-key exact aggregation.
     Q("events_props_extract",
