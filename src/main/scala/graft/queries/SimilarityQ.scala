@@ -13,6 +13,24 @@ object SimilarityQ {
 
   val all: Seq[Q] = Seq(
 
+    // L2 normalization of the embedding column (array-transform over the
+    // vector, norm via the native dot product) — unit-sphere projection is
+    // the usual prep before cosine/IP search.
+    Q("embed_l2_normalize",
+      (s, dir) => {
+        val e = Catalog.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            Similarity.norm(col("embedding")).as("nrm"))
+        e.select(col("vec_id"), col("nrm"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("unit"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |                 ${Similarity.normDuck("embedding")} AS nrm FROM embeddings)
+              |SELECT vec_id, nrm,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+              |FROM e ORDER BY vec_id""".stripMargin)),
+
     // Brute-force exact top-10 by cosine — the recall=1.0 baseline.
     Q("ann_bruteforce_topk",
       (s, dir) => {

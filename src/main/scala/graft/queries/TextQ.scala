@@ -66,6 +66,45 @@ object TextQ {
               |       $langIdCase AS pred_lang
               |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/test split: hash-of-id bucketing (stable across
+    // runs, engines, and cluster layouts — the only sane way to split at
+    // 100 TB; row-order sampling is not reproducible).
+    Q("split_train_test",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"${polyHashSpark("CAST(doc_id AS STRING)")} % 100").as("bucket"))
+          .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+          .select("doc_id", "bucket", "split")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${polyHashDuck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+              |  CASE WHEN ${polyHashDuck("CAST(doc_id AS VARCHAR)")} % 100 < 80
+              |       THEN 'train' ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document chunking: fixed-size token windows with overlap (chunk 64,
+    // stride 48) — the standard context-window prep step. Chunk starts are
+    // generated per doc with sequence+explode; text rebuilt by slicing the
+    // token array.
+    Q("text_chunking",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(1, greatest(size(w) - 16, 1), 48)")).as("start"))
+          .select(col("doc_id"), col("start"),
+            expr("array_join(slice(w, start, 64), ' ')").as("chunk_text"),
+            expr("size(slice(w, start, 64))").as("chunk_tokens"))
+          .orderBy("doc_id", "start"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT doc_id, w,
+             |              unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS start
+             |       FROM d)
+             |SELECT doc_id, start,
+             |  array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
+             |  len(list_slice(w, start, start + 63)) AS chunk_tokens
+             |FROM st ORDER BY doc_id, start""".stripMargin)),
+
     // Document fingerprinting: whole-text polynomial hash + winnowing-lite
     // min-8-gram-window hash (shift-resistant).
     Q("text_fingerprint",
