@@ -254,6 +254,27 @@ object Extended {
              |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Bounded top-k per key via the custom TypedImperativeAggregate: same
+    // answer as w1_topk_per_group's window formulation, but partial buffers
+    // cap at k so the shuffle carries |keys|·k rows, not every row.
+    Q("w1b_topk_agg",
+      (s, dir) => {
+        import graft.expressions.TopKAggregate.topK
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+             |  FROM orders) x
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
     // ------------------------------------------ subqueries via the SQL front
     // P3 FilterCorrelated (OperatorFactory.java:209-217): Catalyst
     // decorrelates the EXISTS into a semi-join.

@@ -53,6 +53,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(native(0) === h)
   }
 
+  test("TopKAggregate matches the window formulation, incl. ties and small groups") {
+    import graft.expressions.TopKAggregate.topK
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 7.0, 12L), (1L, 1.0, 13L), (1L, 7.0, 9L),
+      (2L, 3.0, 20L) // group smaller than k
+    ).toDF("g", "score", "id").repartition(4) // force partial buffers + merge
+    val got = df.groupBy("g").agg(topK(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 0, 7.0, 9L), (1L, 1, 7.0, 12L), (1L, 2, 5.0, 10L),
+      (2L, 0, 3.0, 20L)))
+  }
+
   test("extensions expose the functions to SQL") {
     import spark.implicits._
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
