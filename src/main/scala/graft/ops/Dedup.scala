@@ -204,6 +204,45 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: label-propagation-to-min
+    * (each node repeatedly adopts the smallest id reachable through its
+    * neighbors) until fixpoint — the standard distributed CC formulation
+    * (HashToMin-style). Converges in O(component diameter) rounds; near-dup
+    * components are tiny, so a handful. Each round is one equi-join + one
+    * aggregation; the driver sees only a change-count scalar per round.
+    * Output: (idCol, component) for every node, component = min id of its
+    * near-dup cluster (itself when unpaired) — the canonical-document
+    * assignment that completes a dedup pipeline. */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
   /** Exact Jaccard over candidate pairs (d1, d2) against sorted hashed
     * shingle sets: codegen'd two-pointer merge-intersect, once per pair. */
   private def verifyJaccard(

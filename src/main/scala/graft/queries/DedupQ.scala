@@ -108,6 +108,38 @@ object DedupQ {
               |         OR (l.k = 1 AND (l.sh & 65535) <> (r.sh & 65535)))
               |SELECT d1, d2, ham FROM p WHERE ham <= 1 ORDER BY d1, d2""".stripMargin)),
 
+    // Full dedup pipeline closer: MinHash-LSH pairs → connected components →
+    // canonical (min-id) document per near-dup cluster, every doc labeled.
+    // Oracle: recursive-CTE transitive closure over the same pairs.
+    Q("dedup_clusters",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+           |SELECT a AS doc_id, MIN(b) AS component FROM reach
+           |GROUP BY a ORDER BY doc_id""".stripMargin
+      }),
+
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
     // `label`): exact cosine >= 0.4 on candidate pairs only.
     Q("dedup_embedding_cosine",

@@ -38,6 +38,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("connectedComponents labels chains and singletons with the min id") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 form a chain (diameter > 1 → needs multiple rounds);
+    // 5 is unpaired; 6-7 a separate pair.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(nodes, edges, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 6L), (7L, 6L)))
+  }
+
   test("cosinePairs respects partition blocking and threshold") {
     import spark.implicits._
     val vecs = Seq(

@@ -41,6 +41,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("rank-filter window plans with partial (pre-shuffle) group limits") {
+    // Catalyst's InferWindowGroupLimit turns `row_number() <= k` into a
+    // Partial WindowGroupLimit below the exchange — at most k rows per key
+    // per input partition are shuffled. This is why no custom top-k operator
+    // is needed for the window formulation; pin it.
+    val p = plan(SparkEntry.queries("w1_topk_per_group")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("partitioned write is pruned to one partition on read-back") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
