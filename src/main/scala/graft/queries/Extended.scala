@@ -304,6 +304,57 @@ object Extended {
              |                                 / COUNT(*) FROM orders)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // GROUPING SETS (the general form behind rollup/cube) via the SQL front.
+    Q("grouping_sets_agg",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                |  COUNT(*) AS cnt
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+             |  COUNT(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Three-valued logic / NULL semantics — the documented divergence from
+    // the reference's sentinel encoding (SURVEY §1.2): reference NULLs are
+    // in-domain sentinels; this engine uses SQL NULLs. Null-producing outer
+    // join, IS NULL counts, null-safe equality, and NULL propagation through
+    // comparisons and aggregates.
+    Q("null_semantics",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_nonnull"),
+            sum(col("o_orderkey").isNull.cast("int")).as("n_null"),
+            sum((col("o_orderstatus") === "F").cast("int")).as("cmp_true"),
+            sum((col("o_orderstatus") <=> "F").cast("int")).as("nullsafe_true"),
+            min(col("o_totalprice")).as("min_ignoring_nulls"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(o_orderkey) AS n_nonnull,
+             |  CAST(SUM(CAST(o_orderkey IS NULL AS INTEGER)) AS BIGINT) AS n_null,
+             |  CAST(SUM(CAST(o_orderstatus = 'F' AS INTEGER)) AS BIGINT) AS cmp_true,
+             |  CAST(SUM(CAST(o_orderstatus IS NOT DISTINCT FROM 'F' AS INTEGER)) AS BIGINT) AS nullsafe_true,
+             |  MIN(o_totalprice) AS min_ignoring_nulls
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // ------------------------------------------------------------ as-of join
     // For each purchase event, the most recent prior-or-same-instant click by
     // the same user (ns→µs via unix_micros/epoch_us keeps both engines on the
