@@ -98,6 +98,29 @@ object Relational {
       }
     }
 
+  /** MERGE/upsert (beyond the reference's parsed DML): rows in `updates`
+    * replace same-`key` rows in the table; unmatched rows insert. One anti
+    * join + union under copy-on-write. */
+  def mergeInto(
+      spark: SparkSession, tablePath: String, updates: DataFrame, key: String): Unit =
+    copyOnWrite(spark, tablePath) { cur =>
+      cur.join(updates.select(key), Seq(key), "left_anti")
+        .unionByName(updates)
+    }
+
+  /** Small-file compaction: rewrite the table into `numFiles` parquet files
+    * sorted by `sortCols` within each file — restores scan efficiency after
+    * many small appends and maximizes row-group min/max skipping for range
+    * predicates on the sort key. */
+  def compact(
+      spark: SparkSession, tablePath: String,
+      numFiles: Int, sortCols: Seq[String]): Unit =
+    copyOnWrite(spark, tablePath) { cur =>
+      val re = cur.repartition(numFiles)
+      if (sortCols.isEmpty) re
+      else re.sortWithinPartitions(sortCols.map(col): _*)
+    }
+
   /** Rewrite-and-swap for DML on immutable Parquet. */
   private def copyOnWrite(
       spark: SparkSession, tablePath: String)(f: DataFrame => DataFrame): Unit = {

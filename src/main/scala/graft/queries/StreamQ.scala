@@ -127,6 +127,27 @@ object StreamQ {
              |  observed
              |FROM j ORDER BY user_id, h""".stripMargin)),
 
+    // MERGE/upsert + compaction round trip: seed a table, upsert a mix of
+    // updated and brand-new rows, compact, read back. Oracle recomputes the
+    // merge over the sources.
+    Q("s10_merge_sink",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString + "/t"
+        val c = Catalog.load(s, dir, "customer")
+        graft.ops.Relational.insertInto(
+          c.filter(col("c_custkey") < 300).select("c_custkey", "c_name", "c_acctbal"), tmp)
+        val updates = c.filter(col("c_custkey") >= 200)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"))
+        graft.ops.Relational.mergeInto(s, tmp, updates, "c_custkey")
+        graft.ops.Relational.compact(s, tmp, numFiles = 4, sortCols = Seq("c_custkey"))
+        s.read.parquet(tmp).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey >= 200 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+             |FROM customer WHERE c_custkey < 300 OR c_custkey >= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",
