@@ -18,7 +18,13 @@ object Bench {
     // Absorb session bootstrap (codegen, JIT, shuffle service) outside the
     // per-query timings.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=<regex> benches a subset (driver leaves it
+    // unset and measures everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.findFirstIn(name).isDefined)
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

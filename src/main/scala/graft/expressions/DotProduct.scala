@@ -34,14 +34,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Bulk-copy to primitive arrays first: UnsafeArrayData.toFloatArray is one
+  // Platform.copyMemory, and HotSpot auto-vectorizes the flat float[] loop,
+  // neither of which per-element getFloat calls allow. Fold order (left to
+  // right, double accumulator) is unchanged, so oracle bit-identity holds.
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += x(i).toDouble * y(i).toDouble
       i += 1
     }
     s
@@ -52,11 +56,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val xa = ctx.freshName("xa")
+      val ya = ctx.freshName("ya")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final float[] $xa = $a.toFloatArray();
+         |final float[] $ya = $b.toFloatArray();
+         |final int $n = java.lang.Math.min($xa.length, $ya.length);
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ((double) $xa[$i]) * ((double) $ya[$i]);
          |}
          |${ev.value} = $s;
        """.stripMargin

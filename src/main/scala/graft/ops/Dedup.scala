@@ -216,27 +216,38 @@ object Dedup {
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, idCol: String,
       maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
+    // Materialize the (expensive) edge pipeline once, before the loop: every
+    // round then joins the cached symmetric edge list, and AQE sees its true
+    // size when picking broadcast vs shuffle for the per-round join.
+    sym.count()
 
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
+    // comp only ever decreases (adopt-the-min), so the label set changed
+    // iff Σcomp decreased — convergence is a one-scalar aggregate over the
+    // cached labels instead of a full self-join diff per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Adopt the min over {self} ∪ neighbors, as union + min-agg: one
+      // equi-join + one aggregation per round, no left join, no diff join.
       val neighborMin = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(neighborMin)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist(MEMORY_AND_DISK)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     sym.unpersist()

@@ -122,6 +122,153 @@ object Flagship {
              |  COUNT(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
              |GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q4-shape: order-priority checking via correlated EXISTS (the testdata
+    // has no l_commitdate/l_receiptdate, so "late" = shipped more than 90
+    // days after the order date). Catalyst decorrelates the EXISTS into a
+    // left-semi hash join; only (orderkey, shipdate) are scanned.
+    Q("tpch_q4_priority_check",
+      (s, dir) => {
+        val o = Catalog.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Catalog.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q6-shape: single-table forecast-revenue — every predicate reaches the
+    // parquet reader (PushedFilters), global agg is partial+final.
+    Q("tpch_q6_forecast_revenue",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sumExactScaled(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // Q12-shape: conditional (CASE) counts after a fact-dimension join —
+    // integer sums are exact under any aggregation order. (The testdata has
+    // no l_shipmode; order-priority classes play its role.)
+    Q("tpch_q12_priority_lines",
+      (s, dir) => {
+        val o = Catalog.load(s, dir, "orders")
+        val l = Catalog.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q14-shape: promo revenue ratio. Both operands accumulate as exact
+    // DECIMAL, cast to DOUBLE, then one IEEE division+multiply — identical
+    // bits in any engine (never divide decimals: result scale is
+    // engine-defined).
+    Q("tpch_q14_promo_revenue",
+      (s, dir) => {
+        val p = Catalog.load(s, dir, "part")
+        val l = Catalog.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .agg((lit(100.0) *
+            sumExactScaled(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 4) /
+            sumExactScaled(rev, 4)).as("promo_revenue"))
+      },
+      Some("""SELECT 100.0 *
+             |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             |       THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             |  AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)),
+
+    // Q18-shape: large-volume orders — the IN subquery is itself a grouped
+    // HAVING aggregate; Spark plans it as an aggregate + semi join.
+    Q("tpch_q18_large_orders",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "customer")
+        val o = Catalog.load(s, dir, "orders")
+        val l = Catalog.load(s, dir, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sumExact(col("l_quantity")).as("q"))
+          .filter(col("q") > 150)
+          .select(col("l_orderkey").as("big_orderkey"))
+        o.join(big, o("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sumExact(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+             |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
+    // Q19-shape: disjunction of brand/size/quantity conjuncts — the OR-tree
+    // the reference's conjunctive-only dialect cannot express (SURVEY §2.2
+    // grammar note). Catalyst extracts the common join key and pushes
+    // p_brand IN (...) + ranges to both scans.
+    Q("tpch_q19_disjunctive_rev",
+      (s, dir) => {
+        val p = Catalog.load(s, dir, "part")
+        val l = Catalog.load(s, dir, "lineitem")
+        val j = l.join(p, l("l_partkey") === p("p_partkey"))
+        val pred =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 40))
+        j.filter(pred)
+          .agg(sumExactScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin))
   )
 }

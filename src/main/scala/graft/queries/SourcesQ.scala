@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Catalog
+import graft.ops.{Bucketing, Relational}
 
 /** Source/sink format coverage beyond Parquet: JSON and CSV round trips, and
   * a hive-style partitioned write whose read-back prunes partitions (the
@@ -56,6 +57,29 @@ object SourcesQ {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
              |FROM lineitem WHERE l_returnflag = 'R'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Bucketed (hash-clustered) layout: both sides written bucketed on the
+    // join key → the join runs with zero Exchange (pinned in PlanShapeSpec).
+    // The layout shuffle is paid once at write time, not per query — the
+    // 100 TB pattern for a fact table joined on the same key repeatedly.
+    Q("src_bucketed_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        Bucketing.writeBucketed(s, Catalog.load(s, dir, "orders"),
+          "graft_bkt_orders", s"$tmp/orders", 8, "o_custkey")
+        Bucketing.writeBucketed(s, Catalog.load(s, dir, "customer"),
+          "graft_bkt_customer", s"$tmp/customer", 8, "c_custkey")
+        Bucketing.coLocatedJoin(s, "graft_bkt_orders", "graft_bkt_customer",
+            "o_custkey", "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Relational.sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // Integer-exact term statistics (document frequency + total term
     // frequency) — the exact core of TF-IDF without the engine-dependent log.

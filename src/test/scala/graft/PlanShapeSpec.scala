@@ -63,6 +63,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get.contains("R"), p)
   }
 
+  test("bucketed co-located join plans with zero shuffle exchange") {
+    import graft.engine.Catalog
+    import graft.ops.Bucketing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+    Bucketing.writeBucketed(spark, Catalog.load(spark, dir, "orders"),
+      "graft_bkt_spec_o", s"$tmp/o", 8, "o_custkey")
+    Bucketing.writeBucketed(spark, Catalog.load(spark, dir, "customer"),
+      "graft_bkt_spec_c", s"$tmp/c", 8, "c_custkey")
+    val j = Bucketing.coLocatedJoin(spark, "graft_bkt_spec_o", "graft_bkt_spec_c",
+      "o_custkey", "c_custkey")
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("as-of join is a single window pass — exactly one shuffle on the key") {
     val p = plan(SparkEntry.queries("asof_purchase_click")(spark, dir))
     assert(p.contains("Window"), p)
