@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Catalog
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, RangeJoin}
 
 /** Relational surface beyond the reference's inventory (SURVEY.md §2.3/§2.6
   * list these as absent): set operations, outer/semi/anti joins, window
@@ -390,6 +390,32 @@ object Extended {
              |        WHERE c.user_id = m2.user_id AND c.us = m2.right_us
              |          AND c.event_id = m2.right_event_id) AS right_value,
              |       m2.right_us
-             |FROM m2 ORDER BY user_id, p_event""".stripMargin))
+             |FROM m2 ORDER BY user_id, p_event""".stripMargin)),
+
+    // Bounded time-range (interval) join: error events paired with purchase
+    // events of the same user within ±10 minutes. Temporal bucketing turns
+    // the non-equi condition into an equi-join on (user, bucket) — see
+    // RangeJoin scaladoc; integer-µs math keeps both engines bit-identical.
+    Q("range_join_events",
+      (s, dir) => {
+        val ev = Catalog.load(s, dir, "events")
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            unix_micros(col("ts")).as("err_us"))
+        val purs = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pur_id"),
+            unix_micros(col("ts")).as("pur_us"))
+        RangeJoin.timeRangeJoin(errs, purs, "user_id",
+            col("err_us"), col("pur_us"), radiusUs = 600000000L)
+          .orderBy("err_id", "pur_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us
+             |           FROM events WHERE event_type = 'error'),
+             |     p AS (SELECT user_id, event_id AS pur_id, epoch_us(ts) AS pur_us
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT e.user_id, err_id, err_us, pur_id, pur_us
+             |FROM e JOIN p ON e.user_id = p.user_id
+             |  AND abs(pur_us - err_us) <= 600000000
+             |ORDER BY err_id, pur_id""".stripMargin))
   )
 }

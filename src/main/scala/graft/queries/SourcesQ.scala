@@ -58,6 +58,20 @@ object SourcesQ {
              |FROM lineitem WHERE l_returnflag = 'R'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // ORC sink + source round trip — the second columnar format with
+    // pushdown/pruning; schema preserved exactly (no re-inference needed).
+    Q("src_orc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+        Catalog.load(s, dir, "part").write.orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("p_size") >= 25)
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_size
+             |FROM part WHERE p_size >= 25 ORDER BY p_partkey""".stripMargin)),
+
     // Bucketed (hash-clustered) layout: both sides written bucketed on the
     // join key → the join runs with zero Exchange (pinned in PlanShapeSpec).
     // The layout shuffle is paid once at write time, not per query — the
