@@ -416,6 +416,100 @@ object Extended {
              |SELECT e.user_id, err_id, err_us, pur_id, pur_us
              |FROM e JOIN p ON e.user_id = p.user_id
              |  AND abs(pur_us - err_us) <= 600000000
-             |ORDER BY err_id, pur_id""".stripMargin))
+             |ORDER BY err_id, pur_id""".stripMargin)),
+
+    // Scalar string surface (beyond the reference's comparison-only strings,
+    // SURVEY §2.7): upper/substr/length/concat/replace/LIKE/regexp — all
+    // codegen'd built-ins, and the dialect aligns with ANSI so the oracle SQL
+    // is near-identical.
+    Q("scalar_string_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "part").selectExpr(
+            "p_partkey",
+            "upper(p_name) AS up_name",
+            "substr(p_name, 1, 5) AS pre5",
+            "length(p_name) AS name_len",
+            "concat(p_brand, '-', p_type) AS brand_type",
+            "replace(p_name, 'widget', 'gadget') AS renamed",
+            "CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS is_bolt",
+            "regexp_extract(p_name, '([a-z]+)$', 1) AS last_word")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up_name,
+             |  substr(p_name, 1, 5) AS pre5,
+             |  CAST(length(p_name) AS INT) AS name_len,
+             |  concat(p_brand, '-', p_type) AS brand_type,
+             |  replace(p_name, 'widget', 'gadget') AS renamed,
+             |  CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS is_bolt,
+             |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Scalar math surface: IEEE-exact functions only (abs/floor/ceil/sqrt/
+    // mod) — transcendentals (ln, exp) are libm-dependent and would not be
+    // bit-stable across engines, so they stay out of hashed conformance.
+    Q("scalar_math_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem").selectExpr(
+            "l_orderkey", "l_linenumber",
+            "abs(l_quantity - 25) AS qdev",
+            "floor(l_extendedprice / 100) AS price_floor",
+            "ceil(l_extendedprice / 100) AS price_ceil",
+            "sqrt(l_quantity) AS qroot",
+            "l_orderkey % 7 AS okmod")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_quantity - 25) AS qdev,
+             |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+             |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+             |  sqrt(l_quantity) AS qroot,
+             |  l_orderkey % 7 AS okmod
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Scalar date surface: year/month/day/quarter extraction + month
+    // truncation (the group-by-time-bucket primitives of any reporting
+    // workload; all deterministic calendar arithmetic, no timezone traps —
+    // sessions pin UTC).
+    Q("scalar_date_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "orders").selectExpr(
+            "o_orderkey",
+            "year(o_orderdate) AS oy",
+            "month(o_orderdate) AS om",
+            "day(o_orderdate) AS od",
+            "quarter(o_orderdate) AS oq",
+            "date_trunc('month', o_orderdate) AS omonth")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS oy,
+             |  CAST(month(o_orderdate) AS INT) AS om,
+             |  CAST(day(o_orderdate) AS INT) AS od,
+             |  CAST(quarter(o_orderdate) AS INT) AS oq,
+             |  date_trunc('month', o_orderdate) AS omonth
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Window surface beyond rank/lag/running-sum: ntile quartiles,
+    // first/last value with the default up-to-current-row frame, lead —
+    // all over a UNIQUE (ts, id) order so ties can't perturb the hash.
+    Q("w4_window_extras",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        Catalog.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .select(col("event_id"), col("user_id"),
+            ntile(4).over(w).as("qtile"),
+            first(col("event_id")).over(w).as("first_ev"),
+            last(col("event_id")).over(w).as("last_ev"),
+            lead(col("event_id"), 1).over(w).as("next_ev"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(ntile(4) OVER w AS INT) AS qtile,
+             |  first_value(event_id) OVER w AS first_ev,
+             |  last_value(event_id) OVER w AS last_ev,
+             |  lead(event_id, 1) OVER w AS next_ev
+             |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events) t
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -269,6 +269,46 @@ object Flagship {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
-             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin))
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // Q7-shape: bilateral trade volume between two nations by ship year —
+    // the same dimension (nation) joined twice under different roles, plus
+    // date-part extraction feeding the grouping key. Both nation joins
+    // broadcast; the disjunctive pair filter prunes before aggregation.
+    Q("tpch_q7_nation_volume",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val o = Catalog.load(s, dir, "orders")
+        val c = Catalog.load(s, dir, "customer")
+        val su = Catalog.load(s, dir, "supplier")
+        val n1 = Catalog.load(s, dir, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = Catalog.load(s, dir, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sumExactScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INT) AS l_year,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
   )
 }

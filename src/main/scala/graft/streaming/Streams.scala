@@ -44,6 +44,25 @@ object Streams {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Run `body` (which should start+drain a streaming query) with the
+    * RocksDB state-store provider instead of the default in-memory HDFS-
+    * backed one. The provider is latched per query at start, so scoping the
+    * session conf around `start()` is sufficient. Use when keyed state
+    * outgrows executor heap (large dedup key spaces, wide session maps):
+    * state lives off-heap/on-disk with incremental checkpointing, trading
+    * per-batch latency for unbounded-state headroom. Local-bench scale
+    * favors the default; a 100 TB keyed stream favors RocksDB. */
+  def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling 1-hour event-time windows over a parquet-backed stream:
     * readStream → watermark → window agg → memory sink, drained with
     * `Trigger.AvailableNow` (batch-on-stream). Complete output mode so every

@@ -101,4 +101,14 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((2L, t0, t0, 1L)), s"user 2 timed-out session, got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("RocksDB state store yields identical windowed aggregates") {
+    val dir = "/root/testdata/sf0.001"
+    val default = Streams.tumblingAgg(spark, dir).collect().map(_.toSeq).toSeq
+    val rocks = Streams.withRocksDBStateStore(spark) {
+      Streams.tumblingAgg(spark, dir)
+    }.collect().map(_.toSeq).toSeq
+    assert(rocks == default)
+    assert(rocks.nonEmpty)
+  }
 }
