@@ -510,6 +510,28 @@ object Extended {
              |  lead(event_id, 1) OVER w AS next_ev
              |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events) t
              |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // UNPIVOT (wide → long), the inverse of pivot_priority_counts: per-flag
+    // aggregates unpivoted into (metric, val) rows via stack() — a generator,
+    // so no shuffle beyond the aggregation itself.
+    Q("unpivot_metrics",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            graft.ops.Relational.sumExact(col("l_quantity")).as("sum_qty"),
+            graft.ops.Relational.sumExact(col("l_extendedprice")).as("sum_price"))
+          .selectExpr("l_returnflag",
+            "stack(2, 'qty', sum_qty, 'price', sum_price) AS (metric, val)")
+          .orderBy("l_returnflag", "metric"),
+      Some("""WITH a AS (SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'qty' AS metric, sum_qty AS val FROM a
+             |UNION ALL
+             |SELECT l_returnflag, 'price' AS metric, sum_price AS val FROM a
+             |ORDER BY l_returnflag, metric""".stripMargin))
   )
 }

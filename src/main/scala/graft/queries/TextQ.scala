@@ -105,6 +105,65 @@ object TextQ {
              |  len(list_slice(w, start, start + 63)) AS chunk_tokens
              |FROM st ORDER BY doc_id, start""".stripMargin)),
 
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the first pass of every training-data cleaning pipeline,
+    // all codegen'd regexp built-ins. (DuckDB needs the explicit 'g' flag;
+    // Spark replaces all matches by default.)
+    Q("text_normalize",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"),
+            trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Stratified sampling: per-class (language) keep-rates via hash-of-id
+    // bucketing — deterministic across engines, runs, and cluster layouts,
+    // unlike row-order TABLESAMPLE. The class-rebalancing step of corpus
+    // construction.
+    Q("sample_stratified",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .withColumn("bucket",
+            expr(s"${polyHashSpark("CAST(doc_id AS STRING)")} % 100"))
+          .withColumn("rate",
+            when(col("lang") === "en", 80)
+              .when(col("lang") === "es", 50).otherwise(20))
+          .filter(col("bucket") < col("rate"))
+          .select("doc_id", "lang", "bucket", "rate")
+          .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, lang,
+              |  ${polyHashDuck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+              |  CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50 ELSE 20 END AS rate
+              |FROM documents)
+              |SELECT doc_id, lang, bucket, CAST(rate AS INT) AS rate
+              |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: docs assigned to 512-token training bins by exact
+    // GLOBAL prefix sum — computed distributed (two-phase partition scan +
+    // broadcast offsets, ops.Packing) yet bit-identical to the oracle's
+    // single global window.
+    Q("pack_sequences",
+      (s, dir) =>
+        graft.ops.Packing.packSequences(
+            Catalog.load(s, dir, "documents").select(col("doc_id"), col("text")),
+            "doc_id", expr("size(split(text, ' '))").cast("long"), budget = 512)
+          .select("doc_id", "n", "cum", "bin")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |       FROM documents),
+             |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM t)
+             |SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+             |       (CAST(cum AS BIGINT) - n) // 512 AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprinting: whole-text polynomial hash + winnowing-lite
     // min-8-gram-window hash (shift-resistant).
     Q("text_fingerprint",
