@@ -254,6 +254,21 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Count triangles in a canonical (d1 < d2) undirected edge set — the
+    * standard cohesion metric over the near-dup graph (triangle-dense
+    * regions = boilerplate/template families worth aggressive pruning).
+    * With canonical edges every triangle a<b<c is counted exactly once by
+    * the oriented wedge join (a,b)+(b,c) closed by (a,c); both joins are
+    * hash equi-joins on single keys, no enumeration of non-edges. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("d1"), col("d2"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.d2") === col("e2.d1"))
+      .join(e.as("e3"),
+        col("e1.d1") === col("e3.d1") && col("e2.d2") === col("e3.d2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Exact Jaccard over candidate pairs (d1, d2) against sorted hashed
     * shingle sets: codegen'd two-pointer merge-intersect, once per pair. */
   private def verifyJaccard(

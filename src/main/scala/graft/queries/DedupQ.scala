@@ -140,6 +140,32 @@ object DedupQ {
            |GROUP BY a ORDER BY doc_id""".stripMargin
       }),
 
+    // Graph cohesion over the near-dup graph: triangle count via oriented
+    // wedge join on the canonical MinHash-LSH edges (a<b<c counted once).
+    Q("graph_triangles",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.triangleCount(
+          Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5)
+           |SELECT COUNT(*) AS n_triangles
+           |FROM edges e1
+           |JOIN edges e2 ON e1.d2 = e2.d1
+           |JOIN edges e3 ON e1.d1 = e3.d1 AND e2.d2 = e3.d2""".stripMargin
+      }),
+
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
     // `label`): exact cosine >= 0.4 on candidate pairs only.
     Q("dedup_embedding_cosine",

@@ -309,6 +309,80 @@ object Flagship {
              |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
              |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // Q8-shape: NATION_1 suppliers' market share of ASIA-customer revenue by
+    // year. The conditional/total ratio per group — both sums DECIMAL-exact,
+    // one IEEE division at the end (same discipline as q14).
+    Q("tpch_q8_market_share",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val o = Catalog.load(s, dir, "orders")
+        val c = Catalog.load(s, dir, "customer")
+        val su = Catalog.load(s, dir, "supplier")
+        val nc = Catalog.load(s, dir, "nation")
+          .select(col("n_nationkey").as("nc_key"), col("n_regionkey"))
+        val r = Catalog.load(s, dir, "region").filter(col("r_name") === "ASIA")
+        val ns = Catalog.load(s, dir, "nation")
+          .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(nc), c("c_nationkey") === col("nc_key"))
+          .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(ns), su("s_nationkey") === col("ns_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((sumExactScaled(when(col("supp_nation") === "NATION_1", vol)
+              .otherwise(lit(0)), 4) /
+            sumExactScaled(vol, 4)).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+             |       THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             |  AS mkt_share
+             |FROM lineitem
+             |JOIN orders    ON l_orderkey = o_orderkey
+             |JOIN customer  ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region    ON n1.n_regionkey = r_regionkey
+             |JOIN supplier  ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin)),
+
+    // Q9-shape: profit by supplier nation and year. The testdata has no
+    // partsupp/ps_supplycost, so cost = 0.5 · p_retailprice · l_quantity
+    // (both 2-decimal → the 0.5-scaled product is exact at 5 decimals;
+    // accumulate at scale 6).
+    Q("tpch_q9_profit_proxy",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val o = Catalog.load(s, dir, "orders")
+        val p = Catalog.load(s, dir, "part")
+        val su = Catalog.load(s, dir, "supplier")
+        val n = Catalog.load(s, dir, "nation")
+        val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(p, l("l_partkey") === p("p_partkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sumExactScaled(amount, 6).as("profit"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |       - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS profit
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN part     ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |GROUP BY n_name, year(o_orderdate)
+             |ORDER BY n_name, o_year DESC""".stripMargin))
   )
 }

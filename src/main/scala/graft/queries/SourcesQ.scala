@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Catalog
-import graft.ops.{Bucketing, Relational}
+import graft.ops.{Bucketing, Layout, Relational}
 
 /** Source/sink format coverage beyond Parquet: JSON and CSV round trips, and
   * a hive-style partitioned write whose read-back prunes partitions (the
@@ -94,6 +94,29 @@ object SourcesQ {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Z-order clustered layout: lineitem rewritten sorted by the Morton
+    // value of (partkey, suppkey); the box-predicate read-back then prunes
+    // on BOTH dimensions via parquet min/max stats (2-D clustering per file
+    // is asserted in ZOrderSpec). Oracle reads the original table — the
+    // layout must be a pure reorganization.
+    Q("src_zorder_box",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString + "/t"
+        Layout.writeZOrdered(
+          Catalog.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+          tmp, col("l_partkey").cast("int"), col("l_suppkey").cast("int"),
+          numFiles = 8)
+        s.read.parquet(tmp)
+          .filter(col("l_partkey").between(100, 300) &&
+            col("l_suppkey").between(10, 60))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Integer-exact term statistics (document frequency + total term
     // frequency) — the exact core of TF-IDF without the engine-dependent log.
