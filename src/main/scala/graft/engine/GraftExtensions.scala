@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, IntersectSize, PolyHash}
+import graft.expressions.{DotProduct, IntersectSize, PolyHash, ZOrderValue}
 
 /** Registers the graft native expressions with the SQL front, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works like any built-in:
@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_polyhash",
       { case Seq(a) => PolyHash(a) },
       "graft_polyhash(s) - polynomial rolling hash (mod 1e9+7) of a string."))
+    ext.injectFunction(fn("graft_zorder",
+      { case Seq(a, b) => ZOrderValue(a, b) },
+      "graft_zorder(x, y) - Morton-interleaved z-order value of two ints (bigint)."))
   }
 }

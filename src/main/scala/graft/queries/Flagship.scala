@@ -383,6 +383,38 @@ object Flagship {
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation   ON s_nationkey = n_nationkey
              |GROUP BY n_name, year(o_orderdate)
-             |ORDER BY n_name, o_year DESC""".stripMargin))
+             |ORDER BY n_name, o_year DESC""".stripMargin)),
+
+    // Q22-shape: prospect customers — above-average positive balance and no
+    // URGENT order (every synthetic customer has *some* order, so the
+    // classic never-ordered predicate would be vacuous). Scalar-subquery
+    // threshold (broadcast one-row cross join) + filtered anti join for
+    // NOT EXISTS; the average divides two identically-computed exact
+    // aggregates, so the threshold comparison is engine-stable.
+    Q("tpch_q22_prospects",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "customer")
+        val urgent = Catalog.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((sumExact(col("c_acctbal")) / count(lit(1))).as("a"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("a"))
+          .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sumExact(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |    FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

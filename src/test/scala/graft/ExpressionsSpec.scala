@@ -74,8 +74,10 @@ class ExpressionsSpec extends SparkSpec {
     import spark.implicits._
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
     val r = spark.sql(
-      "SELECT graft_dot(a, b) AS d, graft_polyhash('hello') AS h FROM vecs").collect()(0)
+      "SELECT graft_dot(a, b) AS d, graft_polyhash('hello') AS h, " +
+        "graft_zorder(3, 5) AS z FROM vecs").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 99162322L)
+    assert(r.getLong(2) === graft.expressions.ZOrderValue.interleave(3, 5))
   }
 }
