@@ -61,6 +61,29 @@ object Multimodal {
     typed.mapPartitions(batch => batch.map(fakeDecode)).toDF()
   }
 
+  /** One (doc, dim, value) row of the feature stub. */
+  final case class ImageFeature(doc_id: Long, dim: Int, value: Double)
+
+  /** Feature-extraction stage — the media-embedding step of a multimodal
+    * training pipeline, executed partition-batched like the decode. The
+    * DETERMINISTIC FAKE maps the decode checksum to `dims` pseudo-features
+    * with pure integer arithmetic plus ONE final IEEE division, so the
+    * oracle replicates it exactly; a real extractor would replace the body
+    * with a model forward pass over the payload. Features emit as scalar
+    * (doc_id, dim, value) rows — columnar, explode-shaped, ANN-joinable. */
+  def extractFeatures(decoded: DataFrame, dims: Int = 8): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    import graft.functions.Hashing.{A, B}
+    val typed = decoded.select(col("doc_id"), col("checksum"))
+      .as[(Long, Long)]
+    typed.mapPartitions(_.flatMap { case (id, checksum) =>
+      (0 until dims).iterator.map { d =>
+        ImageFeature(id, d, ((checksum * A(d) + B(d)) % P).toDouble / P)
+      }
+    }).toDF()
+  }
+
   /** Frame sampling: one row per sampled frame, frame count derived from the
     * media id, per-frame checksum chained off the decode checksum. A real
     * pipeline would seek into the payload per frame; the explode shape and

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Catalog
-import graft.functions.Hashing.{polyHashDuck, P}
+import graft.functions.Hashing.{polyHashDuck, A, B, P}
 import graft.ops.Multimodal
 
 /** Oracle-checked multimodal-plumbing queries. The decode is a deterministic
@@ -26,6 +26,28 @@ object MultimodalQ {
               |  CAST(3 AS INTEGER) AS channels,
               |  ${polyHashDuck("text")} AS checksum
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Feature extraction (embedding stub): checksum → 8 pseudo-features,
+    // partition-batched; integer arithmetic + one IEEE division keeps the
+    // oracle exact.
+    Q("mm_feature_extract", {
+      (s, dir) =>
+        Multimodal.extractFeatures(
+            Multimodal.decodeImageMeta(
+              Multimodal.withPayload(Catalog.load(s, dir, "documents"))))
+          .orderBy("doc_id", "dim")
+      },
+      Some {
+        val aList = A.take(8).mkString("[", ",", "]")
+        val bList = B.take(8).mkString("[", ",", "]")
+        s"""WITH m AS (SELECT doc_id, ${polyHashDuck("text")} AS checksum FROM documents),
+           |d AS (SELECT doc_id, checksum, unnest(range(0, 8)) AS dim FROM m)
+           |SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+           |  CAST((checksum * list_extract($aList, CAST(dim AS INTEGER) + 1)
+           |        + list_extract($bList, CAST(dim AS INTEGER) + 1)) % $P AS DOUBLE)
+           |    / ${P}.0 AS value
+           |FROM d ORDER BY doc_id, dim""".stripMargin
+      }),
 
     // Frame sampling: per-media frame explosion with chained checksums.
     Q("mm_frame_sample",

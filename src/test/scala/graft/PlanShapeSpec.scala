@@ -79,6 +79,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("time-range join is an equi-join on (key, bucket) — never a nested-loop") {
+    val p = plan(SparkEntry.queries("range_join_events")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // bucketing makes it a hash-joinable equi condition
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q6 pushes every predicate into the parquet scan") {
+    val p = plan(SparkEntry.queries("tpch_q6_forecast_revenue")(spark, dir))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), p)
+    assert(pushed.contains("l_discount"), p)
+    assert(pushed.contains("l_quantity"), p)
+  }
+
   test("as-of join is a single window pass — exactly one shuffle on the key") {
     val p = plan(SparkEntry.queries("asof_purchase_click")(spark, dir))
     assert(p.contains("Window"), p)
