@@ -415,6 +415,68 @@ object Flagship {
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderpriority = '1-URGENT')
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Q11-shape: important suppliers — per-supplier line value within one
+    // nation exceeding a fraction of that nation's total (the testdata has
+    // no partsupp, so line revenue proxies stock value). Grouped aggregate
+    // compared against a broadcast scalar aggregate of the SAME pre-filtered
+    // input; the 0.01 fraction is a double multiply of an exact sum.
+    Q("tpch_q11_important_suppliers",
+      (s, dir) => {
+        val su = Catalog.load(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        val l = Catalog.load(s, dir, "lineitem")
+        val nat = l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        val perSupp = nat.groupBy(col("l_suppkey"))
+          .agg(sumExactScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("value"))
+        val threshold = nat.agg((lit(0.01) *
+          sumExactScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("thr"))
+        perSupp.crossJoin(broadcast(threshold))
+          .filter(col("value") > col("thr"))
+          .select(col("l_suppkey"), col("value"))
+          .orderBy(col("value").desc, col("l_suppkey").asc)
+      },
+      Some("""WITH nat AS (
+             |  SELECT l_suppkey, l_extendedprice, l_discount
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE s_nationkey = 3)
+             |SELECT l_suppkey,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS value
+             |FROM nat
+             |GROUP BY l_suppkey
+             |HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) > (
+             |  SELECT 0.01 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             |  FROM nat)
+             |ORDER BY value DESC, l_suppkey ASC""".stripMargin)),
+
+    // Q15-shape: top supplier(s) — per-supplier quarterly revenue equal to
+    // the maximum of that aggregate (the view + MAX-subquery pattern;
+    // max-of-exact-doubles is engine-stable).
+    Q("tpch_q15_top_supplier",
+      (s, dir) => {
+        val su = Catalog.load(s, dir, "supplier")
+        val rev = Catalog.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sumExactScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total_rev"))
+        val maxRev = rev.agg(max(col("total_rev")).as("mx"))
+        su.join(rev, su("s_suppkey") === rev("l_suppkey"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_rev") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_rev
+             |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }
