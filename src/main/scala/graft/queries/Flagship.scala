@@ -477,6 +477,67 @@ object Flagship {
              |SELECT s_suppkey, s_name, total_rev
              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
              |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q17-shape: small-quantity revenue — each lineitem compared against a
+    // correlated per-part average. Catalyst's rewrite of the correlated agg
+    // subquery IS this plan: aggregate once per part, join back, filter.
+    // The 0.5·avg threshold multiplies an exact-sum-derived double.
+    Q("tpch_q17_small_quantity",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val perPart = l.groupBy(col("l_partkey").as("pk"))
+          .agg(avgExact(col("l_quantity")).as("avg_qty"))
+        l.join(perPart, l("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg((sumExact(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""WITH pa AS (
+             |  SELECT l_partkey AS pk,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem JOIN pa ON l_partkey = pk
+             |WHERE l_quantity < 0.5 * avg_qty""".stripMargin)),
+
+    // Q21-shape: suppliers who were the SOLE late shipper in multi-supplier
+    // orders ("late" = shipped >120 days after order date; the testdata has
+    // no receipt/commit dates). Distinct late pairs + one EXISTS semi join +
+    // one NOT EXISTS anti join — the reference's dialect has none of these
+    // (SURVEY §2.2).
+    Q("tpch_q21_waiting_supplier",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val o = Catalog.load(s, dir, "orders")
+        val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 120 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+          .distinct()
+        val lateOther = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .join(pairs, col("ok2") === col("l_orderkey") &&
+            col("sk2") =!= col("l_suppkey"), "left_semi")
+          .join(lateOther, col("ok3") === col("l_orderkey") &&
+            col("sk3") =!= col("l_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey").asc)
+          .limit(10)
+      },
+      Some("""WITH late AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY)
+             |SELECT s.l_suppkey AS suppkey, COUNT(*) AS numwait
+             |FROM late s
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = s.l_orderkey
+             |                AND l2.l_suppkey <> s.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late t
+             |                  WHERE t.l_orderkey = s.l_orderkey
+             |                    AND t.l_suppkey <> s.l_suppkey)
+             |GROUP BY s.l_suppkey
+             |ORDER BY numwait DESC, suppkey ASC LIMIT 10""".stripMargin))
   )
 }
