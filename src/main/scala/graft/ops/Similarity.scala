@@ -48,6 +48,81 @@ object Similarity {
   def norm(v: Column): Column = sqrt(dot(v, v))
   def normDuck(v: String): String = s"sqrt(${dotDuck(v, v)})"
 
+  // ---- SRP-LSH (sign random projection / hyperplane LSH) ----------------
+
+  /** Number of hyperplanes (signature bits) and band split for [[srpPairs]].
+    * 16 bits in 2 bands of 8: P[band match] = agree^8 per band — the
+    * selectivity/recall knob; more+narrower bands raise recall and candidate
+    * volume. Tuned per corpus at scale. */
+  val SrpPlanes = 16
+  val SrpBands = 2
+  val SrpBandBits: Int = SrpPlanes / SrpBands
+
+  /** Deterministic pseudo-random hyperplanes, identical in both engines:
+    * plane(j)(i) = ((A(j)·1000003·(i+1) + B(j)·7919) mod P) / P − 0.5.
+    * The 1000003/7919 multipliers push the products past P so the mod
+    * actually mixes (raw A(j)·(i+1) ≪ P would make every coordinate ≈ −0.5
+    * — a constant plane that hashes nothing). Values are used as FLOAT
+    * literals so the Spark side can run the codegen'd [[DotProduct]]. */
+  def srpPlane(j: Int, dims: Int): IndexedSeq[Float] = {
+    import graft.functions.Hashing.{A, B, P}
+    IndexedSeq.tabulate(dims) { i =>
+      (((A(j) * 1000003L * (i + 1) + B(j) * 7919L) % P).toDouble / P - 0.5).toFloat
+    }
+  }
+
+  /** 16-bit SRP signature of `vec` as a Spark Column (native dot products
+    * against the plane literals — whole-stage codegen'd). */
+  def srpSig(vec: Column, dims: Int): Column =
+    (0 until SrpPlanes).map { j =>
+      val plane = array(srpPlane(j, dims).map(v => lit(v)): _*)
+      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The same signature as DuckDB SQL over column expression `vec`. */
+  def srpSigDuck(vec: String, dims: Int): String =
+    (0 until SrpPlanes).map { j =>
+      val lits = srpPlane(j, dims).mkString("CAST([", ",", "] AS FLOAT[])")
+      s"CASE WHEN ${dotDuck(vec, lits)} >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding near-dup pairs WITHOUT any precomputed cluster/label column:
+    * SRP-LSH buckets by hyperplane-sign bands, exact cosine ≥ `threshold` on
+    * candidates. The label-free counterpart of [[Dedup.cosinePairs]] — at
+    * 100 TB the shuffle key is the (band, signature-slice) pair, the
+    * verify join touches only same-bucket pairs, and a pair matching both
+    * bands is emitted once (the band-0 filter below), not deduplicated by a
+    * second shuffle. Output: v1, v2, cos. */
+  def srpPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int): DataFrame = {
+    val mask = (1L << SrpBandBits) - 1
+    val v = vecs.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"), srpSig(col(vecCol), dims).as("sig"))
+    val banded = v.select(col(idCol), col(vecCol), col("nrm"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${SrpBands - 1}), " +
+          s"k -> named_struct('k', k, 'bv', shiftright(sig, k*$SrpBandBits) & $mask))")).as("kb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("sig"), col("kb.k").as("k"), col("kb.bv").as("bv"))
+    val firstMatch = expr((1 until SrpBands).foldLeft("l.k = 0") { (acc, k0) =>
+      val diffs = (0 until k0)
+        .map(j => s"(shiftright(l.sig, ${j * SrpBandBits}) & $mask) <> " +
+          s"(shiftright(r.sig, ${j * SrpBandBits}) & $mask)")
+        .mkString(" AND ")
+      s"$acc OR (l.k = $k0 AND $diffs)"
+    })
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.k") === col("r.k") && col("l.bv") === col("r.bv") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .filter(firstMatch)
+      .select(col(s"l.$idCol").as("v1"), col(s"r.$idCol").as("v2"),
+        (dot(col(s"l.$vecCol"), col(s"r.$vecCol")) /
+          (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def knnBruteForce(
       vecs: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -31,6 +31,34 @@ object SimilarityQ {
               |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
               |FROM e ORDER BY vec_id""".stripMargin)),
 
+    // SRP-LSH (hyperplane) near-dup pairs — label-free angular bucketing:
+    // 16 sign-of-projection bits in 2 bands, equi-join per band, exact
+    // cosine verify. The plane literals are generated from shared constants
+    // so both engines compute identical signatures.
+    Q("dedup_srp_lsh",
+      (s, dir) =>
+        Similarity.srpPairs(Catalog.load(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, dims = 64)
+          .orderBy("v1", "v2"),
+      Some {
+        val bits = Similarity.SrpBandBits
+        val mask = (1L << bits) - 1
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |                  ${Similarity.normDuck("embedding")} AS nrm,
+           |                  ${Similarity.srpSigDuck("embedding", 64)} AS sig
+           |           FROM embeddings),
+           |b AS (SELECT vec_id, embedding, nrm, sig, t.k,
+           |             (sig >> (t.k*$bits)) & $mask AS bv
+           |      FROM e, (SELECT unnest(range(0, ${Similarity.SrpBands})) AS k) t),
+           |p AS (SELECT l.vec_id AS v1, r.vec_id AS v2,
+           |             ${Similarity.dotDuck("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cos
+           |      FROM b l JOIN b r
+           |        ON l.k = r.k AND l.bv = r.bv AND l.vec_id < r.vec_id
+           |      WHERE l.k = 0
+           |         OR (l.k = 1 AND ((l.sig >> 0) & $mask) <> ((r.sig >> 0) & $mask)))
+           |SELECT v1, v2, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin
+      }),
+
     // Brute-force exact top-10 by cosine — the recall=1.0 baseline.
     Q("ann_bruteforce_topk",
       (s, dir) => {
