@@ -538,6 +538,89 @@ object Flagship {
              |                  WHERE t.l_orderkey = s.l_orderkey
              |                    AND t.l_suppkey <> s.l_suppkey)
              |GROUP BY s.l_suppkey
-             |ORDER BY numwait DESC, suppkey ASC LIMIT 10""".stripMargin))
+             |ORDER BY numwait DESC, suppkey ASC LIMIT 10""".stripMargin)),
+
+    // Q13-shape: distribution of per-customer urgent-order counts — a LEFT
+    // OUTER join whose extra condition lives in the JOIN clause (not WHERE,
+    // which would turn it inner), then a count-of-counts histogram. The
+    // urgent filter guarantees a 0-orders bucket, exercising outer-null
+    // counting (COUNT(col) skips nulls).
+    Q("tpch_q13_custdist",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "customer")
+        val o = Catalog.load(s, dir, "orders")
+        val perCust = c.join(o,
+            c("c_custkey") === o("o_custkey") &&
+              o("o_orderpriority") === "1-URGENT", "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+             |      GROUP BY c_custkey) t
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q16-shape: distinct suppliers per part profile, excluding a
+    // NOT IN supplier set (negative-balance here; complaints in TPC-H) —
+    // COUNT(DISTINCT) after an anti join.
+    Q("tpch_q16_parts_suppliers",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        val p = Catalog.load(s, dir, "part").filter(col("p_size").isin(1, 5, 9, 13))
+        val bad = Catalog.load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_supp"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(broadcast(bad), l("l_suppkey") === col("bad_supp"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc,
+            col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size IN (1, 5, 9, 13)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q20-shape: suppliers who shipped > 100 units of widget parts in 1997 —
+    // a nested IN chain (part subset → grouped HAVING per supplier → supplier
+    // filter) planned as two stacked semi joins.
+    Q("tpch_q20_excess_suppliers",
+      (s, dir) => {
+        val su = Catalog.load(s, dir, "supplier")
+        val l = Catalog.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val widgetParts = Catalog.load(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"))
+        val heavy = l
+          .join(broadcast(widgetParts), l("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"))
+          .agg(sumExact(col("l_quantity")).as("q"))
+          .filter(col("q") > 150)
+          .select(col("l_suppkey"))
+        su.join(heavy, su("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY l_suppkey
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }
