@@ -281,14 +281,19 @@ object Flagship {
         val o = Catalog.load(s, dir, "orders")
         val c = Catalog.load(s, dir, "customer")
         val su = Catalog.load(s, dir, "supplier")
-        val n1 = Catalog.load(s, dir, "nation")
+        // The pair disjunction implies each side ∈ {N1, N2} individually —
+        // a constraint Catalyst cannot derive across tables, so pre-filter
+        // both (broadcast, 2-row) dimensions: the inner joins then prune
+        // lineitem/customer rows by nation BEFORE the big fact joins.
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Catalog.load(s, dir, "nation").filter(col("n_name").isin(pair: _*))
           .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-        val n2 = Catalog.load(s, dir, "nation")
+        val n2 = Catalog.load(s, dir, "nation").filter(col("n_name").isin(pair: _*))
           .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(c, o("o_custkey") === c("c_custkey"))
-          .join(su, l("l_suppkey") === su("s_suppkey"))
+        l.join(su, l("l_suppkey") === su("s_suppkey"))
           .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
           .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
