@@ -31,6 +31,29 @@ object SimilarityQ {
               |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
               |FROM e ORDER BY vec_id""".stripMargin)),
 
+    // Array scalar surface over the embedding column: size, element access,
+    // slice, min/max — every output widened to DOUBLE (float scalars repr
+    // differently across engines; float→double widening is exact).
+    Q("array_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "embeddings").selectExpr(
+            "vec_id",
+            "size(embedding) AS dim",
+            "CAST(embedding[0] AS DOUBLE) AS e_first",
+            "CAST(element_at(embedding, -1) AS DOUBLE) AS e_last",
+            "CAST(array_min(embedding) AS DOUBLE) AS e_min",
+            "CAST(array_max(embedding) AS DOUBLE) AS e_max",
+            "size(slice(embedding, 1, 8)) AS head_n")
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS e_first,
+             |  CAST(embedding[-1] AS DOUBLE) AS e_last,
+             |  CAST(list_min(embedding) AS DOUBLE) AS e_min,
+             |  CAST(list_max(embedding) AS DOUBLE) AS e_max,
+             |  CAST(len(list_slice(embedding, 1, 8)) AS INT) AS head_n
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // SRP-LSH (hyperplane) near-dup pairs — label-free angular bucketing:
     // 16 sign-of-projection bits in 2 bands, equi-join per band, exact
     // cosine verify. The plane literals are generated from shared constants

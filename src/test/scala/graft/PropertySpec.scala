@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.expressions.ZOrderValue
+import graft.ops.{Packing, RangeJoin}
+
+/** Randomized algebraic properties of the distributed operators — the
+  * ScalaCheck layer SURVEY §5 adopts in place of the reference's hand-rolled
+  * randomized page/index tests. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("globalCumsum equals the single-window cumsum on random inputs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.chooseNum(0L, 1000L))
+    for (seed <- 1 to 5) {
+      val vals = sample(gen, seed.toLong)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "n")
+      val single = df.withColumn("cum", sum("n").over(Window.orderBy("id")))
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Packing.globalCumsum(df, "id", col("n"), "cum", 7)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == single, s"seed=$seed")
+    }
+  }
+
+  test("bucketed time-range join equals naive join on random timelines") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(20, 80)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(1L, 5L)
+        ts <- Gen.chooseNum(0L, 100000L)
+      } yield (key, ts))
+    } yield rows
+    for (seed <- 1 to 5) {
+      val rows = sample(gen, seed.toLong).zipWithIndex
+        .map { case ((k, t), i) => (k, i.toLong, t) }
+      val radius = 997L // prime, so bucket edges don't align with data
+      val l = rows.toDF("user_id", "lid", "lus")
+      val r = rows.map { case (k, i, t) => (k, i + 100000L, t) }
+        .toDF("user_id", "rid", "rus")
+      val bucketed = RangeJoin.timeRangeJoin(l, r, "user_id",
+          col("lus"), col("rus"), radius)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = l.join(r, l("user_id") === r("user_id") &&
+          abs(r("rus") - l("lus")) <= radius)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(bucketed == naive, s"seed=$seed")
+    }
+  }
+
+  test("z-order interleave is injective and order-preserving per axis") {
+    val gen = Gen.listOfN(300, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+    for (seed <- 1 to 3) {
+      val xs = sample(gen, seed.toLong)
+      val ys = sample(gen, seed + 100L)
+      val zs = xs.zip(ys).map { case (x, y) => ZOrderValue.interleave(x, y) }
+      assert(zs.distinct.size == xs.zip(ys).distinct.size) // injective
+      // monotone in x for fixed y
+      val y0 = ys.head
+      val sortedX = xs.sorted
+      val zx = sortedX.map(x => ZOrderValue.interleave(x, y0))
+      assert(zx == zx.sorted)
+    }
+  }
+}
