@@ -532,6 +532,50 @@ object Extended {
              |SELECT l_returnflag, 'qty' AS metric, sum_qty AS val FROM a
              |UNION ALL
              |SELECT l_returnflag, 'price' AS metric, sum_price AS val FROM a
-             |ORDER BY l_returnflag, metric""".stripMargin))
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // Exact second moments: mean/variance/stddev derived from DECIMAL-exact
+    // Σx and Σx² (2-decimal quantities square to exact 4-decimal values),
+    // finished with an identical IEEE sequence in both engines. Engine-native
+    // variance aggregates use incremental float updates whose low bits
+    // differ across engines/partitionings — this formulation is the
+    // order-independent, reproducible-at-100TB alternative.
+    Q("stats_variance_exact",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(count(col("l_quantity")).as("n"),
+            graft.ops.Relational.sumExact(col("l_quantity")).as("s"),
+            graft.ops.Relational.sumExactScaled(col("l_quantity") * col("l_quantity"), 4).as("ss"))
+          .select(col("l_returnflag"), col("n"),
+            (col("s") / col("n")).as("mean"),
+            ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("var_samp"),
+            sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("stddev"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (SELECT l_returnflag, COUNT(l_quantity) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ss
+             |FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n, s / n AS mean,
+             |  (ss - s * s / n) / (n - 1) AS var_samp,
+             |  sqrt((ss - s * s / n) / (n - 1)) AS stddev
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (1−g)·lower + g·upper definition; over
+    // 2-decimal doubles the index arithmetic and interpolation are the same
+    // IEEE ops, so even these hash-match.
+    Q("stats_percentiles",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
