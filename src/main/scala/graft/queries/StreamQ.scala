@@ -38,6 +38,33 @@ object StreamQ {
               |       COUNT(*) AS n_events
               |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // The BUILT-IN session_window grouping beside the hand-rolled stateful
+    // sessionization above — same 30-minute gap, but Spark's native session
+    // windows split at diff >= gap (an event landing exactly at
+    // previous + gap starts a new session), where the custom operator used
+    // the reference-free > convention; the oracle mirrors >=.
+    Q("sessionize_window_builtin",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+            max(unix_micros(col("ts"))).as("session_end_us"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "session_start_us", "session_end_us", "n_events")
+          .orderBy("user_id", "session_start_us"),
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              |x AS (SELECT user_id, us,
+              |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= ${Streams.SessionGapUs}
+              |       THEN 1 ELSE 0 END AS brk FROM e),
+              |y AS (SELECT user_id, us,
+              |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+              |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+              |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+              |       COUNT(*) AS n_events
+              |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
+
     // Stream-stream inner join with two-sided watermarks + time-range bound.
     Q("stream_stream_join",
       (s, dir) => Streams.purchaseClickJoin(s, dir),
