@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_zorder",
       { case Seq(a, b) => ZOrderValue(a, b) },
       "graft_zorder(x, y) - Morton-interleaved z-order value of two ints (bigint)."))
+    // abs(e) <= r → -r <= e <= r: makes symmetric-distance predicates
+    // pushdown-eligible (see graft.plans.AbsRangeRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)
   }
 }

@@ -79,6 +79,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("abs-range rewrite pushes symmetric-distance predicates to the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Catalog
+    // abs(value) <= 100 is opaque to pushdown; the injected AbsRangeRewrite
+    // turns it into a range conjunction the parquet reader can skip on.
+    val ev = Catalog.load(spark, dir, "events")
+      .filter(abs(col("value")) <= 100.0).select("event_id", "value")
+    val p = plan(ev)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(value,-100.0)"), p)
+    assert(pushed.contains("LessThanOrEqual(value,100.0)"), p)
+    // and the rewrite preserves results (all values are in (0, 1000))
+    val n = Catalog.load(spark, dir, "events").count()
+    val kept = Catalog.load(spark, dir, "events")
+      .filter(abs(col("value") - 500.0) <= 500.0).count()
+    assert(kept == n, s"$kept vs $n")
+  }
+
   test("time-range join is an equi-join on (key, bucket) — never a nested-loop") {
     val p = plan(SparkEntry.queries("range_join_events")(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
