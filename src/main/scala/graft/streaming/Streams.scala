@@ -208,6 +208,27 @@ object Streams {
     * closure) so the task serializes only the function, no enclosing scope.
     * Keyed rows keep the watermarked `ts` column all the way to the stateful
     * operator (a typed .map would strip the event-time tag). */
+  /** Exactly-once parquet sink via `foreachBatch`: each microbatch
+    * OVERWRITES its own `batch=<id>` directory, so replaying a batch after
+    * a failure/restart rewrites the same files instead of duplicating rows —
+    * idempotence from deterministic batch ids + directory-scoped overwrite,
+    * the standard pattern for sinks without transactional support. Combined
+    * with the checkpoint (which replays at-least-once), the sink is
+    * effectively exactly-once. */
+  def foreachBatchParquetSink(
+      stream: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch.toDF(), path, id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch write — exposed so tests can replay a batch id and
+    * assert idempotence. */
+  def writeBatch(batch: DataFrame, path: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+
   private def onUser(uid: Long, in: Iterator[(Long, java.sql.Timestamp, Long)],
       state: GroupState[Seq[Long]]): Iterator[Session] = {
     val buffered = state.getOption.getOrElse(Seq.empty)

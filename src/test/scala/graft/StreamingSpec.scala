@@ -102,6 +102,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink is idempotent under batch replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/t"
+    val src = graft.engine.Catalog.path(dir, "events")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select("event_id", "user_id")
+    val q = Streams.foreachBatchParquetSink(stream, out)
+    q.awaitTermination()
+    val expected = spark.read.parquet(src).count()
+    def sunk() = spark.read.parquet(out).select("event_id").distinct().count()
+    assert(sunk() == expected)
+    // replay batch 0 (failure-recovery path): same directory is rewritten,
+    // no duplicates appear. Materialize the batch's rows first — the replay
+    // overwrites the directory it was read from.
+    val b0Path = s"$out/batch=0"
+    val b0Schema = spark.read.parquet(b0Path).schema
+    val b0Rows = java.util.Arrays.asList(spark.read.parquet(b0Path).collect(): _*)
+    Streams.writeBatch(spark.createDataFrame(b0Rows, b0Schema), out, 0L)
+    assert(sunk() == expected)
+    assert(spark.read.parquet(out).count() == spark.read.parquet(out)
+      .select("event_id").distinct().count())
+  }
+
   test("RocksDB state store yields identical windowed aggregates") {
     val dir = "/root/testdata/sf0.001"
     val default = Streams.tumblingAgg(spark, dir).collect().map(_.toSeq).toSeq
