@@ -562,6 +562,32 @@ object Extended {
              |  sqrt((ss - s * s / n) / (n - 1)) AS stddev
              |FROM a ORDER BY l_returnflag""".stripMargin)),
 
+    // Incremental aggregation: per-batch partial states (count + DECIMAL
+    // sum) merged by re-aggregation — the reaggregable-state pattern that
+    // lets a 100 TB pipeline fold in a day's delta without rescanning
+    // history. States stay DECIMAL until ONE final cast, so merge order
+    // cannot perturb the result; the oracle aggregates the union directly.
+    Q("incremental_agg_merge",
+      (s, dir) => {
+        val l = Catalog.load(s, dir, "lineitem")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast(DecimalType(18, 2))).as("s_qty"))
+        val batch1 = partial(l.filter(col("l_linenumber") % 2 === 0))
+        val batch2 = partial(l.filter(col("l_linenumber") % 2 === 1))
+        batch1.unionByName(batch2)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("cnt")).as("n"),
+            sum(col("s_qty")).cast(DoubleType).as("sum_qty"))
+          .withColumn("avg_qty", col("sum_qty") / col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the (1−g)·lower + g·upper definition; over
     // 2-decimal doubles the index arithmetic and interpolation are the same
