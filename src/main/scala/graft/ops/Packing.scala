@@ -20,17 +20,31 @@ object Packing {
 
   /** Add `cumCol` = exact global running sum of `valueCol` in `orderCol`
     * order (inclusive of the current row), computed distributed. `orderCol`
-    * must be unique. */
+    * must be unique and numeric.
+    *
+    * Partitions are equal-width slices of the key's [min, max] — computed
+    * once, applied as a DETERMINISTIC expression. `repartitionByRange` is
+    * unusable here: its boundaries come from sampling, and this plan reads
+    * the partitioned subtree twice (local cumsums + offsets); two
+    * independent evaluations would sample different boundaries and
+    * misalign the offsets (observed at sf0.1 — boundaries only coincided by
+    * luck at smaller scale). Key-space skew degrades parallelism, never
+    * correctness. */
   def globalCumsum(
       df: DataFrame, orderCol: String, valueCol: Column, cumCol: String,
       numPartitions: Int = 0): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.agg(
+      min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return df.withColumn(cumCol, valueCol)
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 1
+    val width = math.max(1L, (span + parts - 1) / parts)
     val parted = df
       .withColumn("_v", valueCol)
-      .repartitionByRange(parts, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_pid", ((col(orderCol).cast("long") - lo) / width).cast("int"))
     val local = parted.withColumn("_lcum",
       sum(col("_v")).over(Window.partitionBy("_pid").orderBy(orderCol)))
     // One row per partition — driver-scale; its ordered window is trivial.
