@@ -79,6 +79,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("runtime bloom-filter pruning injects on a selective join") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Catalog
+    // At 100 TB the probe side of a selective join carries a runtime bloom
+    // filter built from the filtered build side, pruning fact rows before
+    // the shuffle. Thresholds are sized for real clusters; scale them down
+    // to pin the mechanism locally.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Catalog.load(spark, dir, "lineitem")
+      val su = Catalog.load(spark, dir, "supplier").filter(col("s_acctbal") > 9000)
+      val j = l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .select("l_orderkey", "s_name")
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("abs-range rewrite pushes symmetric-distance predicates to the scan") {
     import org.apache.spark.sql.functions._
     import graft.engine.Catalog

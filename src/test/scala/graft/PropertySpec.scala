@@ -56,6 +56,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals direct GROUP BY on random skewed data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, for {
+      key <- Gen.frequency((10, Gen.const(1L)), (1, Gen.chooseNum(2L, 4L)))
+      cents <- Gen.chooseNum(0L, 100000L)
+    } yield (key, cents / 100.0))
+    for (seed <- 1 to 3; salts <- Seq(1, 7)) {
+      val rows = sample(gen, seed.toLong)
+      val df = rows.toDF("k", "v")
+      val salted = graft.ops.Skew.saltedCountSum(df, col("k"), col("v"), salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = df.groupBy(col("k").as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.ops.Relational.sumExact(col("v")).as("sum_val"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == direct, s"seed=$seed salts=$salts")
+    }
+  }
+
   test("z-order interleave is injective and order-preserving per axis") {
     val gen = Gen.listOfN(300, Gen.chooseNum(Int.MinValue, Int.MaxValue))
     for (seed <- 1 to 3) {
