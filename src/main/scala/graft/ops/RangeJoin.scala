@@ -23,6 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Join rows of `left` and `right` sharing `key` whose INTERVALS overlap:
+    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅ (inclusive ends, integer µs).
+    * Each interval replicates into every `bucketUs`-wide time bucket it
+    * touches; overlapping intervals share at least the bucket containing
+    * max(lStart, rStart) — the ONLY bucket where the pair is emitted, so no
+    * dedup shuffle. Pick `bucketUs` ≈ typical interval length: replication
+    * is len/bucketUs + 1 rows and candidate precision degrades with much
+    * wider buckets. */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val l = left.withColumn("_ls", lStart).withColumn("_le", lEnd)
+      .withColumn("_bk",
+        explode(expr(s"sequence(_ls div $bucketUs, _le div $bucketUs)")))
+    val r = right.withColumn("_rs", rStart).withColumn("_re", rEnd)
+      .withColumn("_bk",
+        explode(expr(s"sequence(_rs div $bucketUs, _re div $bucketUs)")))
+    l.join(r, Seq(key, "_bk"))
+      .filter(col("_ls") <= col("_re") && col("_rs") <= col("_le"))
+      .filter(col("_bk") === greatest(
+        expr(s"_ls div $bucketUs"), expr(s"_rs div $bucketUs")))
+      .drop("_bk", "_ls", "_le", "_rs", "_re")
+  }
+
   /** Join rows of `left` and `right` sharing `key` with
     * |leftUs − rightUs| ≤ radiusUs. `leftUs`/`rightUs` are integer-µs
     * epoch columns. Other column names must not collide (alias upstream).

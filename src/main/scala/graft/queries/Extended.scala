@@ -418,6 +418,38 @@ object Extended {
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
 
+    // Interval-overlap join: 30-minute click windows × 5-minute error
+    // windows per user — overlap semantics (not point proximity), bucketized
+    // so each pair is emitted exactly once at the bucket containing the
+    // later start. Asymmetric lengths keep it distinct from the ±radius
+    // range join above.
+    Q("interval_overlap_events",
+      (s, dir) => {
+        val ev = Catalog.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            unix_micros(col("ts")).as("c_s"),
+            (unix_micros(col("ts")) + 1800000000L).as("c_e"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("e_id"),
+            unix_micros(col("ts")).as("e_s"),
+            (unix_micros(col("ts")) + 300000000L).as("e_e"))
+        RangeJoin.intervalOverlapJoin(clicks, errs, "user_id",
+            col("c_s"), col("c_e"), col("e_s"), col("e_e"),
+            bucketUs = 1800000000L)
+          .orderBy("c_id", "e_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_s,
+             |                  epoch_us(ts) + 1800000000 AS c_e
+             |           FROM events WHERE event_type = 'click'),
+             |     e AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_s,
+             |                  epoch_us(ts) + 300000000 AS e_e
+             |           FROM events WHERE event_type = 'error')
+             |SELECT c.user_id, c_id, c_s, c_e, e_id, e_s, e_e
+             |FROM c JOIN e ON c.user_id = e.user_id
+             |  AND c_s <= e_e AND e_s <= c_e
+             |ORDER BY c_id, e_id""".stripMargin)),
+
     // Scalar string surface (beyond the reference's comparison-only strings,
     // SURVEY §2.7): upper/substr/length/concat/replace/LIKE/regexp — all
     // codegen'd built-ins, and the dialect aligns with ANSI so the oracle SQL

@@ -29,6 +29,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("interval overlap join equals the naive formulation, no duplicates") {
+    val ev = Catalog.load(spark, dir, "events")
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("lid"),
+        unix_micros(col("ts")).as("ls"),
+        (unix_micros(col("ts")) + 1800000000L).as("le"))
+    val r = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("rid"),
+        unix_micros(col("ts")).as("rs"),
+        (unix_micros(col("ts")) + 300000000L).as("re"))
+    // bucket deliberately NOT a divisor of either interval length
+    val got = RangeJoin.intervalOverlapJoin(l, r, "user_id",
+        col("ls"), col("le"), col("rs"), col("re"), bucketUs = 700000001L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.join(r, l("user_id") === r("user_id") &&
+        l("ls") <= r("re") && r("rs") <= l("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.toSet.size) // emitted once per pair
+    assert(got.toSet == naive.toSet)
+    assert(naive.nonEmpty)
+  }
+
   test("radius boundary is inclusive and replication emits no duplicate pairs") {
     import spark.implicits._
     // hand-crafted: pairs exactly at, just inside, and just outside the radius
