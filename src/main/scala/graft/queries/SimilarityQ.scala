@@ -15,21 +15,27 @@ object SimilarityQ {
 
     // L2 normalization of the embedding column (array-transform over the
     // vector, norm via the native dot product) — unit-sphere projection is
-    // the usual prep before cosine/IP search.
+    // the usual prep before cosine/IP search. Output is exploded to scalar
+    // (vec_id, i, unit_val) rows — same shape as mm_feature_extract — so the
+    // driver's comparator (which can't sort array columns) can hash it.
     Q("embed_l2_normalize",
       (s, dir) => {
         val e = Catalog.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             Similarity.norm(col("embedding")).as("nrm"))
         e.select(col("vec_id"), col("nrm"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("unit"))
-          .orderBy("vec_id")
+            posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")))
+          .select(col("vec_id"), col("nrm"),
+            col("pos").as("i"), col("col").as("unit_val"))
+          .orderBy("vec_id", "i")
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding,
-              |                 ${Similarity.normDuck("embedding")} AS nrm FROM embeddings)
-              |SELECT vec_id, nrm,
-              |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
-              |FROM e ORDER BY vec_id""".stripMargin)),
+              |                 ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |u AS (SELECT vec_id, nrm, embedding,
+              |             unnest(range(0, len(embedding))) AS i FROM e)
+              |SELECT vec_id, nrm, CAST(i AS INTEGER) AS i,
+              |  CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) / nrm AS unit_val
+              |FROM u ORDER BY vec_id, i""".stripMargin)),
 
     // Array scalar surface over the embedding column: size, element access,
     // slice, min/max — every output widened to DOUBLE (float scalars repr
