@@ -55,12 +55,21 @@ object Dedup {
         sort_array(array_distinct(transform(col("s"), sh0 => polyHash(sh0)))).as("s"))
   }
 
+  /** Default per-(band, signature) bucket cap for LSH candidate generation —
+    * high enough that no honest test corpus is touched, low enough that a
+    * boilerplate family of B docs costs O(B) (the capping sort) instead of
+    * O(B²) (the bucket join). Tune per corpus at scale. */
+  val LshMaxBucket = 4096
+
   /** MinHash+LSH near-dup pairs: shingle → polyhash → 32 minhashes → 8 band
     * signatures → equi-join on (band, sig) → exact Jaccard ≥ `threshold`.
+    * Buckets over `maxBucket` members are sub-sampled (smallest ids kept,
+    * dropped volume observed — [[Skew.capBuckets]]) so one boilerplate
+    * family cannot make the band join quadratic.
     * Output: d1, d2, jacc — one row per near-dup pair, d1 < d2. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxBucket: Int = LshMaxBucket): DataFrame = {
     // The hashed sets feed three plan branches (minhash explode + both sides
     // of the verify join); persist so tokenize+shingle+hash runs once. The
     // repartition matters: downstream joins are all broadcasts (no exchange),
@@ -85,9 +94,11 @@ object Dedup {
         s"named_struct('band', $b, 'sig', $sig)"
       }
       .mkString("array(", ", ", ")")
-    val bands = mins
-      .select(col(idCol), explode(expr(bandStructs)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = Skew.capBuckets(
+      mins
+        .select(col(idCol), explode(expr(bandStructs)).as("bs"))
+        .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      Seq("band", "sig"), idCol, maxBucket, "lsh_minhash_cap")
 
     val cand = bands.as("l")
       .join(bands.as("r"),
@@ -139,7 +150,8 @@ object Dedup {
     * (the deciding factor on low-entropy corpora). Verified by exact Hamming
     * distance ≤ `maxHamming`. Output: d1, d2, ham. */
   def simhashPairs(
-      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val nBlocks = maxHamming + 1
     require(32 % nBlocks == 0, s"32-bit simhash must split evenly into $nBlocks blocks")
     val bits = 32 / nBlocks
@@ -159,10 +171,18 @@ object Dedup {
       .map(b => s"IF(b$b > 0, ${1L << b}, 0)").mkString(" + ")
     val sim = bitSums.select(col(idCol), expr(s"CAST($shExpr AS BIGINT)").as("sh"))
 
-    val keyed = sim.select(col(idCol), col("sh"),
-      explode(expr(s"transform(sequence(0, ${nBlocks - 1}), " +
-        s"k -> named_struct('k', k, 'blk', shiftright(sh, k*$bits) & $mask))")).as("kb"))
-      .select(col(idCol), col("sh"), col("kb.k").as("k"), col("kb.blk").as("blk"))
+    // Hot-block cap: a boilerplate family shares whole simhash values, so a
+    // single (k, blk) bucket would make the block join quadratic. Capping
+    // weakens the pigeonhole guarantee ONLY inside overflow buckets (a pair
+    // capped out of block k but co-kept in block k' is still rejected by the
+    // first-match filter when their block-k values agree) — the drop is
+    // deliberately concentrated on the degenerate family.
+    val keyed = Skew.capBuckets(
+      sim.select(col(idCol), col("sh"),
+        explode(expr(s"transform(sequence(0, ${nBlocks - 1}), " +
+          s"k -> named_struct('k', k, 'blk', shiftright(sh, k*$bits) & $mask))")).as("kb"))
+        .select(col(idCol), col("sh"), col("kb.k").as("k"), col("kb.blk").as("blk")),
+      Seq("k", "blk"), idCol, maxBucket, "lsh_simhash_cap")
 
     // A pair matching on several blocks would be emitted once per block;
     // keeping only the FIRST matching block (all earlier blocks differ)

@@ -95,16 +95,22 @@ object Similarity {
     * second shuffle. Output: v1, v2, cos. */
   def srpPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dims: Int): DataFrame = {
+      threshold: Double, dims: Int,
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
     val mask = (1L << SrpBandBits) - 1
     val v = vecs.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"), srpSig(col(vecCol), dims).as("sig"))
-    val banded = v.select(col(idCol), col(vecCol), col("nrm"), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${SrpBands - 1}), " +
-          s"k -> named_struct('k', k, 'bv', shiftright(sig, k*$SrpBandBits) & $mask))")).as("kb"))
-      .select(col(idCol), col(vecCol), col("nrm"),
-        col("sig"), col("kb.k").as("k"), col("kb.bv").as("bv"))
+    // Hot-bucket cap before the band self-join — see [[Skew.capBuckets]]:
+    // near-identical embedding families share band values, and the bucket
+    // join is quadratic in the bucket without it.
+    val banded = Skew.capBuckets(
+      v.select(col(idCol), col(vecCol), col("nrm"), col("sig"),
+        explode(expr(
+          s"transform(sequence(0, ${SrpBands - 1}), " +
+            s"k -> named_struct('k', k, 'bv', shiftright(sig, k*$SrpBandBits) & $mask))")).as("kb"))
+        .select(col(idCol), col(vecCol), col("nrm"),
+          col("sig"), col("kb.k").as("k"), col("kb.bv").as("bv")),
+      Seq("k", "bv"), idCol, maxBucket, "lsh_srp_cap")
     val firstMatch = expr((1 until SrpBands).foldLeft("l.k = 0") { (acc, k0) =>
       val diffs = (0 until k0)
         .map(j => s"(shiftright(l.sig, ${j * SrpBandBits}) & $mask) <> " +

@@ -17,6 +17,32 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Skew {
 
+  /** Hot-bucket defense for LSH/blocking candidate self-joins: keep at most
+    * `cap` members per bucket key (smallest `idCol` first — deterministic),
+    * drop the rest. A web-scale corpus has boilerplate families — thousands
+    * of documents sharing one band signature — and a bucket equi-join is
+    * QUADRATIC in the bucket (AQE's skew handling splits partitions, not a
+    * single key group), so membership must be bounded before the join. The
+    * row_number pass is linear in bucket size (one sort task for the hottest
+    * bucket), replacing the quadratic join blow-up; capping trades recall
+    * only in overflow buckets, which LSH — approximate by design — accepts.
+    * Dropped volume is surfaced without an extra job via `Dataset.observe`
+    * (metric `<metric>`: dropped_rows, max_bucket), readable from a
+    * `QueryExecutionListener` or `df.collectResult`-adjacent APIs; Spark
+    * permits the exact-duplicate CollectMetrics nodes a self-join creates. */
+  def capBuckets(
+      df: DataFrame, keys: Seq[String], idCol: String, cap: Int,
+      metric: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("_bn", row_number().over(w))
+      .observe(metric,
+        sum(when(col("_bn") > cap, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        max(col("_bn")).cast("long").as("max_bucket"))
+      .filter(col("_bn") <= cap)
+      .drop("_bn")
+  }
+
   /** Salted COUNT + exact SUM per key. */
   def saltedCountSum(
       df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.ops.{Dedup, Similarity, Skew}
+
+/** Hot-bucket (boilerplate-family) defense for LSH candidate generation.
+  *
+  * A real web corpus has template families: thousands of documents sharing
+  * one band signature, which makes an uncapped bucket self-join quadratic in
+  * the family (AQE splits partitions, not a single key group). These tests
+  * build a degenerate ≥1000-doc near-identical corpus and pin that every LSH
+  * variant emits a candidate count bounded by bands · C(cap, 2).
+  */
+class DedupSkewSpec extends SparkSpec {
+
+  private val N = 1200
+
+  /** 1200 near-identical docs: shared boilerplate + a tiny per-doc tail. */
+  private def boiler = {
+    import spark.implicits._
+    (0L until N.toLong).map { i =>
+      (i, "terms of service agreement common boilerplate text shared " +
+        s"verbatim by every page in this template family revision $i")
+    }.toDF("doc_id", "text")
+  }
+
+  /** 1200 near-identical 64-dim embeddings: one base direction plus a small
+    * deterministic per-doc perturbation (all within a few degrees). */
+  private def vecs = {
+    import spark.implicits._
+    (0L until N.toLong).map { i =>
+      val v = Array.tabulate(64) { j =>
+        (math.sin(j * 0.7 + 1.0) + 0.001 * ((i * 31 + j) % 7)).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("capBuckets keeps exactly the cap smallest ids per bucket") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 2)).toDF("id", "b")
+    val kept = Skew.capBuckets(df, Seq("b"), "id", cap = 10, "cap_test")
+    assert(kept.count() === 20)
+    // bucket b=0 holds even ids 0..98; the 10 smallest end at 18
+    assert(kept.filter(col("b") === 0).agg(max("id")).head.getLong(0) === 18L)
+  }
+
+  test("minhash LSH pair count bounded under a 1200-doc boilerplate family") {
+    val cap = 16
+    val n = Dedup.minhashLshPairs(boiler, "doc_id", "text",
+      n = 3, threshold = 0.5, maxBucket = cap).count()
+    val bound = Hashing.Bands.toLong * cap * (cap - 1) / 2
+    assert(n > 0, "capped LSH must still find pairs inside kept buckets")
+    assert(n <= bound, s"$n candidate pairs exceed bands*C(cap,2) = $bound")
+  }
+
+  test("simhash pair count bounded under a 1200-doc boilerplate family") {
+    val cap = 16
+    val maxHamming = 3 // 4 blocks
+    val n = Dedup.simhashPairs(boiler, "doc_id", "text",
+      maxHamming, maxBucket = cap).count()
+    val bound = (maxHamming + 1).toLong * cap * (cap - 1) / 2
+    assert(n > 0, "capped simhash must still find pairs inside kept buckets")
+    assert(n <= bound, s"$n candidate pairs exceed blocks*C(cap,2) = $bound")
+  }
+
+  test("SRP LSH pair count bounded under a 1200-vector near-identical family") {
+    val cap = 16
+    val n = Similarity.srpPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, dims = 64, maxBucket = cap).count()
+    val bound = Similarity.SrpBands.toLong * cap * (cap - 1) / 2
+    assert(n > 0, "capped SRP must still find pairs inside kept buckets")
+    assert(n <= bound, s"$n candidate pairs exceed bands*C(cap,2) = $bound")
+  }
+}
