@@ -626,6 +626,58 @@ object Flagship {
              |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
              |  GROUP BY l_suppkey
              |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q2-shape: minimum-cost supplier per part in a region — the last of the
+    // 22 TPC-H shapes. The testdata has no partsupp table, so the
+    // part-supplier catalog derives from lineitem (supplycost := min observed
+    // extendedprice per (part, supplier); MIN on doubles is exact in both
+    // engines). The correlated min-subquery ("cost = the minimum cost for
+    // that part among EUROPE suppliers") is expressed Spark-first as a
+    // partition-min window over the eligible rows — ONE shuffle on p_partkey
+    // instead of a decorrelated aggregate + re-join; dimensions broadcast.
+    Q("tpch_q2_min_cost_supplier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Catalog.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice")).as("supplycost"))
+        val p = Catalog.load(s, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_type", "p_size")
+        val su = Catalog.load(s, dir, "supplier")
+        val n = Catalog.load(s, dir, "nation")
+        val r = Catalog.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+        val eligible = ps
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        eligible
+          .withColumn("min_cost",
+            min(col("supplycost")).over(Window.partitionBy(col("p_partkey"))))
+          .filter(col("supplycost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name").asc,
+            col("s_name").asc, col("p_partkey").asc)
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |         MIN(l_extendedprice) AS supplycost
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+             |FROM part, supplier, ps, nation, region
+             |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+             |  AND p_size = 15 AND p_type = 'STANDARD'
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'EUROPE'
+             |  AND supplycost = (
+             |    SELECT MIN(supplycost)
+             |    FROM ps, supplier, nation, region
+             |    WHERE ps_partkey = p_partkey AND s_suppkey = ps_suppkey
+             |      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |      AND r_name = 'EUROPE')
+             |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC""".stripMargin))
   )
 }

@@ -141,6 +141,35 @@ object Parity {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // J2 with a MULTI-COLUMN key — the reference's MergeJoin contract takes
+    // key ARRAYS on both sides (qexec/OperatorFactory.java:305-315); this
+    // exercises the two-key form through the same combinator: each lineitem
+    // merge-joined on (partkey, suppkey) to the per-(part, supplier) minimum
+    // observed price. Both sort orders cover both keys; SMJ is pinned in
+    // PlanShapeSpec.
+    Q("j2b_merge_join_multikey",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        mergeJoin(l, ps,
+            l("l_partkey") === col("ps_partkey") && l("l_suppkey") === col("ps_suppkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("min_price"))
+          // (orderkey, linenumber) is NOT unique in the synthetic data —
+          // order by every column so the order is total up to identical rows
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "min_price")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |         MIN(l_extendedprice) AS min_price
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, min_price
+             |FROM lineitem JOIN ps
+             |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, min_price""".stripMargin)),
+
     // J3 index-NLJ ⇒ broadcast-hash join of dims; 5-way multiway join chain
     // (TestPhysicalOperatorsIIStudents.java:488-560, re-targeted per FIXTURES.md)
     Q("j3_multiway_join",

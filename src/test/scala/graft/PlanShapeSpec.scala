@@ -30,6 +30,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("j2b multi-key merge join plans as SortMergeJoin on both keys") {
+    val p = plan(SparkEntry.queries("j2b_merge_join_multikey")(spark, dir))
+    assert(p.contains("SortMergeJoin"), p)
+    // the key-array contract: BOTH keys participate in the merge condition
+    assert(p.contains("Left keys [2]"), p)
+  }
+
+  test("q2 min-cost-supplier broadcasts all dimensions; min is one window pass") {
+    val p = plan(SparkEntry.queries("tpch_q2_min_cost_supplier")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p) // correlated min as partition-min window
+  }
+
   test("a3 grouped aggregation is partial (map-side) then final") {
     val p = plan(SparkEntry.queries("a3_partial_agg_q1")(spark, dir))
     assert(p.contains("HashAggregate"), p)
