@@ -27,6 +27,43 @@ class CatalogSpec extends SparkSpec {
     assert(optimized.stats.rowCount.isDefined || optimized.stats.sizeInBytes > 0)
   }
 
+  test("CostBasedJoinReorder reorders a deliberately bad 4-table join chain") {
+    // The reference pins expected bushy join trees from its DP join-order
+    // search (TestJoinOrderOptimizerStudents.java:124-471, expected tree at
+    // :168-178); the Spark analog is CostBasedJoinReorder driven by ANALYZE
+    // stats. Written order joins the two big facts FIRST and the tiny
+    // selective dimensions last — the worst left-deep order. With stats the
+    // optimizer must produce a different leaf order; with joinReorder off it
+    // must keep the syntactic one (proving the rewrite is the reorder rule,
+    // not join-strategy selection).
+    Catalog.registerAllWithStats(spark, "/root/testdata/sf0.001",
+      Seq("lineitem", "orders", "customer", "nation"))
+    val sql =
+      """SELECT count(*) FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE n_name = 'GERMANY'""".stripMargin
+
+    def leafOrder(): Seq[String] = {
+      val leaves = spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+      leaves.map { l =>
+        val s = l.toString
+        Seq("lineitem", "orders", "customer", "nation").find(s.contains).getOrElse("?")
+      }
+    }
+
+    val key = "spark.sql.cbo.joinReorder.enabled"
+    spark.conf.set(key, "false")
+    val syntactic = try leafOrder() finally spark.conf.set(key, "true")
+    val reordered = leafOrder()
+    assert(syntactic === Seq("lineitem", "orders", "customer", "nation"), syntactic)
+    assert(reordered !== syntactic,
+      s"CostBasedJoinReorder left the bad join order untouched: $reordered")
+    // the selective nation ⨝ customer pair must join before lineitem enters
+    assert(reordered.indexOf("nation") < reordered.indexOf("lineitem"), reordered)
+  }
+
   test("CHAR(n) blank-pad helpers reproduce the reference's fixed-length semantics") {
     import spark.implicits._
     val df = Seq(("abc", "abc  "), ("abc ", "abc"), ("ab", "abc")).toDF("a", "b")
