@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.engine.Catalog
+import graft.ops.Dedup
+import graft.streaming.Streams
+
+/** Scale-stress harness (dev tool, not a conformance entry point): runs the
+  * iterative / stateful operators against a 10×-replicated documents corpus
+  * and a high-cardinality keyed stream, printing wall times so STATUS.md can
+  * record scale deltas round over round.
+  *
+  *   - 10× corpus: every doc replicated with 9 id-offset clones, so every
+  *     near-dup family grows 10× and every LSH bucket gets 10× hotter —
+  *     exactly the load the [[graft.ops.Skew.capBuckets]] defense exists for.
+  *   - Streaming dedup keyed by event_id (one state entry per event) with
+  *     the default HDFS-backed store vs RocksDB, same query both times.
+  */
+object StressBench {
+
+  def timed[T](name: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] $name%-52s ${s}%8.2f s")
+    (r, s)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.engine.GraftSession.local("graft-stress")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val docs = Catalog.load(spark, sfDir, "documents").select("doc_id", "text")
+    val big = (0 until 10)
+      .map(k => docs.select(
+        (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .persist(MEMORY_AND_DISK)
+    println(s"[stress] corpus rows: ${big.count()} (10x $sfDir documents)")
+
+    val (nCap, _) = timed("minhash LSH pairs, cap=64") {
+      Dedup.minhashLshPairs(big, "doc_id", "text", 3, 0.5, maxBucket = 64).count()
+    }
+    val (nDef, _) = timed("minhash LSH pairs, cap=4096 (default)") {
+      Dedup.minhashLshPairs(big, "doc_id", "text", 3, 0.5).count()
+    }
+    println(s"[stress] pairs capped=$nCap default=$nDef")
+
+    val edges = Dedup.minhashLshPairs(big, "doc_id", "text", 3, 0.5, maxBucket = 64)
+    val (nComp, _) = timed("connected components over the 10x corpus") {
+      Dedup.connectedComponents(big.select("doc_id"), edges, "doc_id")
+        .select(countDistinct(col("component"))).head.getLong(0)
+    }
+    println(s"[stress] components: $nComp")
+
+    val (nSim, _) = timed("simhash pairs, cap=64") {
+      Dedup.simhashPairs(big, "doc_id", "text", maxHamming = 3, maxBucket = 64).count()
+    }
+    println(s"[stress] simhash pairs capped=$nSim")
+
+    // ---- streaming dedup: default state store vs RocksDB ----------------
+    def dedupRun(): Long = {
+      val path = Catalog.path(sfDir, "events")
+      val schema = spark.read.parquet(path).schema
+      val ev = Catalog.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val deduped = ev
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .agg(count(lit(1)).as("n"))
+      val name = s"stress_dedup_${System.nanoTime()}"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).head.getLong(0)
+    }
+    val (nHdfs, tHdfs) = timed("streaming dedup by event_id, default store")(dedupRun())
+    val (nRocks, tRocks) = timed("streaming dedup by event_id, RocksDB store") {
+      Streams.withRocksDBStateStore(spark)(dedupRun())
+    }
+    require(nHdfs == nRocks, s"state-store mismatch: $nHdfs vs $nRocks")
+    println(f"[stress] rocksdb/default wall ratio: ${tRocks / tHdfs}%.2f")
+
+    spark.stop()
+  }
+}

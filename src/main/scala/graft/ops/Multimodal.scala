@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` — one executor task streams through a partition of payloads
   * without driver involvement).
   *
-  * ==== STUB NOTICE ====
-  * This container has no image/audio codecs, so [[decodeImageMeta]]'s
-  * "decode" is a clearly-marked DETERMINISTIC FAKE: pure integer arithmetic
-  * over the payload bytes (length, first byte, polynomial checksum). The
-  * Spark-side plumbing — binary schema, partition-batched execution, typed
-  * output, downstream explode — is real and oracle-tested; swapping the fake
-  * for an actual codec changes only the body of `fakeDecode`.
+  * The codecs are REAL parsers of real uncompressed container formats —
+  * binary PPM (P6) for images, RIFF/WAVE PCM for audio — chosen because they
+  * need no external codec library: the container has no image/audio codecs
+  * installed, and a pure-JVM header parse + payload checksum keeps every
+  * decode output deterministic and DuckDB-oracle-checkable. The payload
+  * GENERATORS wrap the document text bytes into valid containers (the
+  * corpus's stand-in for real media bytes); the decoders know nothing about
+  * the generators — they parse magic, header fields and payload from the
+  * bytes, so a parser bug shows up as an oracle mismatch.
   */
 object Multimodal {
 
@@ -23,31 +25,52 @@ object Multimodal {
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
   final case class ImageMeta(
       doc_id: Long, width: Int, height: Int, channels: Int, checksum: Long)
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
+      n_samples: Long, checksum: Long)
 
   private val P = graft.functions.Hashing.P
 
-  /** Attach a binary payload + metadata struct to the documents table (the
-    * corpus's stand-in for real media bytes). */
-  def withPayload(docs: DataFrame): DataFrame =
+  /** Attach a binary PPM (P6) payload + metadata struct to the documents
+    * table. Header dimensions derive from the text (width from length,
+    * height from first char + length); pixel payload = the text bytes. */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val w = (lit(64) + length(col("text")) % 577).cast("string")
+    val h = (lit(64) + (ascii(col("text")) * 31 + length(col("text"))) % 417).cast("string")
     docs.select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
+      concat(
+        concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n")).cast("binary"),
+        col("text").cast("binary")).as("payload"),
       struct(col("n_chars"), col("lang"), col("source")).as("meta"))
+  }
 
-  /** DETERMINISTIC FAKE decode — stands in for an image codec. Pure integer
-    * arithmetic over the bytes so the DuckDB oracle can replicate it. */
-  private def fakeDecode(m: MediaIn): ImageMeta = {
-    val bytes = m.payload
-    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
-    ImageMeta(
-      doc_id = m.doc_id,
-      width = 64 + (bytes.length % 577),
-      height = 64 + ((first * 31 + bytes.length) % 417).toInt,
-      channels = 3,
-      checksum = h)
+  /** REAL binary-PPM (P6) parse: magic, whitespace-separated ASCII width /
+    * height / maxval, one whitespace, then raw pixel bytes — checksummed
+    * with the engine-portable polynomial hash. Channels = 3 is what P6
+    * means. Pure JVM; no codec library. */
+  private[graft] def decodePpm(m: MediaIn): ImageMeta = {
+    val b = m.payload
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM payload")
+    var i = 2
+    def skipWs(): Unit =
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val width = readInt()
+    val height = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"unsupported maxval $maxval")
+    i += 1 // exactly one whitespace byte separates the header from the raster
+    var hsum = 0L
+    var j = i
+    while (j < b.length) { hsum = (hsum * 31 + (b(j) & 0xff)) % P; j += 1 }
+    ImageMeta(m.doc_id, width, height, channels = 3, checksum = hsum)
   }
 
   /** Decode stage: binary payloads → typed image metadata, executed
@@ -58,7 +81,70 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val typed: Dataset[MediaIn] = media.select(col("doc_id"), col("payload")).as[MediaIn]
-    typed.mapPartitions(batch => batch.map(fakeDecode)).toDF()
+    typed.mapPartitions(batch => batch.map(decodePpm)).toDF()
+  }
+
+  // -------------------------------------------------------------- audio
+
+  /** Little-endian int writers for the WAV header. */
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def leInt(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = len - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+    v
+  }
+
+  /** Encode stage: wrap the text bytes as 8-bit mono PCM in a standard
+    * 44-byte RIFF/WAVE container, sample rate varied per doc. Runs
+    * partition-batched like the decoders. */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val data = text.getBytes("UTF-8")
+        val rate = 8000 + (id % 8).toInt * 1000
+        val hdr =
+          "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+            "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+            le32(rate) ++ le32(rate) ++ le16(1) ++ le16(8) ++
+            "data".getBytes ++ le32(data.length)
+        MediaIn(id, hdr ++ data)
+      }).toDF()
+  }
+
+  /** REAL RIFF/WAVE parse: magic tags, little-endian fmt-chunk fields
+    * (audio format, channels, sample rate, bits), data-chunk length, and a
+    * polynomial checksum of the PCM samples. */
+  private[graft] def decodeWav(m: MediaIn): AudioMeta = {
+    val b = m.payload
+    require(b.length >= 44, "truncated WAV payload")
+    require(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE" &&
+      new String(b, 12, 4) == "fmt " && new String(b, 36, 4) == "data",
+      "not a canonical 44-byte-header WAV payload")
+    require(leInt(b, 20, 2) == 1L, "not PCM")
+    val channels = leInt(b, 22, 2).toInt
+    val rate = leInt(b, 24, 4).toInt
+    val bits = leInt(b, 34, 2).toInt
+    val dataLen = leInt(b, 40, 4).toInt
+    val nSamples = dataLen.toLong / channels / (bits / 8)
+    var hsum = 0L
+    var j = 44
+    while (j < 44 + dataLen && j < b.length) { hsum = (hsum * 31 + (b(j) & 0xff)) % P; j += 1 }
+    AudioMeta(m.doc_id, rate, channels, bits, nSamples, hsum)
+  }
+
+  /** Audio decode stage, partition-batched like [[decodeImageMeta]]. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaIn] = media.select(col("doc_id"), col("payload")).as[MediaIn]
+    typed.mapPartitions(batch => batch.map(decodeWav)).toDF()
   }
 
   /** One (doc, dim, value) row of the feature stub. */

@@ -6,15 +6,16 @@ import graft.engine.Catalog
 import graft.functions.Hashing.{polyHashDuck, A, B, P}
 import graft.ops.Multimodal
 
-/** Oracle-checked multimodal-plumbing queries. The decode is a deterministic
-  * fake (see [[graft.ops.Multimodal]]) over ASCII payload bytes, so the
-  * DuckDB oracle reproduces it with string arithmetic: byte k of the payload
-  * == char code k of the text. */
+/** Oracle-checked multimodal-plumbing queries. The codecs are real parsers
+  * of real uncompressed containers (PPM P6 / RIFF WAVE — see
+  * [[graft.ops.Multimodal]]); the payload generators wrap ASCII text bytes,
+  * so the DuckDB oracle reproduces every decode output with string
+  * arithmetic: byte k of the media payload == char code k of the text. */
 object MultimodalQ {
 
   val all: Seq[Q] = Seq(
 
-    // Binary payload → mapPartitions decode → typed metadata.
+    // Binary PPM payload → mapPartitions header parse → typed metadata.
     Q("mm_decode_meta",
       (s, dir) =>
         Multimodal.decodeImageMeta(
@@ -48,6 +49,21 @@ object MultimodalQ {
            |    / ${P}.0 AS value
            |FROM d ORDER BY doc_id, dim""".stripMargin
       }),
+
+    // RIFF/WAVE audio: encode (text bytes as 8-bit mono PCM, per-doc sample
+    // rate) → little-endian header parse → typed audio metadata.
+    Q("mm_audio_meta",
+      (s, dir) =>
+        Multimodal.decodeAudioMeta(
+            Multimodal.withAudioPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+              |  CAST(1 AS INTEGER) AS n_channels,
+              |  CAST(8 AS INTEGER) AS bits,
+              |  CAST(length(text) AS BIGINT) AS n_samples,
+              |  ${polyHashDuck("text")} AS checksum
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling: per-media frame explosion with chained checksums.
     Q("mm_frame_sample",

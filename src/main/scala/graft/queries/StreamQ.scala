@@ -88,17 +88,64 @@ object StreamQ {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
              |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin)),
 
-    // Sketch aggregates (HLL distinct, t-digest-ish percentile): approximate
-    // by design, so no exact oracle — the driver records a rows-only check.
+    // Sketch aggregates (HLL distinct, percentile_approx) with a BOUNDED-
+    // ERROR oracle: the raw sketch values are approximate by design, so the
+    // checked output is (exact value, within-published-bound booleans) — the
+    // booleans are computed in Spark against exact aggregates over the same
+    // data (HLL at rsd=0.05 checked at 3σ = 15%; percentile_approx at
+    // accuracy 10000 ⇒ rank error 1e-4, checked against the exact 49th/51st
+    // percentiles), and the oracle asserts them TRUE. A sketch regression now
+    // fails the hash compare instead of slipping through a rows-only check.
     Q("sketch_approx_stats",
       (s, dir) =>
         Catalog.load(s, dir, "events")
           .groupBy(col("event_type"))
           .agg(
-            approx_count_distinct(col("user_id")).as("approx_users"),
-            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"))
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.05).as("au"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+            expr("percentile(value, 0.49)").as("p49"),
+            expr("percentile(value, 0.51)").as("p51"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("au") - col("exact_users")) <=
+              col("exact_users") * lit(0.15)).as("approx_users_ok"),
+            (col("p50") >= col("p49") && col("p50") <= col("p51")).as("p50_ok"))
           .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_users_ok, TRUE AS p50_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // End-to-end incremental ingest: file-stream source → stateless
+    // filter/project → exactly-once foreachBatch parquet sink (idempotent
+    // batch=<id> overwrite dirs) → read the sink back and aggregate. The
+    // oracle is a straight batch recompute over the source table, so this
+    // closes the loop the sink replay test and the reaggregable-partial
+    // merge (incremental_agg_merge) each proved half of: rows that flowed
+    // through the incremental path equal the batch path, exactly once.
+    Q("stream_e2e_incremental",
+      (s, dir) => {
+        val sinkDir =
+          java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/bronze"
+        val path = Catalog.path(dir, "events")
+        val schema = s.read.parquet(path).schema
+        val ev = Catalog.normalizeEventTs(
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(dir))
+          .filter(col("value") > 0)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        Streams.foreachBatchParquetSink(ev, sinkDir).awaitTermination()
+        s.read.parquet(sinkDir) // batch=<id> dirs surface as a partition col
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("users"),
+            graft.ops.Relational.sumExact(col("value")).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  COUNT(DISTINCT user_id) AS users,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM events WHERE value > 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Streaming dedup with watermark-bounded state.
     Q("stream_dedup_events",
