@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: benchmark
+  * decontamination and weighted mixture sampling. Absent from the reference
+  * (its surface is relational-only); designed Spark-first for 100 TB. */
+object Corpus {
+
+  /** Benchmark decontamination: flag training documents sharing word-n-gram
+    * shingles with a benchmark/eval subset — the standard guard against
+    * test-set leakage into training corpora. `benchmarkPred` selects the
+    * benchmark docs (a predicate over `idCol`).
+    *
+    * Plan: hashed shingle sets once over the whole corpus
+    * ([[Dedup.hashedShingleSets]]); the benchmark shingle DICTIONARY (tiny
+    * vs the corpus — distinct hashes of the eval set) broadcasts to an
+    * exploded-shingle left join, then one hash aggregate per doc. At 100 TB
+    * the corpus side never shuffles; if the benchmark dictionary outgrows
+    * broadcast, the same shape runs with a bloom-filter pre-pass feeding a
+    * shuffle join on the surviving shingles.
+    *
+    * Output: idCol, n_shingles, n_contaminated, contam_frac, contaminated. */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      benchmarkPred: Column, threshold: Double): DataFrame = {
+    val sh = Dedup.hashedShingleSets(docs, idCol, textCol, n)
+    val bench = sh.filter(benchmarkPred)
+      .select(explode(col("s")).as("h")).distinct()
+      .withColumn("_hit", lit(1L))
+    val train = sh.filter(!benchmarkPred)
+      .select(col(idCol), size(col("s")).as("n_shingles"), explode(col("s")).as("h"))
+    train.join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_frac",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
+
+  /** Weighted mixture sampling: resample per `byCol` class to target
+    * weights, supporting UPSAMPLING (weight > 1 emits repeated copies) —
+    * the domain-mixing step of corpus construction. Weights are integer
+    * PERCENTAGES (150 = 1.5×): copies = pct/100 guaranteed copies plus one
+    * more when the doc's deterministic hash bucket falls under pct%100.
+    * Hash-of-id gating (not row-order sampling) is the only reproducible
+    * sampling at 100 TB: stable across engines, runs and cluster layouts.
+    * Output: idCol, byCol, n_copies, copy (1-based). */
+  def mixtureSample(
+      docs: DataFrame, idCol: String, byCol: String,
+      weightsPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    import graft.functions.Hashing.polyHashSpark
+    // deterministic when-chain (sorted keys) — map order must not matter
+    val pct = weightsPct.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+        when(col(byCol) === k, lit(v)).otherwise(acc)
+      }
+    docs
+      .withColumn("_pct", pct)
+      .withColumn("_bucket",
+        expr(s"${polyHashSpark(s"CAST($idCol AS STRING)")} % 100"))
+      .withColumn("n_copies",
+        expr("CAST(_pct DIV 100 AS INT)") +
+          when(col("_bucket") < col("_pct") % 100, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(byCol), col("n_copies"),
+        explode(expr("sequence(1, n_copies)")).as("copy"))
+  }
+}

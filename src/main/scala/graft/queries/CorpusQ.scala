@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+import graft.functions.Hashing._
+import graft.ops.Corpus
+
+/** Oracle-checked corpus-construction queries over `documents`: benchmark
+  * decontamination, repetition-based quality filters (Gopher-style),
+  * weighted mixture sampling with upsampling, and BM25 relevance ranking.
+  * All hash gates and scores are engine-portable (shared integer
+  * recurrences; IEEE double arithmetic in identical expression order). */
+object CorpusQ {
+
+  /** BM25 constants: k1+1 and k1 spelled as literals, and 1−b / b spelled
+    * as 0.25 / 0.75 in BOTH engines so neither side depends on constant
+    * folding. Ratio idf (no log) keeps the score libm-free. */
+  private val K1 = "1.2"
+  private val K1p1 = "2.2"
+
+  private def bm25Term(tf: String, df: String): String =
+    s"(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * " +
+      s"(($tf * $K1p1) / ($tf + $K1 * (0.25 + 0.75 * (dl / avgdl)))))"
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: docs with doc_id % 97 = 0 form the eval
+    // set; every other doc is scored by the fraction of its word-5-gram
+    // shingles that appear anywhere in the eval set.
+    Q("text_decontaminate",
+      (s, dir) =>
+        Corpus.decontaminate(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 5,
+            benchmarkPred = col("doc_id") % 97 === 0, threshold = 0.2)
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= 5),
+              |sh0 AS (SELECT doc_id, ${shinglesDuck("w", 5)} AS s0 FROM dd),
+              |sh AS (SELECT doc_id,
+              |         list_distinct(list_transform(s0, shx -> ${polyHashDuck("shx")})) AS s
+              |       FROM sh0),
+              |bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 97 = 0),
+              |train AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS h
+              |          FROM sh WHERE doc_id % 97 <> 0),
+              |j AS (SELECT t.doc_id, t.n_shingles,
+              |             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS hit
+              |      FROM train t LEFT JOIN bench b ON t.h = b.h)
+              |SELECT doc_id, n_shingles, CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+              |  CAST(SUM(hit) AS DOUBLE) / n_shingles AS contam_frac,
+              |  CAST(SUM(hit) AS DOUBLE) / n_shingles >= 0.2 AS contaminated
+              |FROM j GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality: most-frequent unigram and bigram
+    // fractions per doc (multiplicity preserved — NOT the distinct shingle
+    // sets the dedup path uses). High top-fractions mark low-quality
+    // repetitive docs. Two codegen'd hash-aggregate cascades, no windows.
+    Q("text_repetition_quality",
+      (s, dir) => {
+        val d = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .filter(expr("size(w) >= 2"))
+        val uni = d.select(col("doc_id"), explode(col("w")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok_cnt"))
+        val bi = d.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w)-1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_cnt"))
+        uni.join(bi, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
+            (col("top_tok_cnt").cast("double") / col("n_tokens")).as("top_tok_frac"),
+            col("n_bigrams"), col("top_bigram_cnt"),
+            (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |u0 AS (SELECT doc_id, unnest(w) AS t FROM d),
+             |u1 AS (SELECT doc_id, t, COUNT(*) AS c FROM u0 GROUP BY 1, 2),
+             |u AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_cnt
+             |      FROM u1 GROUP BY doc_id),
+             |b0 AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(w)),
+             |                i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+             |b1 AS (SELECT doc_id, g, COUNT(*) AS c FROM b0 GROUP BY 1, 2),
+             |b AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_cnt
+             |      FROM b1 GROUP BY doc_id)
+             |SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt,
+             |  CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
+             |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             |  CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+             |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac
+             |FROM u JOIN b ON u.doc_id = b.doc_id ORDER BY u.doc_id""".stripMargin)),
+
+    // Weighted mixture sampling with UPSAMPLING: per-source target weights
+    // in percent (150 = 1.5×); guaranteed copies + one hash-gated extra.
+    Q("sample_mixture_weights",
+      (s, dir) =>
+        Corpus.mixtureSample(Catalog.load(s, dir, "documents"),
+            "doc_id", "source",
+            weightsPct = Map("src0" -> 250, "src1" -> 150, "src2" -> 100, "src3" -> 30),
+            defaultPct = 80)
+          .orderBy("doc_id", "copy"),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |  ${polyHashDuck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+              |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+              |              WHEN 'src2' THEN 100 WHEN 'src3' THEN 30
+              |              ELSE 80 END AS pct
+              |  FROM documents),
+              |c AS (SELECT doc_id, source,
+              |        CAST(pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END
+              |             AS INT) AS n_copies
+              |      FROM b)
+              |SELECT doc_id, source, n_copies,
+              |       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+              |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
+
+    // BM25 top-20 for a fixed 3-term query. Ratio idf (no log ⇒ no libm
+    // dependence); per-term scores summed in a FIXED left-to-right order so
+    // double arithmetic is bit-identical across engines. Two hash
+    // aggregates + one broadcast scalar join — the corpus never reshuffles.
+    Q("text_bm25_topk",
+      (s, dir) => {
+        val d = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+        val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+          .groupBy("doc_id", "dl")
+          .agg(
+            sum(when(col("t") === "spark", 1L).otherwise(0L)).as("tf1"),
+            sum(when(col("t") === "vector", 1L).otherwise(0L)).as("tf2"),
+            sum(when(col("t") === "customer", 1L).otherwise(0L)).as("tf3"))
+        val stats = tf.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+        tf.crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+          .withColumn("score", expr(
+            s"${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} + " +
+              bm25Term("tf3", "df3")))
+          .filter(col("score") > 0)
+          .select("doc_id", "dl", "tf1", "tf2", "tf3", "score")
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |tf AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM d),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |       FROM tf),
+              |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+              |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+              |         n_docs, df1, df2, df3
+              |       FROM tf, st)
+              |SELECT doc_id, dl, tf1, tf2, tf3,
+              |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |  ${bm25Term("tf3", "df3")} AS score
+              |FROM sc
+              |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |      ${bm25Term("tf3", "df3")} > 0
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin))
+  )
+}

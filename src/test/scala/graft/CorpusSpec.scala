@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  test("decontaminate: cloned benchmark doc is fully contaminated, unrelated doc clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),  // benchmark
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact clone
+      (2L, "one two three four five six seven eight nine"),   // unrelated
+      (3L, "alpha beta gamma delta epsilon xx yy zz qq")      // partial overlap
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, "doc_id", "text", n = 5,
+        benchmarkPred = col("doc_id") === 0, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(out(0) === ((1L, 1.0, true)))
+    assert(out(1) === ((2L, 0.0, false)))
+    assert(out(2)._1 === 3L && out(2)._2 > 0.0 && out(2)._2 < 0.5 && !out(2)._3)
+  }
+
+  test("mixtureSample: copy counts follow the percent weights deterministically") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "up" else "down"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixtureSample(docs, "doc_id", "source",
+      weightsPct = Map("up" -> 250, "down" -> 40), defaultPct = 0)
+    val perDoc = out.groupBy("doc_id", "source", "n_copies")
+      .agg(count(lit(1)).as("emitted")).collect()
+    // every emitted doc materializes exactly n_copies rows
+    assert(perDoc.forall(r => r.getInt(2).toLong === r.getLong(3)))
+    val up = perDoc.filter(_.getString(1) == "up")
+    assert(up.map(_.getInt(2)).forall(c => c == 2 || c == 3))
+    assert(up.length === 100) // 250% never drops a doc
+    val down = perDoc.filter(_.getString(1) == "down")
+    assert(down.map(_.getInt(2)).forall(_ == 1))
+    assert(down.length < 100 && down.length > 10) // ~40% hash gate
+    // deterministic: identical on re-run
+    val again = Corpus.mixtureSample(docs, "doc_id", "source",
+      weightsPct = Map("up" -> 250, "down" -> 40), defaultPct = 0)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+  }
+}
