@@ -274,6 +274,49 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Fixed-iteration PageRank over the symmetric near-dup graph — ranks
+    * concentrate on hub documents of boilerplate families (prune-first
+    * candidates). Damping 0.85, rank0 = 1.
+    *
+    * Engine-portable exactness: the whole iteration runs in FIXED-POINT
+    * integer arithmetic at scale 10¹² — contribution = rank_u div degree
+    * (integer division), partial sums are exact BIGINTs, and the damping
+    * update is `0.15·10¹² + (17·sum) div 20` (0.85 = 17/20). No floats
+    * anywhere in the recurrence, so any engine reproduces it bit-for-bit.
+    * (A DOUBLE formulation dies on cross-engine double→DECIMAL cast
+    * semantics: Spark casts through the shortest string representation,
+    * DuckDB scales the exact binary value — a 1-ulp divergence the sf0.1
+    * oracle run caught.) The display `rank` is one final double division.
+    *
+    * Each iteration is one equi-join + one hash aggregate on the cached
+    * symmetric edge list — same shuffle shape as [[connectedComponents]].
+    * Output: idCol, deg, rank_u (fixed-point BIGINT), rank (double). */
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame, idCol: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val One = 1000000000000L // fixed-point 1.0 (scale 1e12)
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val base = nodes.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    var ranks = base.withColumn("rank_u", lit(One))
+    (0 until iters).foreach { _ =>
+      val contrib = sym.join(ranks, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("rank_u div deg").as("c"))
+      val sums = contrib.groupBy("id").agg(sum(col("c")).as("csum"))
+      ranks = base.join(sums, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(15L * One / 100) +
+            expr("(17 * coalesce(csum, CAST(0 AS BIGINT))) div 20")).as("rank_u"))
+    }
+    ranks.select(col("id").as(idCol), col("deg"), col("rank_u"),
+      (col("rank_u").cast("double") / lit(One.toDouble)).as("rank"))
+  }
+
   /** Count triangles in a canonical (d1 < d2) undirected edge set — the
     * standard cohesion metric over the near-dup graph (triangle-dense
     * regions = boilerplate/template families worth aggressive pruning).

@@ -120,6 +120,71 @@ object CorpusQ {
               |       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
               |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
 
+    // Inverted-index build: per-term document frequency, collection
+    // frequency, id range and a digest of the SORTED posting list (arrays
+    // can't flow to the driver comparator; at 100 TB posting lists are
+    // capped/delta-encoded, but df/cf and the digest pin the semantics).
+    // One explode + one hash aggregate — the classic index-build dataflow.
+    Q("text_inverted_index",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+          .groupBy("term")
+          .agg(
+            countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("cf"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            expr(polyHashSpark(
+              "array_join(transform(sort_array(collect_set(doc_id)), " +
+                "x -> CAST(x AS STRING)), ',')")).as("postings_digest"))
+          .orderBy("term"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |          FROM documents),
+              |g AS (SELECT term,
+              |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+              |        CAST(COUNT(*) AS BIGINT) AS cf,
+              |        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+              |        array_to_string(list_transform(
+              |          list_sort(list_distinct(list(doc_id))),
+              |          x -> CAST(x AS VARCHAR)), ',') AS plist
+              |      FROM t GROUP BY term)
+              |SELECT term, df, cf, first_doc, last_doc,
+              |       ${polyHashDuck("plist")} AS postings_digest
+              |FROM g ORDER BY term""".stripMargin)),
+
+    // PII redaction: scrub emails and phone-shaped tokens, count what was
+    // removed. The corpus has no PII, so the probe PLANTS deterministic
+    // contact strings per doc, then the redactor (codegen'd regexes) must
+    // find and replace exactly those. Patterns stay in the Java∩RE2 regex
+    // subset so both engines match identically.
+    Q("text_pii_redact",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@mail.example.com or 555-"),
+              (col("doc_id") % 1000).cast("string")).as("raw"))
+          .select(col("doc_id"),
+            expr("size(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', 0))")
+              .as("n_emails"),
+            expr("size(regexp_extract_all(raw, '555-[0-9]+', 0))").as("n_phones"),
+            expr("regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', " +
+              "'<EMAIL>'), '555-[0-9]+', '<PHONE>')").as("clean"))
+          .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |       || '@mail.example.com or 555-'
+             |       || CAST(doc_id % 1000 AS VARCHAR) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS INT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '555-[0-9]+')) AS INT) AS n_phones,
+             |  regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]',
+             |    '<EMAIL>', 'g'), '555-[0-9]+', '<PHONE>', 'g') AS clean
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // BM25 top-20 for a fixed 3-term query. Ratio idf (no log ⇒ no libm
     // dependence); per-term scores summed in a FIXED left-to-right order so
     // double arithmetic is bit-identical across engines. Two hash

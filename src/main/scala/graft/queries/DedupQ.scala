@@ -178,6 +178,50 @@ object DedupQ {
            |JOIN edges e3 ON e1.d1 = e3.d1 AND e2.d2 = e3.d2""".stripMargin
       }),
 
+    // PageRank (3 damped iterations) over the near-dup graph — hub scores
+    // for boilerplate families. The recurrence is pure fixed-point integer
+    // arithmetic (scale 1e12, 0.85 = 17/20, integer division), so Spark and
+    // the oracle's unrolled iteration CTEs agree bit-for-bit; a DOUBLE
+    // formulation diverges on cross-engine double->DECIMAL cast semantics.
+    Q("graph_pagerank",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.pageRank(docs.select("doc_id"), lshPairs(s, dir), "doc_id", iters = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT s.b AS id, r${i - 1}.rank_u // r${i - 1}.deg AS c
+             |        FROM sym s JOIN r${i - 1} ON s.a = r${i - 1}.id),
+             |s$i AS (SELECT id, CAST(SUM(c) AS BIGINT) AS csum FROM c$i GROUP BY id),
+             |r$i AS (SELECT base.id, base.deg,
+             |          CAST(150000000000 + (17 * COALESCE(csum, 0)) // 20
+             |               AS BIGINT) AS rank_u
+             |        FROM base LEFT JOIN s$i USING (id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |degt AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+           |base AS (SELECT d.doc_id AS id, CAST(COALESCE(degt.deg, 0) AS BIGINT) AS deg
+           |         FROM documents d LEFT JOIN degt ON d.doc_id = degt.id),
+           |r0 AS (SELECT id, deg, CAST(1000000000000 AS BIGINT) AS rank_u FROM base),
+           |$iterCtes
+           |SELECT id AS doc_id, deg, rank_u,
+           |       CAST(rank_u AS DOUBLE) / 1000000000000.0 AS rank
+           |FROM r3 ORDER BY doc_id""".stripMargin
+      }),
+
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
     // `label`): exact cosine >= 0.4 on candidate pairs only.
     Q("dedup_embedding_cosine",

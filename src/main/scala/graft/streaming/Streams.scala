@@ -216,13 +216,19 @@ object Streams {
     * with the checkpoint (which replays at-least-once), the sink is
     * effectively exactly-once. */
   def foreachBatchParquetSink(
-      stream: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      stream: DataFrame, path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatch(batch.toDF(), path, id)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    // An explicit checkpoint makes the sink resumable: a restarted query
+    // continues from the recorded source offsets (only NEW files process)
+    // and a replayed batch rewrites its own batch=<id> dir. Without one,
+    // Spark uses a temp checkpoint — fine for drain-once conformance runs.
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** The per-batch write — exposed so tests can replay a batch id and
     * assert idempotence. */

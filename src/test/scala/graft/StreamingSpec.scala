@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").distinct().count())
   }
 
+  test("foreachBatch sink resumes from checkpoint: only new files process on restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_resume")
+    val src = root.resolve("src"); val staged = root.resolve("staged")
+    val sink = root.toString + "/sink"; val ckpt = root.toString + "/ckpt"
+    java.nio.file.Files.createDirectories(src)
+
+    def addFile(tag: String, ids: Range): Unit = {
+      val tmp = staged.resolve(tag).toString
+      ids.map(_.toLong).toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, src.resolve(s"$tag.parquet"))
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(src.toString)
+      Streams.foreachBatchParquetSink(stream, sink, Some(ckpt)).awaitTermination()
+    }
+
+    addFile("a", 0 until 100)
+    drain()
+    assert(spark.read.parquet(sink).count() === 100)
+
+    addFile("b", 100 until 150)
+    drain() // restart from the same checkpoint
+    val all = spark.read.parquet(sink)
+    assert(all.count() === 150) // a processed once, b appended
+    assert(all.select("id").distinct().count() === 150)
+    // the resumed run emitted ONLY file b (no reprocessing of a)
+    val batches = all.select("batch").distinct().as[Int].collect().sorted
+    assert(batches.length === 2, batches.toSeq)
+    val second = all.filter(col("batch") === batches.max)
+    assert(second.count() === 50 &&
+      second.agg(min("id")).head.getLong(0) === 100L)
+  }
+
   test("RocksDB state store yields identical windowed aggregates") {
     val dir = "/root/testdata/sf0.001"
     val default = Streams.tumblingAgg(spark, dir).collect().map(_.toSeq).toSeq
