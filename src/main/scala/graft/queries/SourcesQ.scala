@@ -25,6 +25,41 @@ object SourcesQ {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Schema evolution: a table written in two generations (v2 adds a
+    // column), read back with mergeSchema — old files surface NULL for the
+    // new column. The lakehouse append-with-evolving-schema path.
+    Q("src_schema_evolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+        val n = Catalog.load(s, dir, "nation")
+        n.filter(col("n_nationkey") < 10)
+          .select("n_nationkey", "n_name")
+          .write.mode("append").parquet(tmp)
+        n.filter(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("append").parquet(tmp)
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  CASE WHEN n_nationkey >= 10 THEN n_regionkey ELSE NULL END
+             |    AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Native JSON parsing of the semi-structured props column: typed
+    // from_json struct access and get_json_object path access must agree.
+    Q("events_json_parse",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .select(col("event_id"),
+            expr("from_json(props, 'k INT').k").as("k_struct"),
+            expr("CAST(get_json_object(props, '$.k') AS INT)").as("k_path"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // CSV sink + source round trip with explicit schema.
     Q("src_csv_roundtrip",
       (s, dir) => {
