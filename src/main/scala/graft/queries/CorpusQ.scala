@@ -185,6 +185,35 @@ object CorpusQ {
              |    '<EMAIL>', 'g'), '555-[0-9]+', '<PHONE>', 'g') AS clean
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum ordering: quality-band phases (fixed thresholds on the
+    // lexical-diversity score — per-row, fully distributed; an ntile would
+    // be a single-partition global sort at 100 TB), with a deterministic
+    // hash shuffle WITHIN each phase — the easy-to-hard data ordering of
+    // curriculum training, reproducibly permuted (row-order shuffles
+    // are not).
+    Q("sample_curriculum",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("q"))
+          .withColumn("phase",
+            when(col("q") >= 0.75, 1).when(col("q") >= 0.6, 2)
+              .when(col("q") >= 0.45, 3).otherwise(4))
+          .withColumn("shuffle_key",
+            expr(polyHashSpark("CAST(doc_id AS STRING)")))
+          .select("doc_id", "q", "phase", "shuffle_key")
+          .orderBy("phase", "shuffle_key", "doc_id"),
+      Some(s"""WITH s AS (SELECT doc_id,
+              |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |    / len(string_split(text, ' ')) AS q
+              |  FROM documents)
+              |SELECT doc_id, q,
+              |  CAST(CASE WHEN q >= 0.75 THEN 1 WHEN q >= 0.6 THEN 2
+              |            WHEN q >= 0.45 THEN 3 ELSE 4 END AS INT) AS phase,
+              |  ${polyHashDuck("CAST(doc_id AS VARCHAR)")} AS shuffle_key
+              |FROM s ORDER BY phase, shuffle_key, doc_id""".stripMargin)),
+
     // BM25 top-20 for a fixed 3-term query. Ratio idf (no log ⇒ no libm
     // dependence); per-term scores summed in a FIXED left-to-right order so
     // double arithmetic is bit-identical across engines. Two hash

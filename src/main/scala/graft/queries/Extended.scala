@@ -476,6 +476,30 @@ object Extended {
              |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Map-typed scalar surface: construction, element access, cardinality,
+    // key enumeration. DuckDB map access yields a LIST (unwrap with [1])
+    // where Spark yields the value — the dialect glue lives in the oracle.
+    Q("scalar_map_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "events").selectExpr(
+            "event_id",
+            "map('type', event_type, 'uid', CAST(user_id AS STRING))" +
+              "['type'] AS m_type",
+            "size(map('type', event_type, 'uid', CAST(user_id AS STRING)))" +
+              " AS n_keys",
+            "array_join(sort_array(map_keys(" +
+              "map('type', event_type, 'uid', CAST(user_id AS STRING)))), ',')" +
+              " AS keys_csv")
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  MAP(['type','uid'], [event_type, CAST(user_id AS VARCHAR)])
+             |    ['type'][1] AS m_type,
+             |  CAST(cardinality(MAP(['type','uid'],
+             |    [event_type, CAST(user_id AS VARCHAR)])) AS INT) AS n_keys,
+             |  array_to_string(list_sort(map_keys(MAP(['type','uid'],
+             |    [event_type, CAST(user_id AS VARCHAR)]))), ',') AS keys_csv
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Scalar math surface: IEEE-exact functions only (abs/floor/ceil/sqrt/
     // mod) — transcendentals (ln, exp) are libm-dependent and would not be
     // bit-stable across engines, so they stay out of hashed conformance.

@@ -111,6 +111,39 @@ object SimilarityQ {
               |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
               |ORDER BY q_vec, rank""".stripMargin)),
 
+    // Retrieval capstone: ANN top-3 per probe JOINED back to the documents
+    // table (vec_id aligns with doc_id) — the retrieve step of a RAG
+    // pipeline: embed → search → fetch text metadata. Exercises the ops
+    // composing: broadcast probes, per-probe rank, then a hash join to the
+    // doc store (which at 100 TB is the id-bucketed table the neighbor ids
+    // probe into).
+    Q("rag_retrieve_topk",
+      (s, dir) => {
+        val vecs = Catalog.load(s, dir, "embeddings")
+        val hits = Similarity.knnBruteForce(vecs,
+          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 3)
+        hits.join(Catalog.load(s, dir, "documents"),
+            hits("neighbor") === col("doc_id"))
+          .select(col("q_vec"), col("rank"), col("neighbor"),
+            col("cos"), col("n_chars"), col("lang"))
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |scored AS (SELECT q_vec, e.vec_id AS neighbor,
+              |                  ${Similarity.dotDuck("q_emb", "e.embedding")} / (q_nrm * nrm) AS cos
+              |           FROM e, q WHERE e.vec_id <> q.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos, n_chars, lang
+              |FROM r JOIN documents ON neighbor = doc_id
+              |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin)),
+
     // IVF-style ANN: coarse partitions = `label`, representative = min-id
     // member, nprobe=2 — searches only ~2/10 of the corpus per probe.
     Q("ann_ivf_topk",

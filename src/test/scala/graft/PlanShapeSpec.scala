@@ -44,6 +44,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p) // correlated min as partition-min window
   }
 
+  test("decontaminate broadcasts the benchmark shingle dictionary") {
+    val p = plan(SparkEntry.queries("text_decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side must never shuffle into a sort-merge join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bm25 joins the global stats row by broadcast, not cartesian shuffle") {
+    val p = plan(SparkEntry.queries("text_bm25_topk")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // order-by + limit plans as a partial top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("a3 grouped aggregation is partial (map-side) then final") {
     val p = plan(SparkEntry.queries("a3_partial_agg_q1")(spark, dir))
     assert(p.contains("HashAggregate"), p)

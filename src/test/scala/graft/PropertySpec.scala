@@ -30,6 +30,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("capBuckets keeps exactly min(cap, |bucket|) smallest ids on random buckets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.chooseNum(0, 7))
+    for (seed <- 1 to 5) {
+      val buckets = sample(gen, seed.toLong)
+      val df = buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "b")
+      val cap = 1 + seed % 4
+      val kept = graft.ops.Skew.capBuckets(df, Seq("b"), "id", cap, s"prop_cap_$seed")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val expected = buckets.zipWithIndex
+        .map { case (b, i) => (b, i.toLong) }
+        .groupBy(_._1)
+        .flatMap { case (b, rows) => rows.map(_._2).sorted.take(cap).map(i => (i, b)) }
+        .toSet
+      assert(kept.toSet == expected, s"seed=$seed cap=$cap")
+    }
+  }
+
+  test("mixtureSample copies land in {floor(w), ceil(w)} and match the hash gate") {
+    import spark.implicits._
+    import graft.functions.Hashing.{polyHashDuck => _, polyHashSpark}
+    val gen = Gen.listOfN(150, Gen.oneOf("a", "b", "c"))
+    for (seed <- 1 to 3) {
+      val classes = sample(gen, seed.toLong)
+      val docs = classes.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cls")
+      val pcts = Map("a" -> (30 + seed), "b" -> 100, "c" -> (220 + seed))
+      val out = graft.ops.Corpus.mixtureSample(docs, "id", "cls", pcts, defaultPct = 0)
+        .groupBy("id", "cls").agg(max("n_copies").as("n"), count(lit(1)).as("emitted"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      // emitted rows equal n_copies, and n_copies ∈ {floor, ceil} of pct/100
+      assert(out.forall { case (_, cls, n, emitted) =>
+        val pct = pcts(cls)
+        emitted == n.toLong && (n == pct / 100 || n == pct / 100 + 1)
+      }, s"seed=$seed")
+      // the hash gate is exactly bucket < pct % 100
+      val buckets = docs.select(col("id"),
+          expr(s"${polyHashSpark("CAST(id AS STRING)")} % 100").as("bk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.forall { case (id, cls, n, _) =>
+        val pct = pcts(cls)
+        n == pct / 100 + (if (buckets(id) < pct % 100) 1 else 0)
+      }, s"seed=$seed gate")
+    }
+  }
+
   test("bucketed time-range join equals naive join on random timelines") {
     import spark.implicits._
     val gen = for {
