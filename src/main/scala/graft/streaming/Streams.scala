@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Catalog
@@ -234,6 +234,61 @@ object Streams {
     * assert idempotence. */
   def writeBatch(batch: DataFrame, path: String, id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+
+  /** The same session state machine on Spark 4's MODERN arbitrary-state API
+    * (`transformWithState`): explicit typed state handles (ListState event
+    * buffer + ValueState armed-timer) and event-time timers, instead of the
+    * single-blob `GroupState` of [[sessionizeStream]]. The previous timer is
+    * deleted before re-arming so a stale early timer cannot close an
+    * extended session. Requires the RocksDB state-store provider — the
+    * API's contract — so run queries under [[withRocksDBStateStore]]. */
+  class SessionProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), Session] {
+    @transient private var buf: ListState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("us", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        tv: TimerValues): Iterator[Session] = {
+      val all = (buf.get().toSeq ++ rows.map(_._3)).sorted
+      if (all.isEmpty) return Iterator.empty
+      val done = sessionsOf(uid, all)
+      val tail = done.last
+      buf.put(all.filter(_ >= tail.session_start_us).toArray)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val t = tail.session_end_us / 1000 + SessionGapUs / 1000
+      getHandle.registerTimer(t)
+      armed.update(t)
+      done.init.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Session] = {
+      val all = buf.get().toSeq.sorted
+      buf.clear()
+      armed.clear()
+      sessionsOf(uid, all).iterator
+    }
+  }
+
+  /** [[sessionizeStream]] built on `transformWithState` — see
+    * [[SessionProcessor]]. */
+  def sessionizeTws(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 
   private def onUser(uid: Long, in: Iterator[(Long, java.sql.Timestamp, Long)],
       state: GroupState[Seq[Long]]): Iterator[Session] = {

@@ -102,6 +102,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionize matches the flatMapGroups semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L * 1000 * 1000
+    val t0 = 1000L * h
+    Streams.withRocksDBStateStore(spark) {
+      val mem = MemoryStream[(Long, Long)]
+      val events = mem.toDF()
+        .select(col("_1").as("user_id"), timestamp_micros(col("_2")).as("ts"))
+      val out = Streams.sessionizeTws(events, watermarkDelay = "10 minutes")
+      val q = out.writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, t0), (1L, t0 + 600L * 1000000), (2L, t0))
+        q.processAllAvailable()
+        mem.addData((1L, t0 + 2 * h)) // closes user 1's first session
+        q.processAllAvailable()
+        mem.addData((3L, t0 + 4 * h)) // advances watermark past user 2's timer
+        q.processAllAvailable()
+        val got = spark.table("sess_tws")
+          .orderBy("user_id", "session_start_us").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(got.contains((1L, t0, t0 + 600L * 1000000, 2L)),
+          s"user 1 closed session, got ${got.toSeq}")
+        assert(got.contains((2L, t0, t0, 1L)),
+          s"user 2 timed-out session, got ${got.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("foreachBatch parquet sink is idempotent under batch replay") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/t"
