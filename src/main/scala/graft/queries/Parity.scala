@@ -344,6 +344,54 @@ object Parity {
     // Nested sub-query in FROM, re-joined on its aggregate
     // (TestJoinOrderOptimizerStudents.java:476-501, re-targeted per FIXTURES.md §3.10).
     // Runs through the SQL front: the reference dialect is a subset of Spark SQL.
+    // WITH RECURSIVE through the SQL front (Spark 4 supports recursive
+    // CTEs): a generated series anchored-and-recursed, joined to a real
+    // table — pins the SQL surface the reference's dialect lacks entirely.
+    Q("sql_recursive_cte",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """WITH RECURSIVE t(n) AS (
+            |  SELECT 0
+            |  UNION ALL
+            |  SELECT n + 1 FROM t WHERE n < 24)
+            |SELECT n, n_name FROM t JOIN nation ON n = n_nationkey
+            |ORDER BY n""".stripMargin)
+      },
+      Some("""WITH RECURSIVE t(n) AS (
+             |  SELECT 0
+             |  UNION ALL
+             |  SELECT n + 1 FROM t WHERE n < 24)
+             |SELECT CAST(n AS INT) AS n, n_name
+             |FROM t JOIN nation ON n = n_nationkey
+             |ORDER BY n""".stripMargin)),
+
+    // ANSI-mode null-safety surface: try_divide / try_cast return NULL
+    // instead of raising; nullif/coalesce complete the family. DuckDB has
+    // no try_divide — the oracle spells out the CASE. (Cast trap: DuckDB
+    // double→INT rounds, Spark truncates — go through FLOOR in both.)
+    Q("null_safety_try_funcs",
+      (s, dir) =>
+        t(s, dir, "lineitem").selectExpr(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            "try_divide(l_extendedprice, CAST(FLOOR(l_quantity) AS INT) % 3) AS d",
+            "try_cast(l_returnflag AS INT) AS rc",
+            "nullif(l_linestatus, 'O') AS ns",
+            "coalesce(nullif(l_returnflag, 'N'), '-') AS rf")
+          // total order incl. null columns; Spark sorts NULLS FIRST by
+          // default where DuckDB defaults NULLS LAST — the oracle says so
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "d", "ns", "rf"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             |  CASE WHEN CAST(FLOOR(l_quantity) AS INT) % 3 = 0 THEN NULL
+             |       ELSE l_extendedprice / (CAST(FLOOR(l_quantity) AS INT) % 3)
+             |  END AS d,
+             |  TRY_CAST(l_returnflag AS INT) AS rc,
+             |  NULLIF(l_linestatus, 'O') AS ns,
+             |  COALESCE(NULLIF(l_returnflag, 'N'), '-') AS rf
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey,
+             |  d NULLS FIRST, ns NULLS FIRST, rf""".stripMargin)),
+
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)
