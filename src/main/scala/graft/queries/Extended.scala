@@ -156,6 +156,57 @@ object Extended {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // RANGE-frame window over EVENT TIME: per-user trailing-hour sum/count
+    // by timestamp value (ties all included — RANGE semantics), beside the
+    // ROWS frames of w2. Exact-decimal sum keeps the oracle bit-stable.
+    Q("w5_trailing_hour_range",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        Catalog.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .select(col("event_id"), col("user_id"), col("us"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("hr_sum"),
+            count(lit(1)).over(w).as("hr_cnt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+             |           FROM events)
+             |SELECT event_id, user_id, us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |       AS DOUBLE) AS hr_sum,
+             |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |    AS hr_cnt
+             |FROM e ORDER BY event_id""".stripMargin)),
+
+    // Min-max feature normalization per class — groupBy stats + broadcast
+    // join back (NOT a whole-partition window, which would put each class
+    // in one task at 100 TB). Fixed-order double arithmetic; degenerate
+    // zero-spread classes pin to 0.5 in both engines.
+    Q("feature_minmax_norm",
+      (s, dir) => {
+        val e = Catalog.load(s, dir, "events")
+        val stats = e.groupBy("event_type")
+          .agg(min("value").as("mn"), max("value").as("mx"))
+        e.join(broadcast(stats), "event_type")
+          .selectExpr("event_id", "event_type", "value",
+            "CASE WHEN mx = mn THEN CAST(0.5 AS DOUBLE) " +
+              "ELSE (value - mn) / (mx - mn) END AS norm")
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+             |           FROM events GROUP BY event_type)
+             |SELECT event_id, events.event_type, value,
+             |  CASE WHEN mx = mn THEN CAST(0.5 AS DOUBLE)
+             |       ELSE (value - mn) / (mx - mn) END AS norm
+             |FROM events JOIN s ON events.event_type = s.event_type
+             |ORDER BY event_id""".stripMargin)),
+
     Q("w3_rank_lag",
       (s, dir) => {
         val wRank = Window.partitionBy(col("o_custkey"))
