@@ -147,6 +147,42 @@ object StreamQ {
              |FROM events WHERE value > 0
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // SpaceSaving heavy hitters (custom TypedImperativeAggregate, k=16
+    // counters) over a deliberately skewed key (70% of events on 3 heavy
+    // keys + a long per-user tail that forces constant eviction). Raw
+    // sketch counts are partition-order-dependent, so the checked output is
+    // the sketch's DETERMINISTIC guarantees against exact aggregates:
+    // every key with true freq > n/k is captured, with
+    // count >= exact >= count - err. The oracle asserts the booleans.
+    Q("sketch_heavy_hitters",
+      (s, dir) => {
+        import graft.expressions.FreqSketchAggregate.heavyHitters
+        val keyed = Catalog.load(s, dir, "events")
+          .selectExpr("CASE WHEN user_id % 10 < 7 THEN concat('heavy_', user_id % 3) " +
+            "ELSE concat('u', user_id) END AS k")
+        val sk = keyed.agg(heavyHitters(col("k"), 16).as("sk"))
+        val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        val tot = keyed.agg(count(lit(1)).as("n"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("exact_cnt") > col("n") / 16.0)
+          .crossJoin(broadcast(sk))
+          .select(col("k"), col("exact_cnt"),
+            expr("filter(sk, x -> x.item = k)").as("hit"))
+          .select(col("k"), col("exact_cnt"),
+            (size(col("hit")) === 1).as("captured"),
+            expr("size(hit) = 1 AND hit[0].cnt >= exact_cnt " +
+              "AND hit[0].cnt - hit[0].err <= exact_cnt").as("bounds_ok"))
+          .orderBy("k")
+      },
+      Some("""WITH kk AS (SELECT CASE WHEN user_id % 10 < 7
+             |              THEN 'heavy_' || CAST(user_id % 3 AS VARCHAR)
+             |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+             |            FROM events),
+             |e AS (SELECT k, COUNT(*) AS exact_cnt FROM kk GROUP BY k),
+             |t AS (SELECT COUNT(*) AS n FROM kk)
+             |SELECT k, exact_cnt, TRUE AS captured, TRUE AS bounds_ok
+             |FROM e, t WHERE exact_cnt > n / 16.0 ORDER BY k""".stripMargin)),
+
     // Streaming dedup with watermark-bounded state.
     Q("stream_dedup_events",
       (s, dir) => Streams.dedupStream(s, dir),
