@@ -47,6 +47,29 @@ class DedupSkewSpec extends SparkSpec {
     assert(kept.filter(col("b") === 0).agg(max("id")).head.getLong(0) === 18L)
   }
 
+  test("capBuckets surfaces dropped volume through observed metrics") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, 0)).toDF("id", "b") // one bucket of 100
+    val kept = Skew.capBuckets(df, Seq("b"), "id", cap = 10, "cap_obs")
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("cap_obs").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(kept.count() === 10)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = seen.getOrElse(fail("observed metrics never delivered"))
+      assert(m.getAs[Long]("dropped_rows") === 90L, m)
+      assert(m.getAs[Long]("max_bucket") === 100L, m)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("minhash LSH pair count bounded under a 1200-doc boilerplate family") {
     val cap = 16
     val n = Dedup.minhashLshPairs(boiler, "doc_id", "text",
