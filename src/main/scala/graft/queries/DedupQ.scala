@@ -156,6 +156,67 @@ object DedupQ {
            |GROUP BY a ORDER BY doc_id""".stripMargin
       }),
 
+    // Keep-BEST dedup: within each near-dup cluster keep the highest-quality
+    // document (ties to the smaller id) instead of the smallest id — the
+    // policy production corpus builders actually want. Composes the LSH
+    // pairs → connected components pipeline with the text-quality score;
+    // the per-cluster argmax is one window pass over |docs| rows.
+    Q("dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextAnalysis.{StopEn, hitsSpark, qualityScore}
+        val docs = Catalog.load(s, dir, "documents")
+        val comp = Dedup.connectedComponents(
+          docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+        val quality = docs
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"),
+            expr("size(w)").as("n_tokens"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("distinct_ratio"),
+            expr(s"CAST(${hitsSpark("w", StopEn)} AS DOUBLE) / size(w)").as("stop_ratio"))
+          .withColumn("quality", expr(qualityScore))
+          .select("doc_id", "quality")
+        val w = Window.partitionBy("component")
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        comp.join(quality, "doc_id")
+          .withColumn("kept", row_number().over(w) === 1)
+          .select("doc_id", "component", "quality", "kept")
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.TextAnalysis.{StopEn, hitsDuck, qualityScore}
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |cc AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+           |qd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |qx AS (SELECT doc_id, len(w) AS n_tokens,
+           |              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           |              CAST(${hitsDuck("w", StopEn)} AS DOUBLE) / len(w) AS stop_ratio
+           |       FROM qd),
+           |ql AS (SELECT doc_id, $qualityScore AS quality FROM qx),
+           |rk AS (SELECT cc.doc_id, component, quality,
+           |              ROW_NUMBER() OVER (PARTITION BY component
+           |                                 ORDER BY quality DESC, cc.doc_id) AS rn
+           |       FROM cc JOIN ql ON cc.doc_id = ql.doc_id)
+           |SELECT doc_id, component, quality, rn = 1 AS kept
+           |FROM rk ORDER BY doc_id""".stripMargin
+      }),
+
     // Graph cohesion over the near-dup graph: triangle count via oriented
     // wedge join on the canonical MinHash-LSH edges (a<b<c counted once).
     Q("graph_triangles",
