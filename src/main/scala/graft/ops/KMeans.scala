@@ -115,7 +115,7 @@ object KMeans {
 
   /** Squared-L2 distance in DuckDB between `v` (row alias.col) and a
     * centroid list expression `cent`, same fold order as [[distSpark]]. */
-  private def distDuck(v: String, cent: String, dims: Int): String =
+  def distDuck(v: String, cent: String, dims: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${dims + 1}), " +
       s"i -> (CAST($v[i] AS DOUBLE) - $cent[i]) * (CAST($v[i] AS DOUBLE) - $cent[i]))), " +
       "(a, b) -> a + b)"

@@ -16,17 +16,31 @@ object TrainQ {
   private val Iters = 3
   private val Dims = 64
 
+  /** Session-scoped materialization of the Lloyd training run — three
+    * queries (`kmeans_assign`, `kmeans_centroids`, `ann_ivf_kmeans`) consume
+    * the same trained model, so within one session it trains ONCE (same
+    * pattern as DedupQ's shared LSH pair pipeline). */
+  private val lloydCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private def trained(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lloydCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (a, c) = KMeans.lloyd(Catalog.load(s, dir, "embeddings"),
+        "vec_id", "embedding", K, Iters, Dims)
+      val ap = a.persist(MEMORY_AND_DISK); ap.count()
+      val cp = c.persist(MEMORY_AND_DISK); cp.count()
+      (ap, cp)
+    })
+
   val all: Seq[Q] = Seq(
 
     // K-means (Lloyd) cluster assignment after 3 rounds: seeds by
     // deterministic hash order, map-side nearest-centroid assignment,
     // fixed-point centroid means — the IVF coarse-quantizer trainer.
     Q("kmeans_assign",
-      (s, dir) => {
-        val (assigned, _) = KMeans.lloyd(Catalog.load(s, dir, "embeddings"),
-          "vec_id", "embedding", K, Iters, Dims)
-        assigned.select(col("vec_id"), col("cluster")).orderBy("vec_id")
-      },
+      (s, dir) =>
+        trained(s, dir)._1.select(col("vec_id"), col("cluster")).orderBy("vec_id"),
       Some(s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)}
               |SELECT vec_id, cluster FROM a$Iters ORDER BY vec_id""".stripMargin)),
 
@@ -36,8 +50,7 @@ object TrainQ {
     // double division, bit-identical cross-engine.
     Q("kmeans_centroids",
       (s, dir) => {
-        val (_, cents) = KMeans.lloyd(Catalog.load(s, dir, "embeddings"),
-          "vec_id", "embedding", K, Iters, Dims)
+        val cents = trained(s, dir)._2
         cents.select(col("cluster"), col("n"), posexplode(col("cent")))
           .select(col("cluster"), col("n"),
             (col("pos") + 1).cast("int").as("dim"), col("col").as("cent_val"))
@@ -149,6 +162,165 @@ object TrainQ {
              |             CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
              |                                     ORDER BY h, doc_id) AS INT) AS pos
              |      FROM h)
-             |SELECT doc_id, shard, pos FROM a ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, shard, pos FROM a ORDER BY doc_id""".stripMargin)),
+
+    // IVF over the TRAINED quantizer — the full ANN story: k-means centroids
+    // as coarse lists, probes pick their nprobe=2 nearest lists by L2 (the
+    // metric the quantizer was trained in), exact cosine rank within the
+    // probed lists. Composes the cached Lloyd run with the broadcast-probe
+    // scan; at 100 TB the corpus is bucketed by `cluster` on disk and the
+    // probe reads only matching buckets.
+    Q("ann_ivf_kmeans",
+      (s, dir) => {
+        import graft.expressions.DotProduct.dot
+        val (assigned, cents) = trained(s, dir)
+        val q = Catalog.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"),
+            Similarity.norm(col("embedding")).as("q_nrm"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_vec").orderBy(col("d").asc, col("p_cluster").asc)
+        val probeParts = q.crossJoin(broadcast(
+            cents.select(col("cluster").as("p_cluster"), col("cent"))))
+          .withColumn("d", expr(
+            """aggregate(zip_with(q_emb, cent, (x, y) ->
+              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select("q_vec", "q_emb", "q_nrm", "p_cluster")
+        val v = assigned.select(col("vec_id"), col("cluster"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        val scored = v.join(broadcast(probeParts),
+            col("cluster") === col("p_cluster") && col("vec_id") =!= col("q_vec"))
+          .select(col("q_vec"), col("vec_id").as("neighbor"),
+            (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_vec", "rank", "neighbor", "cos")
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+              |e AS (SELECT vec_id, embedding, ${Similarity.normDuck("embedding")} AS nrm
+              |      FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |pp AS (SELECT q_vec, q_emb, q_nrm, cluster FROM (
+              |    SELECT q.q_vec, q.q_emb, q.q_nrm, c.cluster,
+              |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+              |               ORDER BY ${KMeans.distDuck("q.q_emb", "c.cent", Dims)} ASC,
+              |                        c.cluster ASC) AS pr
+              |    FROM q, c$Iters c) z WHERE pr <= 2),
+              |scored AS (SELECT pp.q_vec, a.vec_id AS neighbor,
+              |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
+              |           FROM a$Iters a
+              |           JOIN pp ON a.cluster = pp.cluster AND a.vec_id <> pp.q_vec
+              |           JOIN e ON e.vec_id = a.vec_id),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+              |ORDER BY q_vec, rank""".stripMargin)),
+
+    // Bigram language-model score — the deterministic analog of a
+    // perplexity filter: corpus-level bigram counts (multiplicity kept),
+    // doc score = mean corpus frequency of its bigrams. High score =
+    // predictable/boilerplate text; low = rare constructions. Integer
+    // counts + ONE double division, so the score hash-matches. At scale the
+    // join keys on a bigram hash instead of the string.
+    Q("text_bigram_lm_score",
+      (s, dir) => {
+        val bg = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .filter(expr("size(w) >= 2"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bgm"))
+        val counts = bg.groupBy("bgm").agg(count(lit(1)).as("c"))
+        bg.join(counts, "bgm")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("c").as("cnt_sum"))
+          .withColumn("lm_score",
+            expr("CAST(cnt_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"))
+          .select("doc_id", "n_bigrams", "cnt_sum", "lm_score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+             |bg AS (SELECT doc_id,
+             |              unnest(list_transform(range(1, len(w)),
+             |                     i -> w[i] || ' ' || w[i+1])) AS bgm
+             |       FROM dd),
+             |cc AS (SELECT bgm, COUNT(*) AS c FROM bg GROUP BY bgm),
+             |ds AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             |              CAST(SUM(c) AS BIGINT) AS cnt_sum
+             |       FROM bg JOIN cc USING (bgm) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, cnt_sum,
+             |       CAST(cnt_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_score
+             |FROM ds ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget corpus selection: keep the highest-quality documents
+    // until a token budget (30% of corpus tokens) is exhausted. The
+    // SCALABLE shape is a two-phase threshold selection — a quality-band
+    // histogram (tiny, broadcast) fixes each band's starting offset, then a
+    // band-PARTITIONED window finishes the boundary band — instead of one
+    // global quality-ordered window (a single-task sort at 100 TB).
+    Q("corpus_budget_select",
+      (s, dir) => {
+        import graft.functions.TextAnalysis.{StopEn, hitsSpark, qualityScore}
+        import org.apache.spark.sql.expressions.Window
+        val d = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"),
+            expr("size(w)").as("n_tokens"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("distinct_ratio"),
+            expr(s"CAST(${hitsSpark("w", StopEn)} AS DOUBLE) / size(w)").as("stop_ratio"))
+          .withColumn("quality", expr(qualityScore))
+          .withColumn("b", expr("CAST(floor(quality * 1000) AS BIGINT)"))
+          .select("doc_id", "n_tokens", "quality", "b")
+        val budget = d.agg(expr("(CAST(sum(n_tokens) AS BIGINT) * 3) div 10")).head.getLong(0)
+        // band histogram: ~1000 rows — its unpartitioned window is trivial
+        val hist = d.groupBy("b").agg(sum("n_tokens").cast("long").as("bt"))
+          .withColumn("cum_before", coalesce(
+            sum("bt").over(Window.orderBy(col("b").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("b", "cum_before")
+        val wBand = Window.partitionBy("b").orderBy(col("doc_id").asc)
+        d.join(broadcast(hist), "b")
+          .withColumn("band_cum", sum("n_tokens").over(wBand).cast("long"))
+          .withColumn("kept", col("cum_before") + col("band_cum") <= lit(budget))
+          .select("doc_id", "n_tokens", "quality", "kept")
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.TextAnalysis.{StopEn, hitsDuck, qualityScore}
+        s"""WITH qd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |qx AS (SELECT doc_id, len(w) AS n_tokens,
+           |              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           |              CAST(${hitsDuck("w", StopEn)} AS DOUBLE) / len(w) AS stop_ratio
+           |       FROM qd),
+           |d AS (SELECT doc_id, n_tokens, $qualityScore AS quality,
+           |             CAST(FLOOR(($qualityScore) * 1000) AS BIGINT) AS b
+           |      FROM qx),
+           |budget AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * 3) // 10 AS v FROM d),
+           |hist AS (SELECT b, CAST(SUM(n_tokens) AS BIGINT) AS bt FROM d GROUP BY b),
+           |hc AS (SELECT b, COALESCE(SUM(bt) OVER (ORDER BY b DESC
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |               CAST(0 AS BIGINT)) AS cum_before
+           |       FROM hist),
+           |sel AS (SELECT d.doc_id, d.n_tokens, d.quality,
+           |               hc.cum_before + CAST(SUM(d.n_tokens) OVER (PARTITION BY d.b
+           |                   ORDER BY d.doc_id ASC
+           |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |                 AS running
+           |        FROM d JOIN hc ON d.b = hc.b)
+           |SELECT doc_id, n_tokens, quality,
+           |       running <= (SELECT v FROM budget) AS kept
+           |FROM sel ORDER BY doc_id""".stripMargin
+      })
   )
 }
