@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to LoggedOutput, which prefixes every line
+// with "[info] " — that prefix breaks the driver's JSON parse of Bench's
+// final line (rounds 1-3 all landed "parsed": null with the line present
+// in the tail). StdoutOutput forwards the child's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
