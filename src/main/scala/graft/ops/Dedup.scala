@@ -79,9 +79,28 @@ object Dedup {
       .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Explode shingle hashes and compute the 32 minhashes as hash-aggregate
-    // MINs — whole-stage-codegen'd with map-side partial aggregation, instead
-    // of 32 interpreted higher-order array passes per document.
+    val bands = Skew.capBuckets(
+      minhashBandSignatures(sh, idCol),
+      Seq("band", "sig"), idCol, maxBucket, "lsh_minhash_cap")
+
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
+      .distinct()
+
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** LSH band signatures from hashed shingle sets: explode shingle hashes
+    * and compute the 32 minhashes as hash-aggregate MINs — whole-stage-
+    * codegen'd with map-side partial aggregation, instead of 32 interpreted
+    * higher-order array passes per document. Output: idCol, band, sig —
+    * the equi-join key space for candidate generation, and the exact layout
+    * a persisted dedup INDEX stores at production scale.
+    * UNCAPPED: callers apply [[Skew.capBuckets]] per join side. */
+  def minhashBandSignatures(sh: DataFrame, idCol: String): DataFrame = {
     val hx = sh.select(col(idCol), explode(col("s")).as("h"))
     val mins = hx.groupBy(col(idCol)).agg(
       min(expr(s"(${A(0)}*h + ${B(0)}) % $P")).as("m0"),
@@ -94,20 +113,83 @@ object Dedup {
         s"named_struct('band', $b, 'sig', $sig)"
       }
       .mkString("array(", ", ", ")")
-    val bands = Skew.capBuckets(
-      mins
-        .select(col(idCol), explode(expr(bandStructs)).as("bs"))
-        .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
-      Seq("band", "sig"), idCol, maxBucket, "lsh_minhash_cap")
+    mins
+      .select(col(idCol), explode(expr(bandStructs)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
-    val cand = bands.as("l")
-      .join(bands.as("r"),
+  /** Incremental (batch-vs-corpus) MinHash dedup — the shape a daily 100 TB
+    * ingest actually runs: the accumulated corpus is NOT re-deduped; only the
+    * new batch is shingled, and its band signatures probe the corpus index.
+    *
+    * Scale contract: the history side never shuffles. Candidate generation
+    * broadcasts the (tiny) batch signatures into a scan of the history index,
+    * and the Jaccard verify broadcasts the batch-side candidate shingle sets
+    * into a scan of the history shingle sets. At production scale `history`'s
+    * signatures and shingle sets are precomputed artifacts of previous runs
+    * (exactly [[minhashBandSignatures]] / [[hashedShingleSets]] output);
+    * here they are derived inline from the text.
+    *
+    * A batch doc is `dup_of_history` when some history doc has Jaccard ≥
+    * `threshold`, and `dup_in_batch` when some EARLIER batch doc (smaller id)
+    * does — earlier regardless of that doc's own dup flags, the one-pass
+    * deterministic convention (greedy keep-first would be order-sequential).
+    * Output: idCol, dup_of_history, dup_in_batch, kept — one row per batch
+    * doc, kept = neither flag. */
+  def incrementalMinhashDedup(
+      history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxBucket: Int = LshMaxBucket): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.expressions.IntersectSize.intersectSize
+    val shH = hashedShingleSets(history, idCol, textCol, n)
+      .persist(MEMORY_AND_DISK)
+    val shB = hashedShingleSets(batch, idCol, textCol, n)
+      .repartition(col(idCol))
+      .persist(MEMORY_AND_DISK)
+    val bandsH = Skew.capBuckets(minhashBandSignatures(shH, idCol),
+      Seq("band", "sig"), idCol, maxBucket, "lsh_inc_hist_cap")
+    val bandsB = Skew.capBuckets(minhashBandSignatures(shB, idCol),
+      Seq("band", "sig"), idCol, maxBucket, "lsh_inc_batch_cap")
+
+    def verified(cand: DataFrame, shRight: DataFrame): DataFrame = {
+      // cand carries the batch-side shingles (batch-sized → broadcast);
+      // the right side streams past it un-shuffled.
+      val withS1 = cand
+        .join(shB.select(col(idCol).as("d1"), col("s").as("s1")), "d1")
+      shRight.select(col(idCol).as("d2"), col("s").as("s2"))
+        .join(broadcast(withS1), "d2")
+        .withColumn("ni", intersectSize(col("s1"), col("s2")))
+        .withColumn("jacc", expr("CAST(ni AS DOUBLE) / (size(s1) + size(s2) - ni)"))
+        .filter(col("jacc") >= threshold)
+    }
+
+    // Batch-vs-history: broadcast batch signatures, scan the history index.
+    val candH = bandsH.as("h")
+      .join(broadcast(bandsB.as("b")),
+        col("b.band") === col("h.band") && col("b.sig") === col("h.sig"))
+      .select(col(s"b.$idCol").as("d1"), col(s"h.$idCol").as("d2"))
+      .distinct()
+    val dupHist = verified(candH, shH).select(col("d1").as(idCol)).distinct()
+      .withColumn("_dh", lit(true))
+
+    // Within-batch: standard LSH self-join on the (small) batch only.
+    val candB = bandsB.as("l")
+      .join(bandsB.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
+    val dupBatch = verified(candB, shB).select(col("d2").as(idCol)).distinct()
+      .withColumn("_db", lit(true))
 
-    verifyJaccard(cand, sh, idCol, threshold)
+    batch.select(col(idCol))
+      .join(broadcast(dupHist), Seq(idCol), "left")
+      .join(broadcast(dupBatch), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_dh"), lit(false)).as("dup_of_history"),
+        coalesce(col("_db"), lit(false)).as("dup_in_batch"),
+        (coalesce(col("_dh"), lit(false)) === false &&
+          coalesce(col("_db"), lit(false)) === false).as("kept"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs with length-bucket blocking: docs

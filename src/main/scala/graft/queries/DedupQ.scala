@@ -283,6 +283,55 @@ object DedupQ {
            |FROM r3 ORDER BY doc_id""".stripMargin
       }),
 
+    // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: docs with
+    // doc_id % 5 == 0 arrive as the new batch, the rest are the accumulated
+    // corpus whose LSH index the batch probes. History is never re-deduped;
+    // flags are near-dup-of-history and near-dup-of-earlier-batch-doc.
+    Q("dedup_incremental",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.incrementalMinhashDedup(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |bh AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+           |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |candh AS (SELECT DISTINCT b.doc_id AS d1, h.doc_id AS d2
+           |          FROM bb b JOIN bh h ON b.band = h.band AND b.sig = h.sig),
+           |candb AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |          FROM bb l JOIN bb r
+           |            ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |jh AS (SELECT d1, d2, len(list_intersect(a.s, b.s)) AS ni,
+           |              len(a.s) AS n1, len(b.s) AS n2
+           |       FROM candh JOIN sh a ON a.doc_id = candh.d1
+           |                  JOIN sh b ON b.doc_id = candh.d2),
+           |jb AS (SELECT d1, d2, len(list_intersect(a.s, b.s)) AS ni,
+           |              len(a.s) AS n1, len(b.s) AS n2
+           |       FROM candb JOIN sh a ON a.doc_id = candb.d1
+           |                  JOIN sh b ON b.doc_id = candb.d2),
+           |duph AS (SELECT DISTINCT d1 AS doc_id FROM jh
+           |         WHERE CAST(ni AS DOUBLE) / (n1 + n2 - ni) >= 0.5),
+           |dupb AS (SELECT DISTINCT d2 AS doc_id FROM jb
+           |         WHERE CAST(ni AS DOUBLE) / (n1 + n2 - ni) >= 0.5)
+           |SELECT d.doc_id,
+           |       duph.doc_id IS NOT NULL AS dup_of_history,
+           |       dupb.doc_id IS NOT NULL AS dup_in_batch,
+           |       (duph.doc_id IS NULL AND dupb.doc_id IS NULL) AS kept
+           |FROM documents d
+           |LEFT JOIN duph ON d.doc_id = duph.doc_id
+           |LEFT JOIN dupb ON d.doc_id = dupb.doc_id
+           |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
     // `label`): exact cosine >= 0.4 on candidate pairs only.
     Q("dedup_embedding_cosine",

@@ -50,6 +50,29 @@ class DedupSpec extends SparkSpec {
       (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 6L), (7L, 6L)))
   }
 
+  test("incrementalMinhashDedup flags history dups and earlier-batch dups only") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different words about spark shuffles and parquet files here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of history 0
+      (11L, "fresh unrelated content mentioning catalyst plans and tungsten codegen stages"),
+      (12L, "fresh unrelated content mentioning catalyst plans and tungsten codegen pages"), // near-dup of 11
+      (13L, "short")                                                             // < n tokens → no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashDedup(history, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (10L, true, false, false),   // matches history, not any earlier batch doc
+      (11L, false, false, true),   // first of its family in the batch → kept
+      (12L, false, true, false),   // near-dups the EARLIER batch doc 11
+      (13L, false, false, true)))  // shingle-less docs can never match
+  }
+
   test("cosinePairs respects partition blocking and threshold") {
     import spark.implicits._
     val vecs = Seq(
