@@ -47,6 +47,33 @@ object Corpus {
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
+  /** Deterministic uniform k-per-group sample: keep the k rows with the
+    * smallest salted id-hash per group. Ordering by a salted hash IS uniform
+    * sampling (the hash is a fixed pseudo-random permutation of ids), and —
+    * unlike reservoir or `rand()` sampling — it is reproducible across
+    * engines, reruns, task retries and cluster layouts, which is the only
+    * sampling discipline that audits cleanly at 100 TB.
+    *
+    * Runs on the bounded [[graft.expressions.TopKAggregate]] rather than a
+    * window: partial buffers cap at k, so map-side combine ships at most
+    * |groups|·k rows into the shuffle instead of sorting the whole corpus
+    * per group. Output: groupCol, rn (1-based sample rank), idCol, smp_hash. */
+  def sampleKPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.expressions.TopKAggregate.topK
+    import graft.functions.Hashing.polyHashSpark
+    // Salt prefix decorrelates this permutation from every other hash use;
+    // hashes < P ≈ 1e9 are exactly representable as the aggregate's double
+    // score, so negation is a lossless order flip (largest -h = smallest h).
+    val h = expr(polyHashSpark(s"concat('smp:', CAST($idCol AS STRING))"))
+    df.select(col(groupCol), col(idCol).as("_id"), h.as("_h"))
+      .groupBy(col(groupCol))
+      .agg(topK(-col("_h").cast("double"), col("_id"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as(idCol), (-col("col.score")).cast("bigint").as("smp_hash"))
+  }
+
   /** Weighted mixture sampling: resample per `byCol` class to target
     * weights, supporting UPSAMPLING (weight > 1 emits repeated copies) —
     * the domain-mixing step of corpus construction. Weights are integer

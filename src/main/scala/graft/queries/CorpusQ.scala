@@ -51,6 +51,25 @@ object CorpusQ {
               |  CAST(SUM(hit) AS DOUBLE) / n_shingles >= 0.2 AS contaminated
               |FROM j GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic uniform 20-per-source sample via the bounded top-k
+    // aggregate over a salted id hash — reservoir sampling's scalable,
+    // reproducible replacement (|groups|·k shuffle rows; same sample on any
+    // engine/layout). Oracle: the equivalent hash-ordered window.
+    Q("sample_bottomk",
+      (s, dir) =>
+        Corpus.sampleKPerGroup(Catalog.load(s, dir, "documents"),
+            "source", "doc_id", k = 20)
+          .orderBy("source", "rn"),
+      Some(s"""WITH h AS (SELECT source, doc_id,
+              |  ${polyHashDuck("'smp:' || CAST(doc_id AS VARCHAR)")} AS smp_hash
+              |  FROM documents),
+              |r AS (SELECT source, doc_id, smp_hash,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+              |               ORDER BY smp_hash ASC, doc_id ASC) AS INTEGER) AS rn
+              |      FROM h)
+              |SELECT source, rn, doc_id, smp_hash FROM r
+              |WHERE rn <= 20 ORDER BY source, rn""".stripMargin)),
+
     // Gopher-style repetition quality: most-frequent unigram and bigram
     // fractions per doc (multiplicity preserved — NOT the distinct shingle
     // sets the dedup path uses). High top-fractions mark low-quality
