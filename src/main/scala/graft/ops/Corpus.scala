@@ -74,6 +74,54 @@ object Corpus {
         col("col.id").as(idCol), (-col("col.score")).cast("bigint").as("smp_hash"))
   }
 
+  /** One BPE merge-induction step — the inner loop of vocabulary training:
+    * count adjacent symbol pairs across the corpus, weighted by word
+    * frequency, and rank the merge candidates. Two codegen'd hash-aggregate
+    * cascades: corpus → word counts (the corpus's only shuffle — everything
+    * after runs on the tiny distinct-word table), then word → exploded
+    * adjacent char pairs → global pair counts. At 100 TB the word-count
+    * table is millions of rows regardless of corpus size, so iterating
+    * merges (the full BPE training loop) re-reads only it.
+    * Output: pair, cnt — top `topN` by (cnt desc, pair asc). */
+  def bpePairCounts(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"),
+        explode(expr("transform(sequence(1, length(word)-1), i -> substr(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  /** Mean-pool chunk embeddings into document embeddings — the aggregation
+    * step after chunk-level embedding (`chunkOf` maps chunk id → doc id).
+    * Output is scalar (doc id, dimension, n_chunks, mean_val) rows.
+    *
+    * The per-dimension sum folds the chunk values in chunk-id order (sorted
+    * struct array), so the IEEE result is identical on any engine, any
+    * partitioning, any retry — the determinism discipline exact-DECIMAL sums
+    * give money columns, applied to floats (where no decimal widening is
+    * faithful). Chunk counts per doc are small by construction, so the
+    * collect-per-group never outgrows a row. */
+  def meanPoolEmbeddings(
+      chunks: DataFrame, chunkIdCol: String, vecCol: String,
+      chunkOf: Column): DataFrame = {
+    val x = chunks
+      .select(chunkOf.as("doc_id"), col(chunkIdCol).as("_cid"),
+        posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+      .select(col("doc_id"), col("_cid"), col("pos").as("i"), col("col").as("v"))
+    x.groupBy(col("doc_id"), col("i"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        aggregate(sort_array(collect_list(struct(col("_cid"), col("v")))),
+          lit(0.0), (acc, e) => acc + e.getField("v")).as("_vsum"))
+      .select(col("doc_id"), col("i"), col("n_chunks"),
+        (col("_vsum") / col("n_chunks").cast("double")).as("mean_val"))
+  }
+
   /** Weighted mixture sampling: resample per `byCol` class to target
     * weights, supporting UPSAMPLING (weight > 1 emits repeated copies) —
     * the domain-mixing step of corpus construction. Weights are integer

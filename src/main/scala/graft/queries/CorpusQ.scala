@@ -70,6 +70,43 @@ object CorpusQ {
               |SELECT source, rn, doc_id, smp_hash FROM r
               |WHERE rn <= 20 ORDER BY source, rn""".stripMargin)),
 
+    // One BPE merge-induction step: adjacent char-pair counts weighted by
+    // word frequency, top-50 merge candidates. The corpus shuffles once
+    // (word counts); the pair cascade runs on the distinct-word table.
+    Q("bpe_pair_counts",
+      (s, dir) =>
+        Corpus.bpePairCounts(Catalog.load(s, dir, "documents"), "text", topN = 50),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS wc FROM t
+             |       WHERE length(word) >= 2 GROUP BY word),
+             |p AS (SELECT wc, unnest(list_transform(range(1, length(word)),
+             |               i -> substr(word, CAST(i AS INT), 2))) AS pair
+             |      FROM wc)
+             |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p
+             |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin)),
+
+    // Chunk→document embedding mean pooling (4 chunks per doc via
+    // vec_id DIV 4): per-dimension mean with the sum folded in chunk-id
+    // order, so the IEEE value is engine- and partitioning-exact.
+    Q("embed_mean_pool",
+      (s, dir) =>
+        Corpus.meanPoolEmbeddings(Catalog.load(s, dir, "embeddings"),
+            "vec_id", "embedding", chunkOf = expr("vec_id DIV 4"))
+          .orderBy("doc_id", "i"),
+      Some("""WITH x AS (SELECT vec_id // 4 AS doc_id, vec_id, embedding,
+             |                  unnest(range(0, len(embedding))) AS i
+             |           FROM embeddings),
+             |v AS (SELECT doc_id, vec_id, CAST(i AS INTEGER) AS i,
+             |             CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS v
+             |      FROM x),
+             |g AS (SELECT doc_id, i, COUNT(*) AS n_chunks,
+             |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |                                      list(v ORDER BY vec_id)),
+             |                         (a, b) -> a + b) AS vsum
+             |      FROM v GROUP BY doc_id, i)
+             |SELECT doc_id, i, n_chunks, vsum / CAST(n_chunks AS DOUBLE) AS mean_val
+             |FROM g ORDER BY doc_id, i""".stripMargin)),
+
     // Gopher-style repetition quality: most-frequent unigram and bigram
     // fractions per doc (multiplicity preserved — NOT the distinct shingle
     // sets the dedup path uses). High top-fractions mark low-quality
