@@ -46,12 +46,20 @@ object Hashing {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (space-joined) from a token-array expression `w`.
-    * Callers must guarantee `size(w) >= n` (filter first — the dialects
-    * disagree on null handling in short arrays). */
+  /** Word n-gram shingles (space-joined) from a token-array expression `w`;
+    * empty array for docs shorter than `n` tokens. The expression is TOTAL —
+    * the IF guard lives inside it, not in a caller-side filter — because the
+    * optimizer may evaluate it on unfiltered rows: `InferFiltersFromGenerate`
+    * derives `size(shingles) > 0` from an explode over this expression, and
+    * that inferred conjunct is not guaranteed to evaluate after a caller's
+    * `size(w) >= n` guard, so ANSI `element_at` would throw on short docs.
+    * (Callers still filter `size(w) >= n` for pruning; the dialects also
+    * disagree on null handling in short arrays, so the oracle side keeps its
+    * explicit length filter.) */
   def shinglesSpark(w: String, n: Int): String = {
     val parts = (0 until n).map(j => s"element_at($w, i+$j)").mkString(", ' ', ")
-    s"array_distinct(transform(sequence(1, size($w)-${n - 1}), i -> concat($parts)))"
+    val core = s"array_distinct(transform(sequence(1, size($w)-${n - 1}), i -> concat($parts)))"
+    s"IF(size($w) >= $n, $core, array())"
   }
 
   def shinglesDuck(w: String, n: Int): String = {

@@ -287,6 +287,73 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
   }
 
+  /** Containment near-dup pairs — the one-sided overlap symmetric Jaccard
+    * misses: a short doc quoted wholesale inside a long one has tiny Jaccard
+    * (union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1.
+    *
+    * Candidate generation is an inverted-index equi-join on the shingle hash
+    * itself (no minhash — signatures approximate Jaccard, not containment),
+    * with a document-frequency cap: shingles appearing in more than `maxDf`
+    * docs are boilerplate, carry no pair information worth df² join rows,
+    * and are dropped from the INDEX (observed via `containment_df_cap`,
+    * same discipline as [[Skew.capBuckets]]). The pair-count aggregate of
+    * the surviving postings IS the intersection size over the capped
+    * dictionary — one shuffle on the hash, one on the pair, never all-pairs.
+    * Containment denominators stay the docs' full (uncapped) set sizes, so
+    * capping can only undercount overlap — it never invents a pair.
+    * Output: d1, d2, ni, c1 (=ni/|s1|), c2; pairs with max(c1,c2) ≥
+    * `threshold`. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int = 256): DataFrame = {
+    val sh = hashedShingleSets(docs, idCol, textCol, n)
+      .select(col(idCol), size(col("s")).as("ns"), explode(col("s")).as("h"))
+    val kept = Skew.capBuckets(sh, Seq("h"), idCol, maxDf, "containment_df_cap")
+    val pairs = kept.as("l")
+      .join(kept.as("r"),
+        col("l.h") === col("r.h") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(
+        col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
+        col("l.ns").as("n1"), col("r.ns").as("n2"))
+      .agg(count(lit(1)).as("ni"))
+    pairs
+      .select(col("d1"), col("d2"), col("ni"),
+        (col("ni").cast("double") / col("n1")).as("c1"),
+        (col("ni").cast("double") / col("n2")).as("c2"))
+      .filter(greatest(col("c1"), col("c2")) >= threshold)
+  }
+
+  /** Duplicated-span detection — token-window-granular exact dedup (the
+    * scalable form of substring dedup): a `w`-token window whose rolling
+    * hash appears in ≥ 2 distinct docs is a duplicated span; docs are
+    * scored by the fraction of their windows that are duplicated (the
+    * trim-or-drop signal for boilerplate and cross-doc template text).
+    *
+    * One shuffle builds the span inventory (hash → distinct-doc count); the
+    * duplicated-span DICTIONARY (spans in ≥ 2 docs — tiny vs the corpus) is
+    * broadcast back over the postings, so the corpus never shuffles twice —
+    * the [[Corpus.decontaminate]] shape applied doc-vs-corpus instead of
+    * doc-vs-benchmark. Output: idCol, n_spans, n_dup_spans, dup_frac for
+    * every doc of ≥ `w` tokens. */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Within-doc-distinct span hashes; both the inventory and the scoring
+    // pass scan them, so the tokenize+hash pipeline materializes once.
+    val sp = hashedShingleSets(docs, idCol, textCol, w)
+      .select(col(idCol), size(col("s")).as("n_spans"), explode(col("s")).as("h"))
+      .persist(MEMORY_AND_DISK)
+    val dupDict = sp.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs")) // hashes are per-doc distinct → count = doc count
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(1L).as("_dup"))
+    sp.join(broadcast(dupDict), Seq("h"), "left")
+      .groupBy(col(idCol), col("n_spans"))
+      .agg(sum(coalesce(col("_dup"), lit(0L))).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+  }
+
   /** Embedding near-dup pairs within a coarse partition (IVF-style: `byCol`
     * is the cluster/label column, so the self-join shuffles on it instead of
     * exploding all-pairs): exact cosine ≥ `threshold` on candidates.

@@ -283,6 +283,49 @@ object DedupQ {
            |FROM r3 ORDER BY doc_id""".stripMargin
       }),
 
+    // Containment dedup: one-sided overlap (doc-inside-doc) that symmetric
+    // Jaccard misses. Inverted-index candidate join on the shingle hash with
+    // a 256-doc df cap; pair-count aggregate = intersection size.
+    Q("dedup_containment",
+      (s, dir) =>
+        Dedup.containmentPairs(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 3, threshold = 0.5, maxDf = 256)
+          .orderBy("d1", "d2"),
+      Some(s"""WITH ${shingleCte(3)},
+              |inv AS (SELECT doc_id, len(s) AS ns, unnest(s) AS h FROM sh),
+              |capped AS (SELECT doc_id, ns, h FROM (
+              |    SELECT doc_id, ns, h,
+              |           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+              |    FROM inv) x WHERE rn <= 256),
+              |p AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
+              |             l.ns AS n1, r.ns AS n2, COUNT(*) AS ni
+              |      FROM capped l JOIN capped r
+              |        ON l.h = r.h AND l.doc_id < r.doc_id
+              |      GROUP BY 1, 2, 3, 4)
+              |SELECT d1, d2, ni,
+              |       CAST(ni AS DOUBLE) / n1 AS c1, CAST(ni AS DOUBLE) / n2 AS c2
+              |FROM p
+              |WHERE greatest(CAST(ni AS DOUBLE) / n1, CAST(ni AS DOUBLE) / n2) >= 0.5
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // Duplicated-span detection: 20-token windows whose rolling hash appears
+    // in >= 2 docs; per-doc duplicated fraction — token-window-granular
+    // substring dedup (trim/drop signal for cross-doc template text).
+    Q("dedup_spans",
+      (s, dir) =>
+        Dedup.duplicatedSpans(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", w = 20)
+          .orderBy("doc_id"),
+      Some(s"""WITH ${shingleCte(20)},
+              |sp AS (SELECT doc_id, len(s) AS n_spans, unnest(s) AS h FROM sh),
+              |dict AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+              |j AS (SELECT sp.doc_id, sp.n_spans,
+              |             CASE WHEN d.h IS NULL THEN 0 ELSE 1 END AS dup
+              |      FROM sp LEFT JOIN dict d ON sp.h = d.h)
+              |SELECT doc_id, n_spans, CAST(SUM(dup) AS BIGINT) AS n_dup_spans,
+              |       CAST(SUM(dup) AS DOUBLE) / n_spans AS dup_frac
+              |FROM j GROUP BY doc_id, n_spans ORDER BY doc_id""".stripMargin)),
+
     // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: docs with
     // doc_id % 5 == 0 arrive as the new batch, the rest are the accumulated
     // corpus whose LSH index the batch probes. History is never re-deduped;

@@ -73,6 +73,39 @@ class DedupSpec extends SparkSpec {
       (13L, false, false, true)))  // shingle-less docs can never match
   }
 
+  test("containmentPairs finds one-sided (doc-inside-doc) overlap") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),                          // contained in 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "totally unrelated words in this other document right here"),
+      (3L, "xy")                                                        // < n tokens → no shingles
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L)))
+    val (_, _, c1, c2) = pairs.head
+    assert(c1 === 1.0)  // every shingle of 0 appears in 1
+    assert(c2 < 0.5)    // ...but 1 is mostly new text — Jaccard would miss this
+  }
+
+  test("duplicatedSpans scores docs by shared-window fraction; short docs drop") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
+    val d = Seq(
+      (0L, s"$shared a1 a2 a3 a4"),  // 10 tokens: windows at pos 1..6 (w=5)
+      (1L, s"$shared b1 b2 b3 b4"),  // shares windows fully inside `shared`
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (3L, "tiny doc")               // < w tokens → no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, "doc_id", "text", w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // docs 0 and 1 share exactly the two windows lying inside the 6 shared
+    // tokens (s1..s5, s2..s6); doc 2 shares nothing; doc 3 has no windows
+    assert(got.toSeq === Seq((0L, 6, 2L), (1L, 6, 2L), (2L, 6, 0L)))
+  }
+
   test("cosinePairs respects partition blocking and threshold") {
     import spark.implicits._
     val vecs = Seq(
