@@ -89,6 +89,20 @@ class DedupSkewSpec extends SparkSpec {
     assert(n <= bound, s"$n candidate pairs exceed blocks*C(cap,2) = $bound")
   }
 
+  test("containment df-cap bounds pair counts under a 1200-doc boilerplate family") {
+    val maxDf = 16
+    // Every boilerplate shingle appears in all 1200 docs; the df cap keeps
+    // the 16 smallest doc_ids per shingle, so candidate pairs are bounded by
+    // |capped dictionary| · C(maxDf, 2) in the worst case — and in this
+    // degenerate family the surviving pairs all come from the same 16 docs.
+    val pairs = Dedup.containmentPairs(boiler, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = maxDf)
+    val ids = pairs.select("d1").union(pairs.select("d2")).distinct().count()
+    assert(ids <= maxDf, s"$ids distinct docs in pairs exceed the $maxDf df cap")
+    assert(pairs.count() > 0, "capped containment must still pair kept docs")
+    assert(pairs.count() <= maxDf.toLong * (maxDf - 1) / 2)
+  }
+
   test("SRP LSH pair count bounded under a 1200-vector near-identical family") {
     val cap = 16
     val n = Similarity.srpPairs(vecs, "vec_id", "embedding",
