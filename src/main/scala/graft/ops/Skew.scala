@@ -43,6 +43,29 @@ object Skew {
       .drop("_bn")
   }
 
+  /** Salted equi-join — the hot-key defense for JOINS: when one join key
+    * carries a disproportionate share of the big side (the single-giant-key
+    * case AQE's skew join cannot split, because splitting a key group would
+    * need the matching build rows on every split), replicate the SMALL side
+    * `salts`× and route each big-side row to one replica by a deterministic
+    * per-row salt. Every reducer then holds the full dimension row for its
+    * key, so the result set is identical to the plain join — only the
+    * shuffle distribution changes, |small|·salts extra build rows being the
+    * price of splitting the hot reducer `salts` ways.
+    *
+    * `saltOn` must be a deterministic big-side column (any well-spread id);
+    * correctness needs no spreading quality — any routing yields the same
+    * rows. */
+  def saltedEquiJoin(
+      big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      saltOn: Column, salts: Int): DataFrame = {
+    val b = big.withColumn("_bsalt", pmod(saltOn, lit(salts)))
+    val s = small.withColumn("_ssalt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    b.join(s, b(bigKey) === s(smallKey) && col("_bsalt") === col("_ssalt"))
+      .drop("_bsalt", "_ssalt")
+  }
+
   /** Salted COUNT + exact SUM per key. */
   def saltedCountSum(
       df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =

@@ -88,6 +88,28 @@ object StreamQ {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
              |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin)),
 
+    // Salted equi-join over a 5-distinct-key (maximally skewed) join — each
+    // event_type routes across 32 salt replicas of its dimension row; the
+    // shuffle_hash hint keeps the exercise on the shuffle path (a broadcast
+    // join needs no salting). Result identical to the plain join = the oracle.
+    Q("skew_salted_join",
+      (s, dir) => {
+        val ev = Catalog.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val dim = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("type_n"))
+          .select(col("event_type").as("et"), col("type_n"))
+        graft.ops.Skew.saltedEquiJoin(ev, dim.hint("shuffle_hash"),
+            "event_type", "et", saltOn = col("event_id"), salts = 32)
+          .select(col("event_id"), col("event_type"), col("type_n"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (SELECT event_type AS et, COUNT(*) AS type_n
+             |            FROM events GROUP BY event_type)
+             |SELECT event_id, event_type, type_n
+             |FROM events e JOIN dim ON e.event_type = dim.et
+             |ORDER BY event_id""".stripMargin)),
+
     // Sketch aggregates (HLL distinct, percentile_approx) with a BOUNDED-
     // ERROR oracle: the raw sketch values are approximate by design, so the
     // checked output is (exact value, within-published-bound booleans) — the

@@ -134,6 +134,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted join shuffles on (key, salt) — hot key split across reducers") {
+    val df = SparkEntry.queries("skew_salted_join")(spark, dir)
+    val p = plan(df)
+    // the salt participates in the join keys, and the hinted path is the
+    // shuffled one (broadcast would make salting a no-op)
+    assert(p.contains("_bsalt"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("abs-range rewrite pushes symmetric-distance predicates to the scan") {
     import org.apache.spark.sql.functions._
     import graft.engine.Catalog
