@@ -25,11 +25,17 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.findFirstIn(name).isDefined)
     }
-    val results = selected.map { case (name, fn) =>
+    // Fixed (sorted) execution order: Map iteration order scatters the
+    // session's cold-start costs (codegen/JIT of the first big expression
+    // trees) onto arbitrary queries each build, which round 3 showed as a
+    // phantom 5× on whichever flagship ran first. Sorted order pins the
+    // warm-up bias to the same queries every round, making per-query
+    // numbers comparable across rounds.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // Full per-query detail for humans (NOT the machine-read line).
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
