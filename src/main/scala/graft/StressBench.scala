@@ -61,6 +61,30 @@ object StressBench {
     }
     println(s"[stress] simhash pairs capped=$nSim")
 
+    val (nSpan, _) = timed("duplicated spans over the 10x corpus (w=20)") {
+      Dedup.duplicatedSpans(big, "doc_id", "text", w = 20)
+        .filter(col("n_dup_spans") > 0).count()
+    }
+    println(s"[stress] docs with duplicated spans: $nSpan")
+
+    val (nCont, _) = timed("containment pairs, df cap=64") {
+      Dedup.containmentPairs(big, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDf = 64).count()
+    }
+    println(s"[stress] containment pairs capped=$nCont")
+
+    // Incremental dedup: last replica block = the daily batch (10% of the
+    // corpus), first nine = the accumulated history it probes.
+    val (incr, _) = timed("incremental dedup, 10% batch vs 9x history") {
+      val hist = big.filter(col("doc_id") < 9000000000L)
+      val batch = big.filter(col("doc_id") >= 9000000000L)
+      Dedup.incrementalMinhashDedup(hist, batch, "doc_id", "text", 3, 0.5,
+          maxBucket = 64)
+        .agg(sum(when(col("dup_of_history"), 1L).otherwise(0L)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head
+    }
+    println(s"[stress] batch dup_of_history=${incr.getLong(0)} kept=${incr.getLong(1)}")
+
     // ---- streaming dedup: default state store vs RocksDB ----------------
     def dedupRun(): Long = {
       val path = Catalog.path(sfDir, "events")
