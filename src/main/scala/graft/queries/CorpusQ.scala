@@ -181,6 +181,12 @@ object CorpusQ {
     // can't flow to the driver comparator; at 100 TB posting lists are
     // capped/delta-encoded, but df/cf and the digest pin the semantics).
     // One explode + one hash aggregate — the classic index-build dataflow.
+    // The digest folds the sorted ids NUMERICALLY — O(df) integer ops. The
+    // round-2 formulation (char-level polyHash of the comma-joined id
+    // string) was O(|string|²): interpreted substr(s, i, 1) rescans the
+    // string per character, which at sf0.1 turned one hot term's ~30 KB
+    // posting string into minutes of single-task CPU. Digests of unbounded
+    // strings must never go through the char-level hash.
     Q("text_inverted_index",
       (s, dir) =>
         Catalog.load(s, dir, "documents")
@@ -191,9 +197,9 @@ object CorpusQ {
             count(lit(1)).as("cf"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"),
-            expr(polyHashSpark(
-              "array_join(transform(sort_array(collect_set(doc_id)), " +
-                "x -> CAST(x AS STRING)), ',')")).as("postings_digest"))
+            expr("aggregate(sort_array(collect_set(doc_id)), " +
+              s"CAST(0 AS BIGINT), (a, x) -> (a*31 + x) % ${graft.functions.Hashing.P})")
+              .as("postings_digest"))
           .orderBy("term"),
       Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               |          FROM documents),
@@ -201,12 +207,11 @@ object CorpusQ {
               |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
               |        CAST(COUNT(*) AS BIGINT) AS cf,
               |        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-              |        array_to_string(list_transform(
-              |          list_sort(list_distinct(list(doc_id))),
-              |          x -> CAST(x AS VARCHAR)), ',') AS plist
+              |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |          list_sort(list_distinct(list(doc_id)))),
+              |          (a, x) -> (a*31 + x) % ${graft.functions.Hashing.P}) AS postings_digest
               |      FROM t GROUP BY term)
-              |SELECT term, df, cf, first_doc, last_doc,
-              |       ${polyHashDuck("plist")} AS postings_digest
+              |SELECT term, df, cf, first_doc, last_doc, postings_digest
               |FROM g ORDER BY term""".stripMargin)),
 
     // PII redaction: scrub emails and phone-shaped tokens, count what was

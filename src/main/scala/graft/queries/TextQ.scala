@@ -165,13 +165,17 @@ object TextQ {
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Document fingerprinting: whole-text polynomial hash + winnowing-lite
-    // min-8-gram-window hash (shift-resistant).
+    // min-8-gram-window hash (shift-resistant). The full-text hash runs the
+    // CODEGEN'D PolyHash expression (one linear byte pass), not the
+    // interpreted SQL recurrence — char-level substr(s, i, 1) folding is
+    // O(len²) and must never touch an unbounded text column (the
+    // inverted-index digest learned this at sf0.1).
     Q("text_fingerprint",
       (s, dir) =>
         Catalog.load(s, dir, "documents")
           .filter(expr("length(text) >= 8"))
           .select(col("doc_id"),
-            expr(polyHashSpark("text")).as("fp_full"),
+            graft.expressions.PolyHash.polyHash(col("text")).as("fp_full"),
             expr(minWindowHashSpark("text")).as("fp_min8"))
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id,

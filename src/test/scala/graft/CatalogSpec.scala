@@ -64,6 +64,44 @@ class CatalogSpec extends SparkSpec {
     assert(reordered.indexOf("nation") < reordered.indexOf("lineitem"), reordered)
   }
 
+  test("CostBasedJoinReorder handles the full-catalog 7-table chain") {
+    // The reference's DP search is also pinned on 8-relation graphs
+    // (TestJoinOrderOptimizerStudents.java:243-471); the analog here is the
+    // widest chain the driver schema supports — every relational table, the
+    // two facts written first, every selective dimension last. The DP
+    // threshold (spark.sql.cbo.joinReorder.dp.threshold = 12) covers 7
+    // relations, so this exercises the exhaustive search, not the greedy
+    // fallback.
+    Catalog.registerAllWithStats(spark, "/root/testdata/sf0.001",
+      Seq("lineitem", "orders", "customer", "nation", "region", "supplier", "part"))
+    val sql =
+      """SELECT count(*) FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_size < 10""".stripMargin
+    val tables = Seq("lineitem", "orders", "customer", "part", "supplier",
+      "nation", "region")
+
+    def leafOrder(): Seq[String] = {
+      val leaves = spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+      leaves.map(l => tables.find(l.toString.contains).getOrElse("?"))
+    }
+
+    val key = "spark.sql.cbo.joinReorder.enabled"
+    spark.conf.set(key, "false")
+    val syntactic = try leafOrder() finally spark.conf.set(key, "true")
+    val reordered = leafOrder()
+    assert(syntactic === tables, syntactic)
+    assert(reordered !== syntactic,
+      s"CostBasedJoinReorder left the bad 7-table order untouched: $reordered")
+    // the filtered region must enter before the unfiltered big fact
+    assert(reordered.indexOf("region") < reordered.indexOf("lineitem"), reordered)
+  }
+
   test("CHAR(n) blank-pad helpers reproduce the reference's fixed-length semantics") {
     import spark.implicits._
     val df = Seq(("abc", "abc  "), ("abc ", "abc"), ("ab", "abc")).toDF("a", "b")
