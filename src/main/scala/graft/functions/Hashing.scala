@@ -44,27 +44,29 @@ object Hashing {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), " +
       s"i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS BIGINT))), (a, x) -> (a*31 + x) % $P)"
 
-  // ------------------------------------------------------------- shingles
+  // ------------------------------------------- hashed shingles (two-level)
+  // (The one-level string-shingle emitters that lived here — build the
+  // window string, char-hash it — were retired in round 4: per-window cost
+  // scaled with n·token_len, and an ANSI element_at inside them could be
+  // evaluated on unfiltered rows by InferFiltersFromGenerate. The two-level
+  // recurrence below has no such partiality and costs n integer ops per
+  // window.)
 
-  /** Word n-gram shingles (space-joined) from a token-array expression `w`;
-    * empty array for docs shorter than `n` tokens. The expression is TOTAL —
-    * the IF guard lives inside it, not in a caller-side filter — because the
-    * optimizer may evaluate it on unfiltered rows: `InferFiltersFromGenerate`
-    * derives `size(shingles) > 0` from an explode over this expression, and
-    * that inferred conjunct is not guaranteed to evaluate after a caller's
-    * `size(w) >= n` guard, so ANSI `element_at` would throw on short docs.
-    * (Callers still filter `size(w) >= n` for pruning; the dialects also
-    * disagree on null handling in short arrays, so the oracle side keeps its
-    * explicit length filter.) */
-  def shinglesSpark(w: String, n: Int): String = {
-    val parts = (0 until n).map(j => s"element_at($w, i+$j)").mkString(", ' ', ")
-    val core = s"array_distinct(transform(sequence(1, size($w)-${n - 1}), i -> concat($parts)))"
-    s"IF(size($w) >= $n, $core, array())"
-  }
-
-  def shinglesDuck(w: String, n: Int): String = {
-    val parts = (0 until n).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
-    s"list_distinct(list_transform(range(1, len($w)-${n - 2}), i -> $parts))"
+  /** Hashed word-n-gram shingle sets via DOUBLE hashing: each token is
+    * char-hashed once (the [[graft.expressions.PolyHash]] recurrence), then
+    * each window folds its n token hashes with `h = (h·31 + tok) mod P` —
+    * no window string is ever materialized. The Spark side runs this as the
+    * compiled [[graft.expressions.WindowFold]] expression (one eval per
+    * document; both interpreted formulations — window-string rebuild and
+    * unrolled arithmetic lambda — lost 10-40 s at sf0.1 on the explode
+    * path). This emitter is the DuckDB oracle dialect of the identical
+    * recurrence; `th` is a token-hash LIST expression, callers guarantee
+    * `len(th) >= n`. */
+  def windowFoldDuck(th: String, n: Int): String = {
+    val fold = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc*31 + $th[CAST(i AS INT)+$j]) % $P)"
+    }
+    s"list_distinct(list_transform(range(1, len($th)-${n - 2}), i -> $fold))"
   }
 
   // -------------------------------------------------------------- minhash

@@ -25,14 +25,11 @@ object Corpus {
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       benchmarkPred: Column, threshold: Double): DataFrame = {
-    import graft.expressions.PolyHash.polyHash
-    // Unsorted distinct hash sets (sorting is only needed for the dedup
-    // path's merge-intersect), persisted because BOTH the benchmark and the
-    // train branch scan them — without the persist the tokenize+shingle+hash
-    // pipeline runs twice per query.
-    val sh = Dedup.shingleSets(docs, idCol, textCol, n)
-      .select(col(idCol),
-        array_distinct(transform(col("s"), s0 => polyHash(s0))).as("s"))
+    // Hashed shingle sets (two-level token-hash fold — see
+    // [[Dedup.hashedShingleSets]]), persisted because BOTH the benchmark and
+    // the train branch scan them — without the persist the
+    // tokenize+hash pipeline runs twice per query.
+    val sh = Dedup.hashedShingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(benchmarkPred)
       .select(explode(col("s")).as("h")).distinct()

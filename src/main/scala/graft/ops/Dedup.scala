@@ -31,28 +31,28 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Tokenized docs with word-`n`-gram shingle sets; docs shorter than `n`
-    * tokens are dropped (dialect-portable guard). Output: idCol, `s`. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** Shingle sets in hashed (BIGINT) space: Jaccard over hashes is the
+    * standard trick — set ops on longs are far cheaper than on strings, and
+    * since both engines run the identical polynomial recurrences, the oracle
+    * agrees exactly (collisions, if any, collapse identically).
+    *
+    * Two-level: tokens are char-hashed ONCE ([[graft.expressions.PolyHash]],
+    * one linear pass each), then each window folds its n token hashes with
+    * an unrolled integer recurrence ([[Hashing.windowFoldSpark]]). The
+    * round-4 profile caught the earlier one-level design (build the window
+    * STRING, char-hash it) costing 17 s at sf0.1 for w=20 spans — per-window
+    * work scaled with n · token length instead of n.
+    *
+    * Output: idCol, `s` (SORTED array of distinct hashes — sorted once per
+    * doc so pair verification can merge-intersect). */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.expressions.PolyHash.polyHash
+    import graft.expressions.WindowFold.windowFold
     docs
       .select(col(idCol), expr(s"split($textCol, ' ')").as("w"))
       .filter(expr(s"size(w) >= $n"))
-      .select(col(idCol), expr(shinglesSpark("w", n)).as("s"))
-
-  /** Shingle sets in hashed (BIGINT) space: Jaccard over hashes is the
-    * standard trick — set ops on longs are far cheaper than on strings, and
-    * since both engines run the identical polynomial hash, the oracle agrees
-    * exactly (collisions, if any, collapse identically). Output: idCol, `s`
-    * (SORTED array of distinct hashes — sorted once per doc so pair
-    * verification can merge-intersect). */
-  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import graft.expressions.PolyHash.polyHash
-    // The lambda body is ONE native expression (tight primitive loop), not a
-    // per-character expression tree — so the per-element cost of the HOF is a
-    // single eval call.
-    shingleSets(docs, idCol, textCol, n)
-      .select(col(idCol),
-        sort_array(array_distinct(transform(col("s"), sh0 => polyHash(sh0)))).as("s"))
+      .select(col(idCol), transform(col("w"), t0 => polyHash(t0)).as("th"))
+      .select(col(idCol), windowFold(col("th"), n).as("s"))
   }
 
   /** Default per-(band, signature) bucket cap for LSH candidate generation —
@@ -291,32 +291,42 @@ object Dedup {
     * misses: a short doc quoted wholesale inside a long one has tiny Jaccard
     * (union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1.
     *
-    * Candidate generation is an inverted-index equi-join on the shingle hash
-    * itself (no minhash — signatures approximate Jaccard, not containment),
-    * with a document-frequency cap: shingles appearing in more than `maxDf`
-    * docs are boilerplate, carry no pair information worth df² join rows,
-    * and are dropped from the INDEX (observed via `containment_df_cap`,
-    * same discipline as [[Skew.capBuckets]]). The pair-count aggregate of
-    * the surviving postings IS the intersection size over the capped
-    * dictionary — one shuffle on the hash, one on the pair, never all-pairs.
-    * Containment denominators stay the docs' full (uncapped) set sizes, so
-    * capping can only undercount overlap — it never invents a pair.
-    * Output: d1, d2, ni, c1 (=ni/|s1|), c2; pairs with max(c1,c2) ≥
-    * `threshold`. */
+    * Candidate generation is rare-shingle prefix filtering: a shingle
+    * appearing in more than `maxDf` docs is boilerplate — it carries no
+    * discriminative pair information, and its bucket join would cost df²
+    * rows — so it is DROPPED from the dictionary entirely (volume observed
+    * via `containment_df_drop`). The pair-count aggregate over the
+    * surviving inverted index IS the intersection size, and containment is
+    * measured within the informative dictionary: c1 = |A∩B∩D| / |A∩D|.
+    * Two hash shuffles (df count, pair count), join work bounded by
+    * Σ_{df≤maxDf} df² — never all-pairs, never quadratic in a boilerplate
+    * family (a pure-template family shares only dropped shingles and
+    * simply produces no pairs; exact/minhash dedup owns that case).
+    * Output: d1, d2, ni, c1, c2; pairs with max(c1, c2) ≥ `threshold`. */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Int = 256): DataFrame = {
-    val sh = hashedShingleSets(docs, idCol, textCol, n)
-      .select(col(idCol), size(col("s")).as("ns"), explode(col("s")).as("h"))
-    val kept = Skew.capBuckets(sh, Seq("h"), idCol, maxDf, "containment_df_cap")
+      n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inv = hashedShingleSets(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("s")).as("h"))
+      .persist(MEMORY_AND_DISK)
+    val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+    val kept = inv.join(dfc, "h")
+      .observe("containment_df_drop",
+        sum(when(col("dfh") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_postings"),
+        max(col("dfh")).as("max_df"))
+      .filter(col("dfh") <= maxDf)
+      .select(col(idCol), col("h"))
+      .persist(MEMORY_AND_DISK)
+    val ns = kept.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
     val pairs = kept.as("l")
       .join(kept.as("r"),
         col("l.h") === col("r.h") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .groupBy(
-        col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
-        col("l.ns").as("n1"), col("r.ns").as("n2"))
+      .groupBy(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .agg(count(lit(1)).as("ni"))
     pairs
+      .join(ns.select(col(idCol).as("d1"), col("ns").as("n1")), "d1")
+      .join(ns.select(col(idCol).as("d2"), col("ns").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("ni"),
         (col("ni").cast("double") / col("n1")).as("c1"),
         (col("ni").cast("double") / col("n2")).as("c2"))

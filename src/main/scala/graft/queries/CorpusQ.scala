@@ -36,10 +36,8 @@ object CorpusQ {
           .orderBy("doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= 5),
-              |sh0 AS (SELECT doc_id, ${shinglesDuck("w", 5)} AS s0 FROM dd),
-              |sh AS (SELECT doc_id,
-              |         list_distinct(list_transform(s0, shx -> ${polyHashDuck("shx")})) AS s
-              |       FROM sh0),
+              |thx AS (SELECT doc_id, list_transform(w, t0 -> ${polyHashDuck("t0")}) AS th FROM dd),
+              |sh AS (SELECT doc_id, ${windowFoldDuck("th", 5)} AS s FROM thx),
               |bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 97 = 0),
               |train AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS h
               |          FROM sh WHERE doc_id % 97 <> 0),

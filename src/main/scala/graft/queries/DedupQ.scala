@@ -14,12 +14,13 @@ import graft.ops.{Dedup, Similarity}
 object DedupQ {
 
   /** Shared oracle prelude: tokenized docs + hashed n-gram shingle sets
-    * (DuckDB) — mirrors [[Dedup.hashedShingleSets]]. */
+    * (DuckDB) — mirrors [[Dedup.hashedShingleSets]]'s two-level recurrence
+    * (per-token char hash, then an unrolled window fold over token hashes). */
   private def shingleCte(n: Int): String =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= $n),
-       |sh0x AS (SELECT doc_id, ${shinglesDuck("w", n)} AS s0 FROM dd),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(s0, shx -> ${polyHashDuck("shx")})) AS s FROM sh0x)""".stripMargin
+       |thx AS (SELECT doc_id, list_transform(w, t0 -> ${polyHashDuck("t0")}) AS th FROM dd),
+       |sh AS (SELECT doc_id, ${windowFoldDuck("th", n)} AS s FROM thx)""".stripMargin
 
   /** Jaccard verify CTEs over candidate pairs (expects `cand` and `sh`). */
   private val jaccCtes =
@@ -284,28 +285,29 @@ object DedupQ {
       }),
 
     // Containment dedup: one-sided overlap (doc-inside-doc) that symmetric
-    // Jaccard misses. Inverted-index candidate join on the shingle hash with
-    // a 256-doc df cap; pair-count aggregate = intersection size.
+    // Jaccard misses. Rare-shingle prefix filtering: shingles in > 64 docs
+    // are boilerplate and DROPPED from the dictionary; pair-count aggregate
+    // over the surviving inverted index = intersection size; containment is
+    // measured within the informative dictionary.
     Q("dedup_containment",
       (s, dir) =>
         Dedup.containmentPairs(Catalog.load(s, dir, "documents"),
-            "doc_id", "text", n = 3, threshold = 0.5, maxDf = 256)
+            "doc_id", "text", n = 3, threshold = 0.5, maxDf = 64)
           .orderBy("d1", "d2"),
       Some(s"""WITH ${shingleCte(3)},
-              |inv AS (SELECT doc_id, len(s) AS ns, unnest(s) AS h FROM sh),
-              |capped AS (SELECT doc_id, ns, h FROM (
-              |    SELECT doc_id, ns, h,
-              |           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-              |    FROM inv) x WHERE rn <= 256),
-              |p AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
-              |             l.ns AS n1, r.ns AS n2, COUNT(*) AS ni
-              |      FROM capped l JOIN capped r
+              |inv AS (SELECT doc_id, unnest(s) AS h FROM sh),
+              |dfc AS (SELECT h, COUNT(*) AS dfh FROM inv GROUP BY h),
+              |kept AS (SELECT doc_id, inv.h FROM inv
+              |         JOIN dfc ON inv.h = dfc.h WHERE dfh <= 64),
+              |ns AS (SELECT doc_id, COUNT(*) AS ns FROM kept GROUP BY doc_id),
+              |p AS (SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS ni
+              |      FROM kept l JOIN kept r
               |        ON l.h = r.h AND l.doc_id < r.doc_id
-              |      GROUP BY 1, 2, 3, 4)
+              |      GROUP BY 1, 2)
               |SELECT d1, d2, ni,
-              |       CAST(ni AS DOUBLE) / n1 AS c1, CAST(ni AS DOUBLE) / n2 AS c2
-              |FROM p
-              |WHERE greatest(CAST(ni AS DOUBLE) / n1, CAST(ni AS DOUBLE) / n2) >= 0.5
+              |       CAST(ni AS DOUBLE) / a.ns AS c1, CAST(ni AS DOUBLE) / b.ns AS c2
+              |FROM p JOIN ns a ON d1 = a.doc_id JOIN ns b ON d2 = b.doc_id
+              |WHERE greatest(CAST(ni AS DOUBLE) / a.ns, CAST(ni AS DOUBLE) / b.ns) >= 0.5
               |ORDER BY d1, d2""".stripMargin)),
 
     // Duplicated-span detection: 20-token windows whose rolling hash appears

@@ -89,18 +89,29 @@ class DedupSkewSpec extends SparkSpec {
     assert(n <= bound, s"$n candidate pairs exceed blocks*C(cap,2) = $bound")
   }
 
-  test("containment df-cap bounds pair counts under a 1200-doc boilerplate family") {
-    val maxDf = 16
-    // Every boilerplate shingle appears in all 1200 docs; the df cap keeps
-    // the 16 smallest doc_ids per shingle, so candidate pairs are bounded by
-    // |capped dictionary| · C(maxDf, 2) in the worst case — and in this
-    // degenerate family the surviving pairs all come from the same 16 docs.
+  test("containment df-drop yields zero pairs (and zero blow-up) on a pure boilerplate family") {
+    // Every shared shingle appears in all 1200 docs — far over the df
+    // threshold — so the informative dictionary is empty except each doc's
+    // unique tail, and the candidate join degenerates to nothing instead of
+    // 1200²/2 pairs. Pure-template families are exact/minhash dedup's job;
+    // containment owns informative (rare-shingle) overlap only.
     val pairs = Dedup.containmentPairs(boiler, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = maxDf)
-    val ids = pairs.select("d1").union(pairs.select("d2")).distinct().count()
-    assert(ids <= maxDf, s"$ids distinct docs in pairs exceed the $maxDf df cap")
-    assert(pairs.count() > 0, "capped containment must still pair kept docs")
-    assert(pairs.count() <= maxDf.toLong * (maxDf - 1) / 2)
+      n = 3, threshold = 0.5, maxDf = 16)
+    assert(pairs.count() === 0)
+  }
+
+  test("containment df-drop still pairs a quoted doc against mostly-fresh text") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val d = Seq(
+      (0L, quote),                                                  // the quoted source
+      (1L, quote + " " + (1 to 40).map(i => s"f$i").mkString(" ")), // quotes 0 inside fresh text
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L)))
+    assert(got.head._3 === 1.0) // every informative shingle of 0 is inside 1
   }
 
   test("SRP LSH pair count bounded under a 1200-vector near-identical family") {
