@@ -139,13 +139,19 @@ object Dedup {
   def incrementalMinhashDedup(
       history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxBucket: Int = LshMaxBucket): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import graft.expressions.IntersectSize.intersectSize
+    // Deliberately NOT persisted, although each side feeds two plan
+    // branches: the cache manager matches by canonicalized PLAN, so a
+    // persisted read of a corpus path that gains files between invocations
+    // (exactly what the streaming sink does every microbatch) silently
+    // serves the STALE previous snapshot — batch 2 would never see batch
+    // 1's kept docs. Recomputing the (compiled, cheap) shingle pipeline
+    // twice is the correct trade; at production scale both sides' shingle
+    // sets and band signatures are precomputed artifacts, not inline
+    // recomputation.
     val shH = hashedShingleSets(history, idCol, textCol, n)
-      .persist(MEMORY_AND_DISK)
     val shB = hashedShingleSets(batch, idCol, textCol, n)
       .repartition(col(idCol))
-      .persist(MEMORY_AND_DISK)
     val bandsH = Skew.capBuckets(minhashBandSignatures(shH, idCol),
       Seq("band", "sig"), idCol, maxBucket, "lsh_inc_hist_cap")
     val bandsB = Skew.capBuckets(minhashBandSignatures(shB, idCol),

@@ -619,6 +619,27 @@ object Extended {
              |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
              |ORDER BY event_id""".stripMargin)),
 
+    // Rank-distribution window surface: percent_rank / cume_dist — the
+    // rank-based feature-normalization transform (ties keep identical
+    // values in both engines; the outputs are rank arithmetic, so doubles
+    // are bit-exact).
+    Q("w6_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").asc)
+        Catalog.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // UNPIVOT (wide → long), the inverse of pivot_priority_counts: per-flag
     // aggregates unpivoted into (metric, val) rows via stack() — a generator,
     // so no shuffle beyond the aggregation itself.

@@ -235,6 +235,35 @@ object Streams {
   def writeBatch(batch: DataFrame, path: String, id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch=$id")
 
+  /** Streaming incremental dedup — the daily-ingest pipeline in streaming
+    * form: each microbatch of (doc_id, text) documents is deduped against
+    * the ACCUMULATED kept corpus at `corpusDir` (and within-batch,
+    * earlier-id convention) via
+    * [[graft.ops.Dedup.incrementalMinhashDedup]], and its kept docs append
+    * as a `batch=<id>` directory — the same idempotent-overwrite discipline
+    * as [[foreachBatchParquetSink]], so a replayed batch rewrites itself.
+    * Seed `corpusDir` with the pre-existing corpus (any `batch=*` dir)
+    * before starting. At production scale the corpus's signature/shingle
+    * index would be a persisted artifact updated per batch rather than
+    * recomputed from text ([[graft.ops.Dedup.minhashBandSignatures]] is
+    * exactly that layout). */
+  def incrementalDedupSink(
+      stream: DataFrame, corpusDir: String, n: Int, threshold: Double,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val history = s.read.parquet(corpusDir).select("doc_id", "text")
+        val flags = graft.ops.Dedup.incrementalMinhashDedup(
+          history, batch.toDF(), "doc_id", "text", n, threshold)
+        val kept = batch.toDF().join(
+          flags.filter(col("kept")).select("doc_id"), "doc_id")
+        writeBatch(kept, corpusDir, id)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** The same session state machine on Spark 4's MODERN arbitrary-state API
     * (`transformWithState`): explicit typed state handles (ListState event
     * buffer + ValueState armed-timer) and event-time timers, instead of the

@@ -197,6 +197,54 @@ class StreamingSpec extends SparkSpec {
       second.agg(min("id")).head.getLong(0) === 100L)
   }
 
+  test("streaming incremental dedup accumulates kept docs across microbatches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_stream")
+    val src = root.resolve("src"); val staged = root.resolve("staged")
+    val corpus = root.toString + "/corpus"
+    java.nio.file.Files.createDirectories(src)
+
+    val hText = "the quick brown fox jumps over the lazy dog near the river bank"
+    val kText = "fresh unrelated content mentioning catalyst plans and tungsten codegen stages"
+    // Seed the corpus with history doc 0.
+    graft.streaming.Streams.writeBatch(
+      Seq((0L, hText)).toDF("doc_id", "text"), corpus, -1L)
+
+    def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = staged.resolve(tag).toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, src.resolve(s"$tag.parquet"))
+    }
+    // batch a: doc 10 duplicates history → dropped; doc 11 is fresh → kept.
+    addFile("a", Seq((10L, hText), (11L, kText)))
+    // batch b (arrives AFTER a's kept docs joined the corpus): doc 20
+    // near-dups batch-a's KEPT doc 11 → dropped against the accumulated
+    // corpus, not just the seed; doc 21 is fresh → kept.
+    addFile("b", Seq(
+      (20L, kText.replace("stages", "pages")),
+      (21L, "completely different words about spark shuffles and parquet files here")))
+    // one file per microbatch, ordered: a (older mtime) before b
+    java.nio.file.Files.setLastModifiedTime(src.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    graft.streaming.Streams.incrementalDedupSink(stream, corpus, n = 3, threshold = 0.5)
+      .awaitTermination()
+
+    val kept = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 11L, 21L))
+  }
+
   test("RocksDB state store yields identical windowed aggregates") {
     val dir = "/root/testdata/sf0.001"
     val default = Streams.tumblingAgg(spark, dir).collect().map(_.toSeq).toSeq
