@@ -52,7 +52,9 @@ object Bench {
       "tpch_q9_profit_proxy", "tpch_q18_large_orders",
       "dedup_minhash_lsh", "dedup_clusters", "ann_ivf_topk",
       "pack_sequences", "text_bm25_topk", "asof_purchase_click",
-      "w1_topk_per_group", "src_bucketed_join", "stream_stream_join")
+      "w1_topk_per_group", "src_bucketed_join", "stream_stream_join",
+      "dedup_containment", "dedup_spans", "dedup_incremental",
+      "sample_bottomk", "bpe_pair_counts")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

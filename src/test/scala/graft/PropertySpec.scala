@@ -30,6 +30,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WindowFold.compute equals the naive fold on random token-hash arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val P = graft.functions.Hashing.P
+    val gen = for {
+      len <- Gen.chooseNum(0, 60)
+      hs <- Gen.listOfN(len, Gen.chooseNum(0L, P - 1))
+      n <- Gen.chooseNum(1, 25)
+    } yield (hs, n)
+    for (seed <- 1 to 50) {
+      val (hs, n) = sample(gen, seed.toLong)
+      val naive =
+        if (hs.length < n) Seq.empty[Long]
+        else hs.sliding(n).map(_.foldLeft(0L)((a, h) => (a * 31 + h) % P))
+          .toSeq.distinct.sorted
+      val got = graft.expressions.WindowFold
+        .compute(new GenericArrayData(hs.toArray), n)
+        .toLongArray().toSeq
+      assert(got === naive, s"seed=$seed n=$n len=${hs.length}")
+    }
+  }
+
   test("capBuckets keeps exactly min(cap, |bucket|) smallest ids on random buckets") {
     import spark.implicits._
     val gen = Gen.listOfN(300, Gen.chooseNum(0, 7))
