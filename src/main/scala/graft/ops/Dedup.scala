@@ -497,6 +497,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Blocked edit-distance pair mining — fuzzy ENTITY dedup (near-identical
+    * names/titles differing by typos), the short-string complement of the
+    * shingle-based DOCUMENT dedup above. Candidates come from an equi-join
+    * on caller-chosen blocking keys (e.g. first token + length bucket), so
+    * the quadratic Levenshtein verify runs only inside blocks; a length-gap
+    * prune (`|len(a)−len(b)| ≤ maxDist`, a Levenshtein lower bound) drops
+    * non-starters before the O(len²) distance evaluates. Blocking trades
+    * recall for boundedness exactly like LSH banding: a pair split across
+    * blocks is never compared — at 100 TB that is the only way an
+    * edit-distance pass is runnable at all. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      blockOn: Column => Seq[Column]): DataFrame = {
+    def side(id: String, t: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), col(strCol).as(t))
+      blockOn(col(t)).zipWithIndex.foldLeft(base) {
+        case (d, (c, i)) => d.withColumn(s"_bk$i", c)
+      }
+    }
+    val a = side("d1", "t1")
+    val keys = a.columns.filter(_.startsWith("_bk")).toSeq
+    a.join(side("d2", "t2"), keys)
+      .filter(col("d1") < col("d2"))
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+  }
+
   /** Exact Jaccard over candidate pairs (d1, d2) against sorted hashed
     * shingle sets: codegen'd two-pointer merge-intersect, once per pair. */
   private def verifyJaccard(

@@ -328,6 +328,33 @@ object DedupQ {
               |       CAST(SUM(dup) AS DOUBLE) / n_spans AS dup_frac
               |FROM j GROUP BY doc_id, n_spans ORDER BY doc_id""".stripMargin)),
 
+    // Blocked Levenshtein pair mining — fuzzy ENTITY dedup on short strings
+    // (here: 40-char document-title prefixes), blocked on (first token,
+    // length÷8) so the quadratic distance verify runs only inside blocks.
+    // Both engines evaluate the classic Levenshtein DP on identical blocks,
+    // so the check is exact.
+    Q("dedup_levenshtein",
+      (s, dir) => {
+        val titles = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+        Dedup.editDistancePairs(titles, "doc_id", "t", maxDist = 8,
+            blockOn = t => Seq(
+              split(t, " ").getItem(0),
+              floor(length(t) / lit(8)).cast("long")))
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents),
+             |k AS (SELECT doc_id, t, split_part(t, ' ', 1) AS b0,
+             |             length(t) // 8 AS b1 FROM p)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |       levenshtein(a.t, b.t) AS dist
+             |FROM k a JOIN k b ON a.b0 = b.b0 AND a.b1 = b.b1
+             |                 AND a.doc_id < b.doc_id
+             |WHERE abs(length(a.t) - length(b.t)) <= 8
+             |  AND levenshtein(a.t, b.t) <= 8
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: docs with
     // doc_id % 5 == 0 arrive as the new batch, the rest are the accumulated
     // corpus whose LSH index the batch probes. History is never re-deduped;

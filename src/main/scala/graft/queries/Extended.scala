@@ -121,6 +121,24 @@ object Extended {
              |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Bloom semi-join reduction: fact side pre-filtered at the scan by a
+    // sketch of the dimension keys (graft.ops.BloomJoin); result identical
+    // to the plain semi join, which is exactly what the oracle checks.
+    Q("bloom_semi_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val smallParts = t(s, dir, "part").filter(col("p_size") === 1)
+        graft.ops.BloomJoin
+          .semiJoinReduce(li, smallParts, "l_partkey", "p_partkey",
+            expectedItems = 1L << 16, fpp = 0.01)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // --------------------------------------------------------------- windows
     Q("w1_topk_per_group",
       (s, dir) => {

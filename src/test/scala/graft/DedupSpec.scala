@@ -118,4 +118,31 @@ class DedupSpec extends SparkSpec {
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
+
+  test("editDistancePairs equals brute force restricted to shared blocks") {
+    import spark.implicits._
+    val names = Seq(
+      (0L, "acme widget mk2"), (1L, "acme widget mk3"),  // dist 1, same block
+      (2L, "acme gadget mk2"),                           // dist 2 from 0 (3 from 1)
+      (3L, "zenith widget mk2"),                         // other first token
+      (4L, "acme widget mark two special edition")       // other length bucket
+    ).toDF("id", "name")
+    def blocks(t: org.apache.spark.sql.Column) =
+      Seq(split(t, " ").getItem(0), floor(length(t) / lit(8)).cast("long"))
+
+    val got = Dedup.editDistancePairs(names, "id", "name", maxDist = 2, blocks)
+      .select("d1", "d2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val n2 = names.toDF("id2", "name2")
+    val naive = names.join(n2, col("id") < col("id2"))
+      .filter(split(col("name"), " ").getItem(0) === split(col("name2"), " ").getItem(0) &&
+        floor(length(col("name")) / lit(8)) === floor(length(col("name2")) / lit(8)) &&
+        levenshtein(col("name"), col("name2")) <= 2)
+      .select(col("id"), col("id2"), levenshtein(col("name"), col("name2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(got == naive)
+    assert(got == Set((0L, 1L, 1), (0L, 2L, 2)))
+  }
 }
