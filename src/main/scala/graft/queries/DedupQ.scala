@@ -355,6 +355,80 @@ object DedupQ {
              |  AND levenshtein(a.t, b.t) <= 8
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Entity-resolution capstone: blocked Levenshtein pairs → connected
+    // components → canonical representative (min id). The classic ER
+    // pipeline (block, match, cluster, canonicalize) composed from the
+    // operators above; at 100 TB each stage is the bounded form (equi-join
+    // blocking, capped verify, O(diameter) CC rounds).
+    Q("er_resolve_entities",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        val titles = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+        val pairs = Dedup.editDistancePairs(titles, "doc_id", "t", maxDist = 8,
+          blockOn = t => Seq(
+            split(t, " ").getItem(0),
+            floor(length(t) / lit(8)).cast("long")))
+        Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+          .withColumnRenamed("component", "entity")
+          .withColumn("canonical", col("doc_id") === col("entity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE p AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents),
+             |k AS (SELECT doc_id, t, split_part(t, ' ', 1) AS b0,
+             |             length(t) // 8 AS b1 FROM p),
+             |edges AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+             |          FROM k a JOIN k b ON a.b0 = b.b0 AND a.b1 = b.b1
+             |                           AND a.doc_id < b.doc_id
+             |          WHERE abs(length(a.t) - length(b.t)) <= 8
+             |            AND levenshtein(a.t, b.t) <= 8),
+             |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+             |        UNION ALL SELECT d2, d1 FROM edges),
+             |reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+             |SELECT a AS doc_id, MIN(b) AS entity, a = MIN(b) AS canonical
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // Leakage-safe train/test split: the gate hashes the near-dup CLUSTER
+    // id, not the doc id, so a document and its near-duplicates always land
+    // on the same side — the split analog of benchmark decontamination
+    // (a per-doc hash split leaks ~train-set text into test via near-dups).
+    Q("split_leakage_safe",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.connectedComponents(docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+          .select(col("doc_id"), col("component"),
+            expr(s"${polyHashSpark("CAST(component AS STRING)")} % 100").as("bucket"))
+          .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+          .select("doc_id", "component", "split")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |cc AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+           |SELECT doc_id, component,
+           |  CASE WHEN ${polyHashDuck("CAST(component AS VARCHAR)")} % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM cc ORDER BY doc_id""".stripMargin
+      }),
+
     // Incremental (batch-vs-corpus) dedup — the daily-ingest shape: docs with
     // doc_id % 5 == 0 arrive as the new batch, the rest are the accumulated
     // corpus whose LSH index the batch probes. History is never re-deduped;
