@@ -501,9 +501,11 @@ object Dedup {
     * names/titles differing by typos), the short-string complement of the
     * shingle-based DOCUMENT dedup above. Candidates come from an equi-join
     * on caller-chosen blocking keys (e.g. first token + length bucket), so
-    * the quadratic Levenshtein verify runs only inside blocks; a length-gap
-    * prune (`|len(a)−len(b)| ≤ maxDist`, a Levenshtein lower bound) drops
-    * non-starters before the O(len²) distance evaluates. Blocking trades
+    * the pairwise verify runs only inside blocks; a length-gap prune
+    * (`|len(a)−len(b)| ≤ maxDist`, a Levenshtein lower bound) drops
+    * non-starters cheaply, and the survivors go through the banded
+    * O(len·maxDist) [[graft.expressions.BoundedLevenshtein]] rather than
+    * the built-in's full O(len²) DP. Blocking trades
     * recall for boundedness exactly like LSH banding: a pair split across
     * blocks is never compared — at 100 TB that is the only way an
     * edit-distance pass is runnable at all. */
@@ -521,7 +523,9 @@ object Dedup {
     a.join(side("d2", "t2"), keys)
       .filter(col("d1") < col("d2"))
       .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .withColumn("dist",
+        graft.expressions.BoundedLevenshtein.boundedLev(
+          col("t1"), col("t2"), maxDist))
       .filter(col("dist") <= maxDist)
       .select("d1", "d2", "dist")
   }

@@ -70,14 +70,41 @@ class ExpressionsSpec extends SparkSpec {
       (2L, 0, 3.0, 20L)))
   }
 
+  test("BoundedLevenshtein matches the built-in below the bound and saturates above") {
+    import spark.implicits._
+    val df = Seq(
+      ("kitten", "sitting"),   // dist 3
+      ("flaw", "lawn"),        // dist 2
+      ("abc", "abc"),          // dist 0
+      ("", "abc"),             // dist 3 (insert-only)
+      ("abcdefgh", ""),        // dist 8
+      ("short", "a much longer string")) // length gap beyond any small k
+      .toDF("a", "b")
+    for (k <- Seq(0, 1, 3, 8)) {
+      val got = df.select(
+        graft.expressions.BoundedLevenshtein.boundedLev(col("a"), col("b"), k))
+        .collect().map(_.getInt(0))
+      val want = df.select(least(levenshtein(col("a"), col("b")), lit(k + 1)))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+    // null-safe like the built-in
+    val nulls = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    assert(nulls.select(
+      graft.expressions.BoundedLevenshtein.boundedLev(col("a"), col("b"), 2))
+      .collect()(0).isNullAt(0))
+  }
+
   test("extensions expose the functions to SQL") {
     import spark.implicits._
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
     val r = spark.sql(
       "SELECT graft_dot(a, b) AS d, graft_polyhash('hello') AS h, " +
-        "graft_zorder(3, 5) AS z FROM vecs").collect()(0)
+        "graft_zorder(3, 5) AS z, " +
+        "graft_lev_bounded('kitten', 'sitting', 2) AS lev FROM vecs").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 99162322L)
     assert(r.getLong(2) === graft.expressions.ZOrderValue.interleave(3, 5))
+    assert(r.getInt(3) === 3) // true distance 3 saturates at k+1
   }
 }

@@ -51,6 +51,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BoundedLevenshtein.compute equals min(full DP, k+1) on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def full(s: String, t: String): Int = {
+      val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1)
+      dp(s.length)(t.length)
+    }
+    val gen = for {
+      // tiny alphabet so edits collide and distances spread over [0, len]
+      la <- Gen.chooseNum(0, 25)
+      lb <- Gen.chooseNum(0, 25)
+      a <- Gen.stringOfN(la, Gen.oneOf('a', 'b', 'c'))
+      b <- Gen.stringOfN(lb, Gen.oneOf('a', 'b', 'c'))
+      k <- Gen.chooseNum(0, 12)
+    } yield (a, b, k)
+    for (seed <- 1 to 200) {
+      val (a, b, k) = sample(gen, seed.toLong)
+      // also a shift-heavy pair whose optimal path hugs the band edges
+      // (delete a prefix, insert a suffix) — the regression shape of the
+      // "flaw"/"lawn" bug where column 0 was treated as unreachable
+      val shifted = (a.drop(seed % 3), a + "xy".take(seed % 3))
+      for ((x, y) <- Seq((a, b), shifted, shifted.swap)) {
+        val want = math.min(full(x, y), k + 1)
+        val got = graft.expressions.BoundedLevenshtein.compute(
+          UTF8String.fromString(x), UTF8String.fromString(y), k)
+        assert(got === want, s"seed=$seed a=$x b=$y k=$k")
+      }
+    }
+  }
+
   test("capBuckets keeps exactly min(cap, |bucket|) smallest ids on random buckets") {
     import spark.implicits._
     val gen = Gen.listOfN(300, Gen.chooseNum(0, 7))
