@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQ, DedupQ, Extended, Flagship, MultimodalQ, Parity, Q, SimilarityQ, SourcesQ, StreamQ, TextQ, TrainQ}
+import graft.queries.{CorpusQ, DedupQ, Extended, Flagship, MultimodalQ, Parity, PipelineQ, Q, SimilarityQ, SourcesQ, StreamQ, TextQ, TrainQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Parity.all ++ Extended.all ++ Flagship.all ++ DedupQ.all ++ SimilarityQ.all ++
       TextQ.all ++ MultimodalQ.all ++ StreamQ.all ++ SourcesQ.all ++ CorpusQ.all ++
-      TrainQ.all
+      TrainQ.all ++ PipelineQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's group-customers pipeline (scan→join→agg→sort,

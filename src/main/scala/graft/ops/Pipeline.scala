@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.PolyHash
+
+/** Event-pipeline / feature-engineering operators a large-scale training-data
+  * platform needs beyond the relational core: ordered-funnel analysis, SCD2
+  * dimension snapshots from change logs, URL canonicalization + dedup, and
+  * hashing-trick feature vectorization. Absent from the reference (its
+  * surface is relational-only — SURVEY.md §2); designed Spark-first.
+  *
+  * Scale notes: every operator here is one hash shuffle on its natural key
+  * (user / entity / canonical-url / doc) — no self-joins, no driver state.
+  */
+object Pipeline {
+
+  /** Ordered funnel: for each user, the earliest time of stage i that occurs
+    * STRICTLY AFTER the chosen time of stage i-1 (classic view→click→buy
+    * conversion). One Exchange on `userCol`: the per-stage times are chained
+    * whole-partition conditional MINs (no ORDER BY ⇒ no per-window Sort),
+    * then one hash aggregate collapses each user to a row.
+    *
+    * Output: userCol, t_<stage>_us (micros, null = never reached),
+    * stage_reached (0..stages.length). */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    var df = events.select(
+      col(userCol), unix_micros(col(tsCol)).as("_us"), col(typeCol).as("_t"))
+    var prev: Option[String] = None
+    stages.foreach { stage =>
+      val c = s"t_${stage}_us"
+      val cond = prev match {
+        case None    => col("_t") === stage
+        case Some(p) => col("_t") === stage && col("_us") > col(p)
+      }
+      df = df.withColumn(c, min(when(cond, col("_us"))).over(w))
+      prev = Some(c)
+    }
+    val tCols = stages.map(s => min(col(s"t_${s}_us")).as(s"t_${s}_us"))
+    val agg = df.groupBy(col(userCol)).agg(tCols.head, tCols.tail: _*)
+    // Deepest non-null stage wins: fold ascending so stage N's WHEN ends up
+    // outermost (t_i non-null implies t_{i-1} non-null by construction).
+    val reached = stages.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col(s"t_${s}_us").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    agg.withColumn("stage_reached", reached)
+  }
+
+  /** SCD type-2 snapshot from a change log: each change row becomes a
+    * validity interval [ts, next change ts) per key; the last interval is
+    * open (valid_to_us NULL, is_current true). `tieCol` breaks equal
+    * timestamps deterministically. One Exchange + one Sort on the key. */
+  def scd2(
+      changelog: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from_us").asc, col(tieCol).asc)
+    changelog
+      .select(col(keyCol), col(tieCol), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Canonicalize a URL for web-corpus dedup: drop the fragment, lowercase
+    * scheme+host (path/query stay case-sensitive), strip `utm_*` tracking
+    * params (wherever they sit in the query string), drop a trailing slash.
+    * Pure regexp passes in the Java∩RE2 subset so the DuckDB oracle matches
+    * byte-for-byte; idempotent (canon(canon(u)) == canon(u)). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostLower = concat(
+      lower(regexp_extract(noFrag, "^(https?://[^/?]+)", 1)),
+      regexp_replace(noFrag, "^https?://[^/?]+", ""))
+    val noUtmMid = regexp_replace(hostLower, "&utm_[a-z_]+=[^&]*", "")
+    val noUtmLead = regexp_replace(noUtmMid, "\\?utm_[a-z_]+=[^&]*&", "?")
+    val noUtmOnly = regexp_replace(noUtmLead, "\\?utm_[a-z_]+=[^&]*$", "")
+    val noSlashQ = regexp_replace(noUtmOnly, "/\\?", "?")
+    regexp_replace(noSlashQ, "/$", "")
+  }
+
+  /** Keep-first dedup by canonical URL: rank within each canonical-url group
+    * by id (one Exchange on the canonical key) and flag the keeper. The
+    * group sort is bounded by the duplicate multiplicity of one URL —
+    * pathological hot URLs are exactly what the cap/observe machinery in
+    * [[Skew.capBuckets]] exists for if a corpus needs it. */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.withColumn("url_canon", canonicalizeUrl(col(urlCol)))
+    val w = Window.partitionBy(col("url_canon")).orderBy(col(idCol).asc)
+    canon
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") === 1)
+  }
+
+  /** Hashing-trick bag-of-words: whitespace tokens → compiled char-hash
+    * ([[graft.expressions.PolyHash]]) → `dim` buckets → per-(doc, bucket)
+    * term frequency. The sparse (doc, bucket, tf) rows ARE the vector — no
+    * dense arrays, no vocabulary build, fixed output width at any corpus
+    * size. One explode + one hash aggregate. */
+  def hashVectorize(
+      docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol),
+        (PolyHash.polyHash(col("tok")) % dim).cast("int").as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pipeline
+
+class PipelineSpec extends SparkSpec {
+
+  test("funnel enforces strict stage ordering and deepest-stage semantics") {
+    import spark.implicits._
+    // user 1: full funnel; user 2: click before view (doesn't count) then
+    // view only; user 3: view+purchase but no click → stage 1.
+    val events = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 50L, "click"), (2L, 100L, "view"),
+      (3L, 10L, "view"), (3L, 20L, "purchase")
+    ).toDF("user_id", "us", "t")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("t"))
+
+    val out = Pipeline.funnel(events, "user_id", "ts", "t",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "t_view_us", "t_click_us", "t_purchase_us", "stage_reached")
+      .collect()
+
+    assert(out(0).getLong(1) === 100L && out(0).getLong(2) === 200L &&
+      out(0).getLong(3) === 300L && out(0).getInt(4) === 3)
+    assert(out(1).getLong(1) === 100L && out(1).isNullAt(2) &&
+      out(1).isNullAt(3) && out(1).getInt(4) === 1)
+    assert(out(2).getLong(1) === 10L && out(2).isNullAt(2) &&
+      out(2).isNullAt(3) && out(2).getInt(4) === 1)
+  }
+
+  test("scd2 intervals tile the key's timeline with one open current row") {
+    val events = graft.engine.Catalog.load(spark, "/root/testdata/sf0.001", "events")
+    val scd = Pipeline.scd2(events, "user_id", "ts", "event_id", "event_type")
+      .persist()
+    // exactly one current row per key
+    val perKey = scd.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("is_current").cast("long")).as("cur"))
+    assert(perKey.filter(col("cur") =!= 1L).count() === 0)
+    // each interval's valid_to equals the next interval's valid_from (tiling)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us").asc, col("event_id").asc)
+    val bad = scd
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") =!= col("next_from"))
+    assert(bad.count() === 0)
+    assert(scd.count() === events.count())
+    scd.unpersist()
+  }
+
+  test("canonicalizeUrl is idempotent and strips utm/fragment/case/slash") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://WWW.Ex.COM/A/?utm_source=x&id=1&utm_b=2#f" ->
+        "https://www.ex.com/A?id=1",
+      "http://H.io/p/" -> "http://h.io/p",
+      "https://h.io/?utm_only=1" -> "https://h.io",
+      "https://h.io/x?a=1&utm_z=9" -> "https://h.io/x?a=1")
+    val df = cases.map(_._1).toDF("url")
+      .withColumn("c1", Pipeline.canonicalizeUrl(col("url")))
+      .withColumn("c2", Pipeline.canonicalizeUrl(col("c1")))
+    val rows = df.collect()
+    rows.zip(cases).foreach { case (r, (_, want)) =>
+      assert(r.getString(1) === want, s"canon(${r.getString(0)})")
+      assert(r.getString(2) === r.getString(1), "idempotence")
+    }
+  }
+
+  test("hashVectorize preserves token mass and stays within dim") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = Pipeline.hashVectorize(docs, "doc_id", "text", dim = 64).persist()
+    assert(v.filter(col("bucket") < 0 || col("bucket") >= 64).count() === 0)
+    val mass = v.agg(sum("tf")).head.getLong(0)
+    val tokens = docs.select(explode(split(col("text"), " "))).count()
+    assert(mass === tokens)
+    v.unpersist()
+  }
+}
