@@ -98,6 +98,69 @@ object Pipeline {
       .withColumn("kept", col("rn") === 1)
   }
 
+  /** Quantile binning (feature discretization): interpolated percentiles at
+    * ascending `probs` computed in ONE global aggregate, broadcast as a
+    * scalar row (the corpus never reshuffles), each row assigned bin
+    * 1..probs.length+1 by counting cut points strictly below its value. */
+  def withQuantileBin(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile($valueCol, $p)").as(s"_c$i")
+    }
+    val cuts = df.agg(aggs.head, aggs.tail: _*)
+    val bin = probs.indices.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(valueCol) > col(s"_c$i"), 1).otherwise(0)
+    }
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin.cast("int"))
+      .drop(probs.indices.map(i => s"_c$i"): _*)
+  }
+
+  /** Winsorization: clamp `valueCol` to its [lo, hi] interpolated
+    * percentiles (broadcast scalar row). Keeps `_lo`/`_hi` cut columns and
+    * clamped_low/clamped_high flags so callers can report clamp mass without
+    * a second pass. */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, "lo must be below hi")
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, $lo)").as("_lo"),
+      expr(s"percentile($valueCol, $hi)").as("_hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("clamped_low", col(valueCol) < col("_lo"))
+      .withColumn("clamped_high", col(valueCol) > col("_hi"))
+      .withColumn(s"${valueCol}_w",
+        when(col("clamped_low"), col("_lo"))
+          .when(col("clamped_high"), col("_hi"))
+          .otherwise(col(valueCol)))
+  }
+
+  /** Rolling z-score anomaly flag over the PREVIOUS `lookback` events per
+    * key (the current event never sees itself): flags rows whose squared
+    * deviation from the trailing mean exceeds `zSq` × the trailing
+    * population variance. The money-typed value goes through integer cents,
+    * so the test (x·n − S)² > zSq·(n·Q − S²) is exact 64-bit arithmetic —
+    * no sqrt, no float accumulation, bit-identical on any engine or
+    * partitioning. One Exchange + one Sort on the key. */
+  def rollingAnomaly(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, lookback: Int, minPrev: Int, zSq: Int): DataFrame = {
+    val fr = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)).asc, col(tieCol).asc)
+      .rowsBetween(-lookback, -1)
+    val base = df.withColumn("cents", round(col(valueCol) * 100).cast("long"))
+    base
+      .withColumn("n_prev", count(col("cents")).over(fr))
+      .withColumn("s_prev", sum(col("cents")).over(fr))
+      .withColumn("q_prev", sum(col("cents") * col("cents")).over(fr))
+      .withColumn("dev_sq",
+        (col("cents") * col("n_prev") - col("s_prev")) *
+          (col("cents") * col("n_prev") - col("s_prev")))
+      .withColumn("bound",
+        lit(zSq.toLong) * (col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")))
+      .withColumn("is_anomaly",
+        col("n_prev") >= minPrev && col("dev_sq") > col("bound"))
+  }
+
   /** Hashing-trick bag-of-words: whitespace tokens → compiled char-hash
     * ([[graft.expressions.PolyHash]]) → `dim` buckets → per-(doc, bucket)
     * term frequency. The sparse (doc, bucket, tf) rows ARE the vector — no

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Catalog
 import graft.functions.Hashing.polyHashDuck
-import graft.ops.Pipeline
+import graft.ops.{Pipeline, Relational}
 
 /** Oracle-checked event-pipeline / feature-engineering queries: ordered
   * funnel conversion, SCD2 dimension snapshots, URL canonicalization dedup,
@@ -120,6 +120,96 @@ object PipelineQ {
               |      FROM t)
               |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
               |FROM h GROUP BY doc_id, bucket
-              |ORDER BY doc_id, bucket""".stripMargin))
+              |ORDER BY doc_id, bucket""".stripMargin)),
+
+    // Quantile discretization: one global percentile aggregate broadcast
+    // back, per-bin stats (exact-DECIMAL sums). Spark `percentile` and
+    // DuckDB `quantile_cont` share the interpolation definition.
+    Q("feature_quantile_bin",
+      (s, dir) =>
+        Pipeline.withQuantileBin(Catalog.load(s, dir, "lineitem"),
+            "l_extendedprice", Seq(0.25, 0.5, 0.75))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            Relational.sumExact(col("l_extendedprice")).as("sum_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy("bin"),
+      Some("""WITH c AS (SELECT quantile_cont(l_extendedprice, 0.25) AS c0,
+             |                  quantile_cont(l_extendedprice, 0.50) AS c1,
+             |                  quantile_cont(l_extendedprice, 0.75) AS c2
+             |           FROM lineitem),
+             |b AS (SELECT l_extendedprice AS v,
+             |  CAST(1 + (CASE WHEN l_extendedprice > c0 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END)
+             |       AS INT) AS bin
+             |      FROM lineitem, c)
+             |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  MIN(v) AS min_price, MAX(v) AS max_price
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Winsorization audit: clamp at p05/p95; the winsorized sum is
+    // decomposed as exact-DECIMAL middle mass + clamp counts × cut values
+    // (one fixed-order double expression), so no float ever accumulates.
+    Q("feature_winsorize",
+      (s, dir) =>
+        Pipeline.winsorize(Catalog.load(s, dir, "lineitem"),
+            "l_extendedprice", 0.05, 0.95)
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            sum(col("clamped_low").cast("long")).as("n_lo"),
+            sum(col("clamped_high").cast("long")).as("n_hi"),
+            min(col("_lo")).as("lo_cut"), min(col("_hi")).as("hi_cut"),
+            Relational.sumExact(when(!col("clamped_low") && !col("clamped_high"),
+              col("l_extendedprice"))).as("sum_mid"))
+          .withColumn("sum_winsorized",
+            col("sum_mid") + col("n_lo") * col("lo_cut") +
+              col("n_hi") * col("hi_cut")),
+      Some("""WITH c AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo_cut,
+             |                  quantile_cont(l_extendedprice, 0.95) AS hi_cut
+             |           FROM lineitem),
+             |f AS (SELECT l_extendedprice AS v, lo_cut, hi_cut FROM lineitem, c),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+             |  CAST(SUM(CASE WHEN v >= lo_cut AND v <= hi_cut
+             |           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_mid
+             |  FROM f)
+             |SELECT n, n_lo, n_hi, lo_cut, hi_cut, sum_mid,
+             |  sum_mid + n_lo * lo_cut + n_hi * hi_cut AS sum_winsorized
+             |FROM g""".stripMargin)),
+
+    // Rolling z-score anomalies over the previous 20 events per user —
+    // the flag is exact 64-bit integer-cents arithmetic (no sqrt, no float
+    // accumulation): (x·n − S)² > 9·(n·Q − S²) with ≥10 events of history.
+    Q("anomaly_rolling_z",
+      (s, dir) =>
+        Pipeline.rollingAnomaly(Catalog.load(s, dir, "events"),
+            "user_id", "ts", "event_id", "value",
+            lookback = 20, minPrev = 10, zSq = 9)
+          .filter(col("is_anomaly"))
+          .select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
+          .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             |                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+             |           FROM events),
+             |w AS (SELECT event_id, user_id, cents,
+             |        CAST(COUNT(cents) OVER fr AS BIGINT) AS n_prev,
+             |        CAST(SUM(cents) OVER fr AS BIGINT) AS s_prev,
+             |        CAST(SUM(cents * cents) OVER fr AS BIGINT) AS q_prev
+             |      FROM e
+             |      WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+             |                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, cents, n_prev,
+             |  (cents * n_prev - s_prev) * (cents * n_prev - s_prev) AS dev_sq,
+             |  9 * (n_prev * q_prev - s_prev * s_prev) AS bound
+             |FROM w
+             |WHERE n_prev >= 10
+             |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
+             |      > 9 * (n_prev * q_prev - s_prev * s_prev)
+             |ORDER BY event_id""".stripMargin))
   )
 }

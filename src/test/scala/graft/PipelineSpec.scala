@@ -70,6 +70,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("withQuantileBin partitions rows into ordered, boundary-respecting bins") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val binned = Pipeline.withQuantileBin(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      .persist()
+    assert(binned.count() === li.count())
+    assert(binned.filter(col("bin") < 1 || col("bin") > 4).count() === 0)
+    // bins are ordered: max of bin i never exceeds min of bin i+2's values
+    val stats = binned.groupBy("bin")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .orderBy("bin").collect()
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(2), s"bin ${a.getInt(0)} vs ${b.getInt(0)}")
+    }
+    binned.unpersist()
+  }
+
+  test("winsorize clamps into [lo_cut, hi_cut] and flags match comparisons") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val w = Pipeline.winsorize(li, "l_extendedprice", 0.05, 0.95).persist()
+    assert(w.filter(col("l_extendedprice_w") < col("_lo") ||
+      col("l_extendedprice_w") > col("_hi")).count() === 0)
+    assert(w.filter(col("clamped_low") =!=
+      (col("l_extendedprice") < col("_lo"))).count() === 0)
+    // roughly 5% clamped each side on continuous data
+    val n = w.count()
+    val nLo = w.filter(col("clamped_low")).count()
+    assert(nLo > n / 40 && nLo < n / 10, s"nLo=$nLo of $n")
+    w.unpersist()
+  }
+
+  test("rollingAnomaly flags a spike and not the stable regime") {
+    import spark.implicits._
+    val base = (1L to 15L).map(i => (1L, i * 1000L, i, 10.0 + (i % 3) * 0.5))
+    val rows = base :+ ((1L, 16000L, 16L, 900.0)) // spike
+    val df = rows.toDF("user_id", "us", "event_id", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("value"))
+    val out = Pipeline.rollingAnomaly(df, "user_id", "ts", "event_id", "value",
+        lookback = 20, minPrev = 10, zSq = 9)
+      .filter(col("is_anomaly")).select("event_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(16L))
+  }
+
   test("hashVectorize preserves token mass and stays within dim") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Pipeline.hashVectorize(docs, "doc_id", "text", dim = 64).persist()
