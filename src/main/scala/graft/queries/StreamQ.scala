@@ -20,6 +20,17 @@ object StreamQ {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Stream-static enrichment: broadcast dimension join inside the
+    // microbatch plan (stateless), then watermarked tumbling windows.
+    Q("stream_static_enrich",
+      (s, dir) => Streams.staticEnrichAgg(s, dir),
+      Some("""SELECT date_trunc('hour', ts) AS ws,
+             |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM events LEFT JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2 ORDER BY ws, segment""".stripMargin)),
+
     // Sessionization via typed flatMapGroups (custom per-key state logic);
     // the oracle derives the same sessions with lag + cumulative-sum SQL.
     Q("sessionize_events",

@@ -94,6 +94,41 @@ object Streams {
     spark.table(name).orderBy("ws", "event_type")
   }
 
+  /** Stream-static enrichment: the event stream joins a broadcast static
+    * dimension (customer segment by user id) BEFORE the windowed aggregate —
+    * the canonical streaming-enrichment shape. The static side is planned
+    * per microbatch as an ordinary broadcast hash join (stateless — no join
+    * state, unlike stream-stream joins); watermarked tumbling windows bound
+    * the aggregation state. Left join + COALESCE keeps unmatched users
+    * (an inner join would silently drop late dimension rows at 100 TB). */
+  def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Catalog.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    val ev = Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val dim = Catalog.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_val"))
+      .select(col("window.start").as("ws"), col("segment"), col("cnt"), col("sum_val"))
+
+    val name = s"graft_enrich_${sinkId.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("ws", "segment")
+  }
+
   /** Streaming dedup: at-most-one event per (user, type, hour), state bounded
     * by the watermark (`dropDuplicatesWithinWatermark` evicts keys once the
     * watermark passes them — the 100 TB-safe form of streaming distinct).

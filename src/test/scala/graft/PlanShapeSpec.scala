@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
+import graft.engine.Catalog
+
 /** Plan-shape guards: the properties that make these pipelines survive a
   * 100 TB scale-up are visible in the physical plan — filters reaching the
   * parquet reader, column pruning, dimension broadcasts, map-side partial
@@ -183,5 +185,38 @@ class PlanShapeSpec extends SparkSpec {
     // no join operator at all: the union+window formulation avoids the
     // range-join explosion entirely
     assert(!p.contains("Join"), p)
+  }
+
+  test("funnel chains its stage windows over ONE exchange on the user key") {
+    val p = plan(graft.ops.Pipeline.funnel(
+      Catalog.load(spark, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")))
+    // 3 chained conditional-min windows + final agg reuse one hash
+    // partitioning on user_id — a second hash exchange would mean the
+    // chain re-shuffles per stage
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+    // partition-wide conditional mins need no per-window Sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
+
+  test("quantile binning broadcasts the cut row — the corpus never reshuffles") {
+    val p = plan(graft.ops.Pipeline.withQuantileBin(
+      Catalog.load(spark, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75)))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the full-table side carries no hash exchange: only the single-row
+    // percentile aggregate shuffles (a SinglePartition exchange)
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"hash exchanges = $hashEx\n$p")
+  }
+
+  test("rolling anomaly is one exchange + one sort on the key") {
+    val p = plan(graft.ops.Pipeline.rollingAnomaly(
+      Catalog.load(spark, dir, "events"), "user_id", "ts", "event_id", "value",
+      lookback = 20, minPrev = 10, zSq = 9))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+    assert(p.contains("Window"), p)
   }
 }
