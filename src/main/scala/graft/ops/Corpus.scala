@@ -93,6 +93,43 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Apply one learned round of BPE merges to the vocabulary: the top-N
+    * char-pair candidates from [[bpePairCounts]] contract, in rank order,
+    * over each distinct word's space-separated character string. Because
+    * round-1 merges only pair SINGLE characters, a rank-ordered single
+    * sweep reaches the BPE fixed point (a merge can never create a new
+    * single-char pair). Each merge runs `replace` TWICE: left-to-right
+    * non-overlapping replacement misses an occurrence whose leading
+    * boundary space was consumed by the immediately-preceding match, and
+    * after one pass no two missed occurrences are adjacent, so the second
+    * pass completes the contraction — exactly the token-list semantics.
+    *
+    * The encode runs on the DISTINCT-WORD table (bounded vocabulary), never
+    * the corpus: at 100 TB the resulting word→tokens dictionary
+    * broadcast-joins back to documents, so the interpreted lambda cost
+    * scales with |vocab|, not corpus bytes. The merge list travels as one
+    * broadcast array row — no driver round trip. */
+  def bpeApplyMerges(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val wc = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val mergesRow = bpePairCounts(docs, textCol, topN)
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'nc', -cnt, 'p', pair))), x -> x.p)").as("merges"))
+    val pat = "concat(' ', substr(m, 1, 1), ' ', substr(m, 2, 1), ' ')"
+    val rep = "concat(' ', m, ' ')"
+    wc.crossJoin(broadcast(mergesRow))
+      .withColumn("spaced", expr(
+        "concat(' ', array_join(transform(sequence(1, length(word)), " +
+          "i -> substr(word, i, 1)), ' '), ' ')"))
+      .withColumn("encoded", expr(
+        s"trim(aggregate(merges, spaced, (s, m) -> " +
+          s"replace(replace(s, $pat, $rep), $pat, $rep)))"))
+      .select(col("word"), col("wc"), length(col("word")).as("n_chars"),
+        size(split(col("encoded"), " ")).as("n_tokens"), col("encoded"))
+  }
+
   /** Mean-pool chunk embeddings into document embeddings — the aggregation
     * step after chunk-level embedding (`chunkOf` maps chunk id → doc id).
     * Output is scalar (doc id, dimension, n_chunks, mean_val) rows.

@@ -83,6 +83,38 @@ object CorpusQ {
              |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p
              |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // Apply the top-30 round-1 BPE merges to the vocabulary (rank-ordered
+    // boundary-safe double-replace contraction — see Corpus.bpeApplyMerges).
+    Q("bpe_apply_merges",
+      (s, dir) =>
+        Corpus.bpeApplyMerges(Catalog.load(s, dir, "documents"), "text", topN = 30)
+          .orderBy("word"),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM t
+             |       WHERE length(word) >= 2 GROUP BY word),
+             |p AS (SELECT wc, unnest(list_transform(range(1, length(word)),
+             |               i -> substr(word, CAST(i AS INT), 2))) AS pair
+             |      FROM wc),
+             |g AS (SELECT pair, SUM(wc) AS cnt FROM p
+             |      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 30),
+             |m AS (SELECT list(pair ORDER BY cnt DESC, pair ASC) AS merges FROM g),
+             |e AS (SELECT word, wc,
+             |        ' ' || array_to_string(list_transform(range(1, length(word)+1),
+             |                i -> substr(word, CAST(i AS INT), 1)), ' ') || ' '
+             |          AS spaced
+             |      FROM wc),
+             |enc AS (SELECT word, wc,
+             |  trim(list_reduce(list_prepend(spaced, merges), (s, m) ->
+             |    replace(replace(s,
+             |      ' ' || substr(m, 1, 1) || ' ' || substr(m, 2, 1) || ' ',
+             |      ' ' || m || ' '),
+             |      ' ' || substr(m, 1, 1) || ' ' || substr(m, 2, 1) || ' ',
+             |      ' ' || m || ' '))) AS encoded
+             |  FROM e, m)
+             |SELECT word, wc, CAST(length(word) AS INT) AS n_chars,
+             |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens, encoded
+             |FROM enc ORDER BY word""".stripMargin)),
+
     // Chunk→document embedding mean pooling (4 chunks per doc via
     // vec_id DIV 4): per-dimension mean with the sum folded in chunk-id
     // order, so the IEEE value is engine- and partitioning-exact.

@@ -181,6 +181,44 @@ object TextQ {
       Some(s"""SELECT doc_id,
               |  ${polyHashDuck("text")} AS fp_full,
               |  ${minWindowHashDuck("text")} AS fp_min8
-              |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin))
+              |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin)),
+
+    // HTML boilerplate stripping for web-corpus ingestion: the probe wraps
+    // each doc in a full HTML page (title, heading with an entity, script
+    // with a raw '<', a comment), and the stripper must recover clean text:
+    // script/comment blocks first (their bodies may contain '<'), then tags,
+    // then entity decode, then whitespace collapse. All regexes in the
+    // Java∩RE2 subset; per-row codegen'd regexp_replace chain.
+    Q("text_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>D"), col("doc_id").cast("string"),
+          lit("</title></head><body><h1>Doc &amp; "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><script>var x = 1 < 2;</script><!-- trailer --></body></html>"))
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), html.as("raw"))
+          .select(col("doc_id"),
+            expr("size(regexp_extract_all(raw, '<[a-z!/][^>]*>', 0))").as("n_tags"),
+            expr("trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+              "regexp_replace(raw, '<script>.*?</script>', ' '), " +
+              "'<!--.*?-->', ' '), '<[^>]*>', ' '), '&amp;', '&'), ' +', ' '))")
+              .as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+             |  '</title></head><body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+             |  '</h1><p>' || text ||
+             |  '</p><script>var x = 1 < 2;</script><!-- trailer --></body></html>'
+             |    AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '<[a-z!/][^>]*>')) AS INT) AS n_tags,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_replace(raw, '<script>.*?</script>', ' ', 'g'),
+             |    '<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+             |    '&amp;', '&', 'g'), ' +', ' ', 'g')) AS clean
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -44,4 +44,22 @@ class CorpusSpec extends SparkSpec {
       weightsPct = Map("up" -> 250, "down" -> 40), defaultPct = 0)
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
   }
+
+  test("bpeApplyMerges contracts all occurrences and preserves the word") {
+    import spark.implicits._
+    // 'aaaa' forces the adjacent-occurrence case the double-replace covers:
+    // merge (a,a) must yield [aa, aa], not [aa, a, a].
+    val docs = Seq("aaaa aaaa aaaa ab ab ab xy").toDF("text")
+    val out = Corpus.bpeApplyMerges(docs, "text", topN = 2)
+      .orderBy("word").collect()
+    // top-2 pairs: 'aa' (cnt 3*3=9) then 'ab' (3 within 'ab' words... plus 0)
+    val byWord = out.map(r => r.getString(0) -> (r.getInt(3), r.getString(4))).toMap
+    assert(byWord("aaaa") === ((2, "aa aa")), byWord)
+    assert(byWord("ab") === ((1, "ab")), byWord)
+    assert(byWord("xy")._2.replace(" ", "") === "xy")
+    // every word reassembles from its tokens
+    out.foreach { r =>
+      assert(r.getString(4).replace(" ", "") === r.getString(0))
+    }
+  }
 }
