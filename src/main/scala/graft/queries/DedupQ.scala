@@ -490,6 +490,88 @@ object DedupQ {
               |p AS (SELECT l.vec_id AS v1, r.vec_id AS v2, l.label AS label,
               |             ${Similarity.dotDuck("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cos
               |      FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
-              |SELECT v1, v2, label, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin))
+              |SELECT v1, v2, label, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin)),
+
+    // Corpus-refinery capstone: the full cleaning decision per document —
+    // near-dup clusters (shared LSH edge set) keep only their best-quality
+    // member, benchmark docs are fenced off, train docs sharing 5-gram
+    // shingles with the benchmark are dropped as contaminated, low
+    // lexical-diversity docs are dropped last. One labeled reason per doc,
+    // precedence fixed: benchmark_eval > drop_near_dup > drop_contaminated >
+    // drop_low_quality > keep. Every stage is the bounded-at-100 TB form
+    // (banded candidates, broadcast benchmark dictionary, one shuffle per
+    // stage key).
+    Q("corpus_refinery",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Catalog.load(s, dir, "documents")
+        val comp = Dedup.connectedComponents(
+          docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+        val quality = docs.select(col("doc_id"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+            " / size(split(text, ' '))").as("q"))
+        val w = Window.partitionBy("component")
+          .orderBy(col("q").desc, col("doc_id").asc)
+        val ranked = comp.join(quality, "doc_id")
+          .withColumn("rk", row_number().over(w))
+        val contam = graft.ops.Corpus.decontaminate(docs, "doc_id", "text",
+            n = 5, benchmarkPred = col("doc_id") % 97 === 0, threshold = 0.2)
+          .select(col("doc_id"), col("contaminated"))
+        ranked.join(contam, Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("doc_id") % 97 === 0, "benchmark_eval")
+              .when(col("rk") > 1, "drop_near_dup")
+              .when(coalesce(col("contaminated"), lit(false)), "drop_contaminated")
+              .when(col("q") < 0.45, "drop_low_quality")
+              .otherwise("keep"))
+          .select("doc_id", "component", "q", "reason")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |cc AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+           |sh5 AS (SELECT doc_id, ${windowFoldDuck("th", 5)} AS s5 FROM thx
+           |        WHERE len(th) >= 5),
+           |bench AS (SELECT DISTINCT unnest(s5) AS h FROM sh5 WHERE doc_id % 97 = 0),
+           |tr AS (SELECT doc_id, len(s5) AS ns, unnest(s5) AS h FROM sh5
+           |       WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT tr.doc_id,
+           |         CAST(SUM(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           |           / ns >= 0.2 AS contaminated
+           |       FROM tr LEFT JOIN bench b ON tr.h = b.h
+           |       GROUP BY tr.doc_id, ns),
+           |qy AS (SELECT doc_id,
+           |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |           / len(string_split(text, ' ')) AS q
+           |       FROM documents),
+           |r AS (SELECT cc.doc_id, cc.component, qy.q,
+           |        ROW_NUMBER() OVER (PARTITION BY cc.component
+           |             ORDER BY qy.q DESC, cc.doc_id ASC) AS rk
+           |      FROM cc JOIN qy ON cc.doc_id = qy.doc_id)
+           |SELECT r.doc_id, r.component, r.q,
+           |  CASE WHEN r.doc_id % 97 = 0 THEN 'benchmark_eval'
+           |       WHEN r.rk > 1 THEN 'drop_near_dup'
+           |       WHEN coalesce(ct.contaminated, FALSE) THEN 'drop_contaminated'
+           |       WHEN r.q < 0.45 THEN 'drop_low_quality'
+           |       ELSE 'keep' END AS reason
+           |FROM r LEFT JOIN ct ON r.doc_id = ct.doc_id
+           |ORDER BY r.doc_id""".stripMargin
+      })
   )
 }
