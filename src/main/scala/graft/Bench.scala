@@ -54,7 +54,8 @@ object Bench {
       "pack_sequences", "text_bm25_topk", "asof_purchase_click",
       "w1_topk_per_group", "src_bucketed_join", "stream_stream_join",
       "dedup_containment", "dedup_spans", "dedup_incremental",
-      "sample_bottomk", "bpe_pair_counts")
+      "sample_bottomk", "bpe_pair_counts", "corpus_refinery",
+      "funnel_conversion", "anomaly_rolling_z")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -210,6 +210,53 @@ object PipelineQ {
              |WHERE n_prev >= 10
              |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
              |      > 9 * (n_prev * q_prev - s_prev * s_prev)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Feature-store build: one wide per-user feature row from the event log
+    // in a single hash aggregate (conditional aggs, not a pivot shuffle) —
+    // per-type counts, exact purchase revenue, first/last activity span.
+    Q("events_user_features",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+            Relational.sumExact(when(col("event_type") === "purchase", col("value")))
+              .as("purchase_value"),
+            min(unix_micros(col("ts"))).as("first_us"),
+            max(unix_micros(col("ts"))).as("last_us"))
+          .withColumn("active_span_us", col("last_us") - col("first_us"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase'
+             |           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+             |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+             |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS active_span_us
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Power-of-2 histogram of document lengths: floor(log2(n_chars)) via
+    // the binary-string length (no libm log — transcendentals are not
+    // cross-engine reproducible), one hash aggregate.
+    Q("stats_histogram_pow2",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .filter(col("n_chars") >= 1)
+          .withColumn("bucket", (length(expr("bin(n_chars)")) - 1).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(length(bin(n_chars)) - 1 AS INT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+             |FROM documents WHERE n_chars >= 1
+             |GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
