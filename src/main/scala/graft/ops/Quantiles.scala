@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed EXACT interpolated percentiles.
+  *
+  * Spark's built-in exact `percentile` aggregate buffers every distinct
+  * (value, count) pair per partition and merges ALL of them on the single
+  * final reducer — fine for low-cardinality columns, a scale-killer for a
+  * continuous column at 100 TB (the merge is effectively a driver-side
+  * collect of the value distribution; measured 5.6 s on 600 k distinct
+  * doubles at sf0.1 where a groupBy of the same column is sub-second).
+  *
+  * This operator computes the same order statistics with bounded shapes
+  * only: one hash aggregate to (value, count), the two-phase
+  * [[Packing.globalCumsum]] prefix sum for exact global ranks (equal-width
+  * deterministic key slices — no sampling, no single-task window), then one
+  * aggregate that picks each target index's bracketing values. Shuffle
+  * volume is |distinct values|, no task ever holds the distribution.
+  *
+  * Interpolation follows the shared quantile_cont definition
+  * `lo + g·(hi − lo)` with `g = p·(n−1) − floor(p·(n−1))`, spelled in fixed
+  * order so results are bit-identical across engines. The key must be an
+  * integer column (money goes through cents — the exactness discipline
+  * money columns already use here).
+  */
+object Quantiles {
+
+  /** One row with `p0..pk` DOUBLE columns: the interpolated percentiles of
+    * integer column `keyCol` at ascending `probs` (in key units). */
+  def exactPercentiles(df: DataFrame, keyCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
+    // globalCumsum evaluates its subtree more than once (local cumsums +
+    // partition offsets) and two aggregates below read the ranked table —
+    // persist so the distinct-count shuffle happens once.
+    val ranked = Packing.globalCumsum(counts, keyCol, col("_cnt"), "_cum")
+      .withColumn("_start", col("_cum") - col("_cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = ranked.agg(sum(col("_cnt")).as("_n"))
+    val joined = ranked.crossJoin(broadcast(totals))
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val idx = s"($p * (_n - 1))"
+      Seq(
+        expr(s"min(CASE WHEN _start <= CAST(floor($idx) AS BIGINT) " +
+          s"AND CAST(floor($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_lo$i"),
+        expr(s"min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
+          s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_hi$i"))
+    }
+    val brackets = joined.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(totals))
+    probs.zipWithIndex.foldLeft(brackets) { case (acc, (p, i)) =>
+      acc.withColumn(s"p$i", expr(
+        s"CAST(_lo$i AS DOUBLE) + (($p * (_n - 1)) - floor($p * (_n - 1))) * " +
+          s"(CAST(_hi$i AS DOUBLE) - CAST(_lo$i AS DOUBLE))"))
+    }.select(probs.indices.map(i => col(s"p$i")): _*)
+  }
+}

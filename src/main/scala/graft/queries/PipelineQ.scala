@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Catalog
 import graft.functions.Hashing.polyHashDuck
-import graft.ops.{Pipeline, Relational}
+import graft.ops.{Pipeline, Quantiles, Relational}
 
 /** Oracle-checked event-pipeline / feature-engineering queries: ordered
   * funnel conversion, SCD2 dimension snapshots, URL canonicalization dedup,
@@ -257,6 +257,84 @@ object PipelineQ {
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
              |FROM documents WHERE n_chars >= 1
-             |GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // RFM customer segmentation: per-customer recency/frequency/monetary in
+    // one hash aggregate, median cut points broadcast back (one scalar row),
+    // 8 segments from the three above-median bits. Median interpolation over
+    // int64 micros stays exact in doubles (< 2^53).
+    Q("rfm_segmentation",
+      (s, dir) => {
+        val rfm = Catalog.load(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("last_us"),
+            count(lit(1)).as("freq"),
+            Relational.sumExact(col("o_totalprice")).as("monetary"))
+        val cuts = rfm.agg(
+          expr("percentile(last_us, 0.5)").as("r50"),
+          expr("percentile(freq, 0.5)").as("f50"),
+          expr("percentile(monetary, 0.5)").as("m50"))
+        rfm.crossJoin(broadcast(cuts))
+          .withColumn("segment", concat(
+            when(col("last_us") > col("r50"), "R").otherwise("r"),
+            when(col("freq") > col("f50"), "F").otherwise("f"),
+            when(col("monetary") > col("m50"), "M").otherwise("m")))
+          .select("o_custkey", "last_us", "freq", "monetary", "segment")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH rfm AS (SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+             |  CAST(COUNT(*) AS BIGINT) AS freq,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |c AS (SELECT quantile_cont(last_us, 0.5) AS r50,
+             |             quantile_cont(freq, 0.5) AS f50,
+             |             quantile_cont(monetary, 0.5) AS m50 FROM rfm)
+             |SELECT o_custkey, last_us, freq, monetary,
+             |  (CASE WHEN last_us > r50 THEN 'R' ELSE 'r' END) ||
+             |  (CASE WHEN freq > f50 THEN 'F' ELSE 'f' END) ||
+             |  (CASE WHEN monetary > m50 THEN 'M' ELSE 'm' END) AS segment
+             |FROM rfm, c ORDER BY o_custkey""".stripMargin)),
+
+    // Distributed exact percentiles over integer cents: (value, count) hash
+    // aggregate → two-phase prefix-sum ranks → bracket pick. No task ever
+    // holds the value distribution (Spark's built-in exact percentile
+    // merges it all on one reducer). The oracle spells the identical
+    // order-statistic arithmetic.
+    Q("stats_percentiles_distributed",
+      (s, dir) => {
+        val cents = Catalog.load(s, dir, "lineitem")
+          .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        Quantiles.exactPercentiles(cents, "cents", Seq(0.25, 0.5, 0.9))
+          .select(col("p0").as("p25_cents"), col("p1").as("p50_cents"),
+            col("p2").as("p90_cents"))
+      },
+      Some {
+        val probs = Seq(0.25 -> "p25_cents", 0.5 -> "p50_cents", 0.9 -> "p90_cents")
+        val brackets = probs.zipWithIndex.flatMap { case ((p, _), i) =>
+          Seq(
+            s"""MIN(CASE WHEN cum - cnt <= CAST(floor($p * (n - 1)) AS BIGINT)
+               |      AND CAST(floor($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS lo$i""".stripMargin,
+            s"""MIN(CASE WHEN cum - cnt <= CAST(ceil($p * (n - 1)) AS BIGINT)
+               |      AND CAST(ceil($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS hi$i""".stripMargin)
+        }.mkString(",\n")
+        val finals = probs.zipWithIndex.map { case ((p, name), i) =>
+          s"CAST(lo$i AS DOUBLE) + (($p * (n - 1)) - floor($p * (n - 1))) * " +
+            s"(CAST(hi$i AS DOUBLE) - CAST(lo$i AS DOUBLE)) AS $name"
+        }.mkString(",\n")
+        s"""WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           |           FROM lineitem),
+           |g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cents),
+           |r AS (SELECT cents, cnt,
+           |        CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM g),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+           |b AS (SELECT
+           |$brackets
+           |FROM r, t)
+           |SELECT
+           |$finals
+           |FROM b, t""".stripMargin
+      })
   )
 }

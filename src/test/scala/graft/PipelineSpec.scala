@@ -113,6 +113,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(16L))
   }
 
+  test("distributed exact percentiles equal the built-in exact aggregate") {
+    import graft.ops.Quantiles
+    val cents = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = Quantiles.exactPercentiles(cents, "cents", probs).head
+    val want = cents.agg(
+      expr(s"percentile(cents, array(${probs.mkString(",")}))")).head
+      .getSeq[Double](0)
+    // The operator spells lo + g·(hi − lo) exactly as the DuckDB oracle
+    // does (the conformance row is bit-exact); Spark's built-in aggregate
+    // associates its interpolation differently and can differ by 1 ulp.
+    probs.indices.foreach { i =>
+      val (g, w) = (got.getDouble(i), want(i))
+      assert(math.abs(g - w) <= math.ulp(w), s"p=${probs(i)}: $g vs $w")
+    }
+  }
+
+  test("distributed percentiles handle duplicates and tiny inputs") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val df = Seq(5L, 5L, 5L, 1L, 9L).toDF("k")
+    val r = Quantiles.exactPercentiles(df, "k", Seq(0.0, 0.5, 1.0)).head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 5.0 && r.getDouble(2) === 9.0)
+    val one = Seq(7L).toDF("k")
+    val r1 = Quantiles.exactPercentiles(one, "k", Seq(0.25)).head
+    assert(r1.getDouble(0) === 7.0)
+  }
+
   test("hashVectorize preserves token mass and stays within dim") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Pipeline.hashVectorize(docs, "doc_id", "text", dim = 64).persist()
