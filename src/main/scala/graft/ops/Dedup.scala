@@ -439,6 +439,49 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Semi-supervised label propagation over an undirected edge set: seeded
+    * nodes keep their label forever; each synchronous round every unseeded
+    * node adopts the most frequent label among its currently-labeled
+    * neighbors (tie → smallest label, so rounds are deterministic on any
+    * partitioning). Fixed `rounds` count — LPA has no monotone convergence
+    * scalar, so a fixed horizon is the deterministic choice. Per round: one
+    * equi-join against the cached symmetric edges + two hash aggregates
+    * (count per (node, label), then lexicographic-min of (-count, label));
+    * state is one row per node, like [[connectedComponents]]. */
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      seeds: DataFrame, labelCol: String, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    sym.count()
+    var labels = nodes.select(col(idCol).as("id"))
+      .join(seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
+        Seq("id"), "left")
+      .withColumn("seeded", col("label").isNotNull)
+      .persist(MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(labels.filter(col("label").isNotNull),
+          col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("id"), col("b.l").as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .withColumn("label", when(col("seeded"), col("label"))
+          .otherwise(coalesce(col("nbr_label"), col("label"))))
+        .select("id", "label", "seeded")
+        .persist(MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("label"), col("seeded"))
+  }
+
   /** Fixed-iteration PageRank over the symmetric near-dup graph — ranks
     * concentrate on hub documents of boilerplate families (prune-first
     * candidates). Damping 0.85, rank0 = 1.

@@ -492,6 +492,56 @@ object DedupQ {
               |      FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
               |SELECT v1, v2, label, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin)),
 
+    // Semi-supervised label propagation over the near-dup graph: every 10th
+    // doc is seeded with a class (doc_id % 3); 3 synchronous rounds spread
+    // labels along LSH edges by neighbor-majority vote (tie → smallest
+    // label). The deterministic LPA form — community/topic spreading over
+    // the same edge set the dedup family already materializes once.
+    Q("graph_label_propagation",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        val seeds = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("doc_id") % 3).as("lab"))
+        Dedup.labelPropagation(docs.select("doc_id"), lshPairs(s, dir),
+            "doc_id", seeds, "lab", rounds = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        val roundCtes = (1 to 3).map { k =>
+          s"""n$k AS (SELECT s.a AS id, l.label, COUNT(*) AS c
+             |       FROM sym s JOIN l${k - 1} l ON s.b = l.id
+             |       WHERE l.label IS NOT NULL GROUP BY s.a, l.label),
+             |b$k AS (SELECT id, label AS nbr_label FROM (
+             |         SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+             |              ORDER BY c DESC, label ASC) AS rn FROM n$k)
+             |       WHERE rn = 1),
+             |l$k AS (SELECT l.id,
+             |         CASE WHEN l.seeded THEN l.label
+             |              ELSE coalesce(b.nbr_label, l.label) END AS label,
+             |         l.seeded
+             |       FROM l${k - 1} l LEFT JOIN b$k b ON l.id = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |l0 AS (SELECT doc_id AS id,
+           |         CASE WHEN doc_id % 10 = 0 THEN doc_id % 3 END AS label,
+           |         doc_id % 10 = 0 AS seeded
+           |       FROM documents),
+           |$roundCtes
+           |SELECT id AS doc_id, label, seeded FROM l3 ORDER BY doc_id""".stripMargin
+      }),
+
     // Corpus-refinery capstone: the full cleaning decision per document —
     // near-dup clusters (shared LSH edge set) keep only their best-quality
     // member, benchmark docs are fenced off, train docs sharing 5-gram

@@ -145,4 +145,22 @@ class DedupSpec extends SparkSpec {
     assert(got == naive)
     assert(got == Set((0L, 1L, 1), (0L, 2L, 2)))
   }
+
+  test("labelPropagation: majority vote, min-label tie-break, immutable seeds") {
+    import spark.implicits._
+    // star: node 10 has seeded neighbors 1(label 5), 2(label 5), 3(label 7)
+    // → majority 5. node 20 ties between 1(5) and 3(7) → min label 5.
+    // node 3 is seeded and keeps 7 even though its neighbors say 5.
+    val nodes = Seq(1L, 2L, 3L, 10L, 20L, 99L).toDF("id")
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (3L, 20L),
+      (1L, 3L), (2L, 3L)).toDF("d1", "d2")
+    val seeds = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("id", "lab")
+    val out = graft.ops.Dedup.labelPropagation(nodes, edges, "id", seeds, "lab", 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(10L) === 5L)
+    assert(out(20L) === 5L)
+    assert(out(3L) === 7L)  // seed immutable
+    assert(out(99L) === -1L) // isolated node stays unlabeled
+  }
 }
