@@ -165,6 +165,47 @@ object SourcesQ {
           .limit(20),
       Some("""SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
-             |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin))
+             |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin)),
+
+    // Line-oriented text sink + source round trip, gzip-compressed — the
+    // corpus interchange format (one record per line, splittable at the
+    // file level). Fields re-parsed from the tab-joined line.
+    Q("src_text_gzip_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString + "/t"
+        Catalog.load(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+          .write.option("compression", "gzip").text(tmp)
+        s.read.text(tmp)
+          .select(
+            expr("CAST(split_part(value, '\t', 1) AS BIGINT)").as("doc_id"),
+            expr("split_part(value, '\t', 2)").as("lang"),
+            expr("split_part(value, '\t', 3)").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, text FROM documents ORDER BY doc_id""")),
+
+    // Cohort retention: users bucketed by first-activity day, distinct
+    // active users per (cohort, day offset) — two hash aggregates and one
+    // shuffle join on the user key.
+    Q("events_retention_cohorts",
+      (s, dir) => {
+        val e = Catalog.load(s, dir, "events")
+          .select(col("user_id"), expr("CAST(date_trunc('day', ts) AS DATE)").as("day"))
+        val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        e.join(cohorts, "user_id")
+          .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+          .groupBy("cohort_day", "offset_days")
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |           FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+             |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT)
+             |         AS offset_days,
+             |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM e JOIN c ON e.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin))
   )
 }
