@@ -108,6 +108,24 @@ object Relational {
         .unionByName(updates)
     }
 
+  /** Apply a CDC changelog (insert/update/delete ops) to a snapshot:
+    * collapse the log to each key's latest op by `seqCol` (row_number, one
+    * shuffle on the key), then delete = anti join, upsert = union of the
+    * surviving I/U rows. The snapshot side is touched by exactly one anti
+    * join — at 100 TB the changelog is the small side and broadcasts. */
+  def applyCdc(
+      snapshot: DataFrame, changelog: DataFrame,
+      keyCol: String, opCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = changelog
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", seqCol)
+    val kept = snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+    kept.unionByName(
+      latest.filter(col(opCol).isin("I", "U")).drop(opCol))
+  }
+
   /** Small-file compaction: rewrite the table into `numFiles` parquet files
     * sorted by `sortCols` within each file — restores scan efficiency after
     * many small appends and maximizes row-group min/max skipping for range

@@ -335,6 +335,31 @@ object PipelineQ {
            |SELECT
            |$finals
            |FROM b, t""".stripMargin
-      })
+      }),
+
+    // Hourly OHLC bars per user: open/close via lexicographic struct
+    // MIN/MAX on (us, event_id, value) — deterministic first/last without a
+    // window sort; one hash aggregate.
+    Q("ts_ohlc_hourly",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .select(col("user_id"), expr("date_trunc('hour', ts)").as("hour"),
+            unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+          .groupBy("user_id", "hour")
+          .agg(
+            expr("min(named_struct('us', us, 'eid', event_id, 'v', value)).v")
+              .as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            expr("max(named_struct('us', us, 'eid', event_id, 'v', value)).v")
+              .as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id", "hour"),
+      Some("""SELECT user_id, date_trunc('hour', ts) AS hour,
+             |  min({'us': epoch_us(ts), 'eid': event_id, 'v': value}).v AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  max({'us': epoch_us(ts), 'eid': event_id, 'v': value}).v AS close,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin))
   )
 }

@@ -291,6 +291,43 @@ object StreamQ {
              |FROM customer WHERE c_custkey < 300 OR c_custkey >= 200
              |ORDER BY c_custkey""".stripMargin)),
 
+    // CDC changelog apply: latest-op-per-key collapse (seq desc), deletes
+    // anti-joined out, I/U rows unioned in. The probe mixes all three ops
+    // plus a same-key U-then-D conflict that must net to a delete.
+    Q("s11_cdc_apply",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "customer")
+        val cols = c.columns.map(col)
+        def log(df: org.apache.spark.sql.DataFrame, op: String, seq: Long) =
+          df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+        val changelog =
+          log(c.filter(col("c_custkey") % 10 === 0), "D", 1L)
+            .unionByName(log(c.filter(col("c_custkey") % 10 === 1)
+              .withColumn("c_acctbal", col("c_acctbal") + 100.0), "U", 1L))
+            .unionByName(log(c.filter(col("c_custkey") % 10 === 2)
+              .select((col("c_custkey") + 100000L).as("c_custkey"),
+                concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+                col("c_nationkey"),
+                (col("c_custkey") % 100).cast("double").as("c_acctbal"),
+                lit("NEW").as("c_mktsegment")), "I", 1L))
+            .unionByName(log(c.filter(col("c_custkey") % 10 === 3)
+              .withColumn("c_acctbal", col("c_acctbal") + 999.0), "U", 1L))
+            .unionByName(log(c.filter(col("c_custkey") % 10 === 3), "D", 2L))
+        graft.ops.Relational.applyCdc(c, changelog, "c_custkey", "op", "seq")
+          .select(cols: _*)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |  CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  c_mktsegment
+             |FROM customer WHERE c_custkey % 10 NOT IN (0, 3)
+             |UNION ALL
+             |SELECT c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+             |  c_nationkey, CAST(c_custkey % 100 AS DOUBLE), 'NEW'
+             |FROM customer WHERE c_custkey % 10 = 2
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",
