@@ -109,6 +109,51 @@ object StressBench {
     require(nHdfs == nRocks, s"state-store mismatch: $nHdfs vs $nRocks")
     println(f"[stress] rocksdb/default wall ratio: ${tRocks / tHdfs}%.2f")
 
+    // ---- round-4 session ops at 10x -------------------------------------
+    // 10x events: every event replicated with 9 id/user-offset clones —
+    // 10x users at the same per-user history depth (the window/funnel ops
+    // scale with keys, not rows-per-key, so wall time should stay linear).
+    val events = Catalog.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bigEv = (0 until 10)
+      .map(k => events.select(
+        (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value")))
+      .reduce(_ unionByName _)
+      .persist(MEMORY_AND_DISK)
+    println(s"[stress] event rows: ${bigEv.count()} (10x $sfDir events)")
+
+    val (nAnom, _) = timed("rolling z-score anomalies over 10x events") {
+      graft.ops.Pipeline.rollingAnomaly(bigEv, "user_id", "ts", "event_id",
+        "value", lookback = 20, minPrev = 10, zSq = 9)
+        .filter(col("is_anomaly")).count()
+    }
+    println(s"[stress] anomalies: $nAnom")
+
+    val (funnelRows, _) = timed("funnel conversion over 10x events") {
+      graft.ops.Pipeline.funnel(bigEv, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).count()
+    }
+    println(s"[stress] funnel users: $funnelRows")
+
+    val (lpaRows, _) = timed("label propagation, 3 rounds, 10x corpus") {
+      Dedup.labelPropagation(big.select("doc_id"), edges, "doc_id",
+        big.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("doc_id") % 3).as("lab")),
+        "lab", rounds = 3).count()
+    }
+    println(s"[stress] lpa nodes: $lpaRows")
+
+    val (p50, _) = timed("distributed exact percentiles, 10x lineitem") {
+      val li = Catalog.load(spark, sfDir, "lineitem")
+        .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val bigLi = (0 until 10).map(_ => li).reduce(_ unionByName _)
+      graft.ops.Quantiles.exactPercentiles(bigLi, "cents", Seq(0.25, 0.5, 0.9))
+        .head.getDouble(1)
+    }
+    println(s"[stress] p50 cents: $p50")
+
     spark.stop()
   }
 }
