@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -56,5 +57,42 @@ object Quantiles {
         s"CAST(_lo$i AS DOUBLE) + (($p * (_n - 1)) - floor($p * (_n - 1))) * " +
           s"(CAST(_hi$i AS DOUBLE) - CAST(_lo$i AS DOUBLE))"))
     }.select(probs.indices.map(i => col(s"p$i")): _*)
+  }
+
+  /** Per-group exact interpolated percentiles: one row per `groupCol` value
+    * with `p0..pk` columns. Ranks come from an ordinary window cumsum
+    * PARTITIONED BY the group (distributed across groups; the within-group
+    * sort is bounded by that group's distinct values), so no global
+    * machinery is needed — the global variant above exists precisely
+    * because dropping the partition key would funnel everything into one
+    * task. Shapes: two hash aggregates + one window + one co-partitioned
+    * join, all on the group key. */
+  def exactPercentilesByGroup(
+      df: DataFrame, groupCol: String, keyCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+    val counts = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_start", col("_cum") - col("_cnt"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("_cnt")).as("_n"))
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val idx = s"($p * (_n - 1))"
+      Seq(
+        expr(s"min(CASE WHEN _start <= CAST(floor($idx) AS BIGINT) " +
+          s"AND CAST(floor($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_lo$i"),
+        expr(s"min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
+          s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_hi$i"))
+    }
+    val brackets = ranked.join(totals, groupCol)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .join(totals, groupCol)
+    probs.zipWithIndex.foldLeft(brackets) { case (acc, (p, i)) =>
+      acc.withColumn(s"p$i", expr(
+        s"CAST(_lo$i AS DOUBLE) + (($p * (_n - 1)) - floor($p * (_n - 1))) * " +
+          s"(CAST(_hi$i AS DOUBLE) - CAST(_lo$i AS DOUBLE))"))
+    }.select(col(groupCol) +: probs.indices.map(i => col(s"p$i")): _*)
   }
 }

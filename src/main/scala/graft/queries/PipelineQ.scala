@@ -337,6 +337,55 @@ object PipelineQ {
            |FROM b, t""".stripMargin
       }),
 
+    // Per-group distributed exact percentiles: window-cumsum ranks
+    // partitioned by the group key (the partitioned form needs no global
+    // prefix-sum machinery; dropping the partition is what kills it).
+    Q("stats_percentiles_grouped",
+      (s, dir) => {
+        val cents = Catalog.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        Quantiles.exactPercentilesByGroup(cents, "l_returnflag", "cents",
+            Seq(0.25, 0.5, 0.9))
+          .select(col("l_returnflag"), col("p0").as("p25_cents"),
+            col("p1").as("p50_cents"), col("p2").as("p90_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val probs = Seq(0.25 -> "p25_cents", 0.5 -> "p50_cents", 0.9 -> "p90_cents")
+        val brackets = probs.zipWithIndex.flatMap { case ((p, _), i) =>
+          Seq(
+            s"""MIN(CASE WHEN cum - cnt <= CAST(floor($p * (n - 1)) AS BIGINT)
+               |      AND CAST(floor($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS lo$i""".stripMargin,
+            s"""MIN(CASE WHEN cum - cnt <= CAST(ceil($p * (n - 1)) AS BIGINT)
+               |      AND CAST(ceil($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS hi$i""".stripMargin)
+        }.mkString(",\n")
+        val finals = probs.zipWithIndex.map { case ((p, name), i) =>
+          s"CAST(lo$i AS DOUBLE) + (($p * (n - 1)) - floor($p * (n - 1))) * " +
+            s"(CAST(hi$i AS DOUBLE) - CAST(lo$i AS DOUBLE)) AS $name"
+        }.mkString(",\n")
+        s"""WITH c AS (SELECT l_returnflag,
+           |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           |           FROM lineitem),
+           |g AS (SELECT l_returnflag, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM c GROUP BY l_returnflag, cents),
+           |r AS (SELECT l_returnflag, cents, cnt,
+           |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+           |             ORDER BY cents) AS BIGINT) AS cum FROM g),
+           |t AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+           |      FROM g GROUP BY l_returnflag),
+           |b AS (SELECT r.l_returnflag,
+           |$brackets
+           |FROM r JOIN t ON r.l_returnflag = t.l_returnflag
+           |GROUP BY r.l_returnflag)
+           |SELECT b.l_returnflag,
+           |$finals
+           |FROM b JOIN t ON b.l_returnflag = t.l_returnflag
+           |ORDER BY b.l_returnflag""".stripMargin
+      }),
+
     // Hourly OHLC bars per user: open/close via lexicographic struct
     // MIN/MAX on (us, event_id, value) — deterministic first/last without a
     // window sort; one hash aggregate.

@@ -131,6 +131,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("grouped distributed percentiles match the built-in per group") {
+    import graft.ops.Quantiles
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val got = Quantiles.exactPercentilesByGroup(df, "l_returnflag", "cents",
+        Seq(0.25, 0.75))
+      .orderBy("l_returnflag").collect()
+    val want = df.groupBy("l_returnflag")
+      .agg(expr("percentile(cents, array(0.25, 0.75))").as("ps"))
+      .orderBy("l_returnflag").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) === w.getString(0))
+      val ps = w.getSeq[Double](1)
+      Seq(1, 2).zip(ps).foreach { case (i, exp) =>
+        assert(math.abs(g.getDouble(i) - exp) <= math.ulp(exp),
+          s"${g.getString(0)} p$i: ${g.getDouble(i)} vs $exp")
+      }
+    }
+  }
+
   test("distributed percentiles handle duplicates and tiny inputs") {
     import spark.implicits._
     import graft.ops.Quantiles
