@@ -202,6 +202,29 @@ object Extended {
              |    AS hr_cnt
              |FROM e ORDER BY event_id""".stripMargin)),
 
+    // Trailing-hour DISTINCT count per event: Spark has no windowed
+    // COUNT(DISTINCT) — size(collect_set) over the RANGE frame is the
+    // equivalent (bounded by |event types|, so the per-row set stays tiny).
+    Q("w7_distinct_types_trailing",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        Catalog.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .select(col("event_id"), col("user_id"),
+            size(collect_set(col("event_type")).over(w)).cast("long")
+              .as("distinct_types"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+             |           FROM events)
+             |SELECT event_id, user_id,
+             |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY us
+             |        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |    AS distinct_types
+             |FROM e ORDER BY event_id""".stripMargin)),
+
     // Min-max feature normalization per class — groupBy stats + broadcast
     // join back (NOT a whole-partition window, which would put each class
     // in one task at 100 TB). Fixed-order double arithmetic; degenerate

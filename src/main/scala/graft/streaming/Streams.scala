@@ -354,6 +354,75 @@ object Streams {
       .toDF()
   }
 
+  final case class PrevEv(us: Long, eid: Long, cents: Long)
+  final case class AnomalyHit(
+      event_id: Long, user_id: Long, cents: Long,
+      n_prev: Long, dev_sq: Long, bound: Long)
+
+  /** Streaming form of [[graft.ops.Pipeline.rollingAnomaly]]: per-key state
+    * is the trailing `lookback` events (a bounded ListState ring — state
+    * size is keys × lookback regardless of stream length); each event is
+    * tested against the integer-cents trailing stats BEFORE joining the
+    * ring. No timers, no watermark-dependent emission — output rows are
+    * only the anomalies. Trailing order across microbatches relies on
+    * per-key event-time-ordered arrival (exact under a single
+    * AvailableNow drain, which is how conformance runs it). */
+  class AnomalyProcessor(lookback: Int, minPrev: Int, zSq: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), AnomalyHit] {
+    @transient private var buf: ListState[PrevEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[PrevEv]("buf", Encoders.product[PrevEv], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+        tv: TimerValues): Iterator[AnomalyHit] = {
+      var window = buf.get().toVector // oldest-first, ≤ lookback entries
+      val out = Vector.newBuilder[AnomalyHit]
+      rows.toVector.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, c) =>
+        val n = window.size.toLong
+        if (n >= minPrev) {
+          val s = window.iterator.map(_.cents).sum
+          val q = window.iterator.map(p => p.cents * p.cents).sum
+          val dev = c * n - s
+          val bound = zSq * (n * q - s * s)
+          if (dev * dev > bound)
+            out += AnomalyHit(eid, uid, c, n, dev * dev, bound)
+        }
+        window = (window :+ PrevEv(us, eid, c)).takeRight(lookback)
+      }
+      buf.put(window.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Run [[AnomalyProcessor]] over the parquet-backed event stream and
+    * drain it; cents derive exactly as in the batch operator. Requires the
+    * RocksDB provider (transformWithState's contract). */
+  def anomalyStream(spark: SparkSession, sfDir: String,
+      lookback: Int = 20, minPrev: Int = 10, zSq: Long = 9L): DataFrame = {
+    import spark.implicits._
+    val path = Catalog.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    val ev = Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+    val hits = typed.groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(lookback, minPrev, zSq),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+    val name = s"graft_anom_${sinkId.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("event_id")
+  }
+
   private def onUser(uid: Long, in: Iterator[(Long, java.sql.Timestamp, Long)],
       state: GroupState[Seq[Long]]): Iterator[Session] = {
     val buffered = state.getOption.getOrElse(Seq.empty)

@@ -254,4 +254,22 @@ class StreamingSpec extends SparkSpec {
     assert(rocks == default)
     assert(rocks.nonEmpty)
   }
+
+  test("streaming rolling anomaly equals the batch operator under one drain") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streams.withRocksDBStateStore(spark) {
+      Streams.anomalyStream(spark, dir)
+    }.select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Pipeline.rollingAnomaly(
+        graft.engine.Catalog.load(spark, dir, "events"),
+        "user_id", "ts", "event_id", "value", lookback = 20, minPrev = 10, zSq = 9)
+      .filter(col("is_anomaly"))
+      .select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
+      .orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
