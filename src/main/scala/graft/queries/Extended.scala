@@ -510,6 +510,34 @@ object Extended {
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
 
+    // The SAME radius-bucket machinery on a NON-TIME axis: match purchases
+    // to same-user clicks within ±500 cents of spend — the band join works
+    // on any integer domain (value similarity, score proximity), proving
+    // the operator isn't hardwired to timestamps.
+    Q("value_band_join",
+      (s, dir) => {
+        val ev = Catalog.load(s, dir, "events")
+        val purs = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            round(col("value") * 100).cast("long").as("p_cents"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            round(col("value") * 100).cast("long").as("c_cents"))
+        RangeJoin.timeRangeJoin(purs, clicks, "user_id",
+            col("p_cents"), col("c_cents"), radiusUs = 500L)
+          .orderBy("p_id", "c_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS p_id,
+             |             CAST(ROUND(value * 100) AS BIGINT) AS p_cents
+             |           FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, event_id AS c_id,
+             |             CAST(ROUND(value * 100) AS BIGINT) AS c_cents
+             |           FROM events WHERE event_type = 'click')
+             |SELECT p.user_id, p_id, p_cents, c_id, c_cents
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND abs(c_cents - p_cents) <= 500
+             |ORDER BY p_id, c_id""".stripMargin)),
+
     // Interval-overlap join: 30-minute click windows × 5-minute error
     // windows per user — overlap semantics (not point proximity), bucketized
     // so each pair is emitted exactly once at the bucket containing the
