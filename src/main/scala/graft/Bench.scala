@@ -55,7 +55,8 @@ object Bench {
       "w1_topk_per_group", "src_bucketed_join", "stream_stream_join",
       "dedup_containment", "dedup_spans", "dedup_incremental",
       "sample_bottomk", "bpe_pair_counts", "corpus_refinery",
-      "funnel_conversion", "anomaly_rolling_z")
+      "funnel_conversion", "anomaly_rolling_z",
+      "stats_percentiles_distributed", "graph_label_propagation")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
