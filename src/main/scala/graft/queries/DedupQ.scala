@@ -85,6 +85,28 @@ object DedupQ {
              |      FROM all_docs)
              |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Content-hash dedup: the at-scale form of exact dedup — group by a
+    // cryptographic digest of the bytes instead of the full text (the
+    // shuffle key is 16 bytes regardless of document size). MD5 is
+    // engine-portable, so the digest itself is oracle-checked.
+    Q("dedup_content_hash",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        docs.union(planted)
+          .withColumn("digest", md5(col("text").cast("binary")))
+          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select("doc_id", "digest", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+             |SELECT MIN(doc_id) AS doc_id, md5(text) AS digest,
+             |  CAST(COUNT(*) AS BIGINT) AS n_copies
+             |FROM all_docs GROUP BY md5(text) ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH banding: word-3-gram shingles, 32 hashes, 8 bands of 4;
     // candidates via band equi-join, verified by exact Jaccard >= 0.5.
     Q("dedup_minhash_lsh",

@@ -510,6 +510,28 @@ object Extended {
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
 
+    // Missing-value handling surface (DataFrameNaFunctions): the probe
+    // blanks error-event values, then na.fill patches them and na.drop's
+    // row filter is mirrored as a kept flag — the cleaning API compiles to
+    // the same coalesce/filter the oracle spells.
+    Q("clean_na_fill",
+      (s, dir) => {
+        val e = Catalog.load(s, dir, "events")
+          .select(col("event_id"),
+            when(col("event_type") === "error", lit(null).cast("double"))
+              .otherwise(col("value")).as("v"),
+            col("event_type"))
+        e.na.fill(Map("v" -> -1.0))
+          .withColumn("was_missing", col("event_type") === "error")
+          .select("event_id", "v", "was_missing")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+             |           -1.0) AS v,
+             |  event_type = 'error' AS was_missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // The SAME radius-bucket machinery on a NON-TIME axis: match purchases
     // to same-user clicks within ±500 cents of spend — the band join works
     // on any integer domain (value similarity, score proximity), proving
