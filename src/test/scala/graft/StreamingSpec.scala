@@ -255,6 +255,38 @@ class StreamingSpec extends SparkSpec {
     assert(rocks.nonEmpty)
   }
 
+  test("watermark drops a too-late event: finalized windows never reopen") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L * 1000 * 1000
+    val t0 = 2000L * h
+    val mem = MemoryStream[(Long, Long)]
+    val agg = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_micros(col("_2")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t0), (1L, t0 + 60L * 1000000)) // two events in window W0
+      q.processAllAvailable()
+      mem.addData((1L, t0 + 3 * h)) // watermark → t0+2h: W0 finalizes (cnt=2)
+      q.processAllAvailable()
+      mem.addData((1L, t0 + 120L * 1000000)) // LATE into W0 — must be dropped
+      mem.addData((1L, t0 + 6 * h)) // advance watermark past W3 too
+      q.processAllAvailable()
+      val rows = spark.table("late_drop").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      // W0 emitted exactly once with the pre-watermark count; the late
+      // event neither reopened it nor produced a duplicate row
+      assert(rows(t0 / 1000) === 2L, rows)
+      assert(rows(t0 / 1000 + 3 * h / 1000) === 1L, rows)
+      assert(spark.table("late_drop").count() === 2, rows)
+    } finally q.stop()
+  }
+
   test("streaming rolling anomaly equals the batch operator under one drain") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
