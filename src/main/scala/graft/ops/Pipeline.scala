@@ -116,6 +116,26 @@ object Pipeline {
       .drop(probs.indices.map(i => s"_c$i"): _*)
   }
 
+  /** [[withQuantileBin]] for money-typed columns at scale: values go
+    * through integer cents and the cut row comes from
+    * [[Quantiles.exactPercentiles]] (distributed order statistics — no
+    * single-reducer value buffer), so the flagship binning path survives a
+    * continuous column at 100 TB. Bin comparison happens in cents, which
+    * is exact under the BIGINT→DOUBLE promotion (cents < 2^53). */
+  def withQuantileBinCents(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+    val cents = df.withColumn("_cents",
+      expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"))
+    val cuts = Quantiles.exactPercentiles(
+      cents.select(col("_cents")), "_cents", probs)
+    val bin = probs.indices.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("_cents") > col(s"p$i"), 1).otherwise(0)
+    }
+    cents.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin.cast("int"))
+      .drop(probs.indices.map(i => s"p$i"): _*)
+      .drop("_cents")
+  }
+
   /** Winsorization: clamp `valueCol` to its [lo, hi] interpolated
     * percentiles (broadcast scalar row). Keeps `_lo`/`_hi` cut columns and
     * clamped_low/clamped_high flags so callers can report clamp mass without

@@ -122,12 +122,14 @@ object PipelineQ {
               |FROM h GROUP BY doc_id, bucket
               |ORDER BY doc_id, bucket""".stripMargin)),
 
-    // Quantile discretization: one global percentile aggregate broadcast
-    // back, per-bin stats (exact-DECIMAL sums). Spark `percentile` and
-    // DuckDB `quantile_cont` share the interpolation definition.
+    // Quantile discretization on the SCALABLE percentile path: cuts from
+    // the distributed order statistics over integer cents (no
+    // single-reducer value buffer), broadcast back, per-bin exact-DECIMAL
+    // stats. The oracle derives the identical cents cuts from the same
+    // rank arithmetic.
     Q("feature_quantile_bin",
       (s, dir) =>
-        Pipeline.withQuantileBin(Catalog.load(s, dir, "lineitem"),
+        Pipeline.withQuantileBinCents(Catalog.load(s, dir, "lineitem"),
             "l_extendedprice", Seq(0.25, 0.5, 0.75))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
@@ -135,20 +137,46 @@ object PipelineQ {
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"))
           .orderBy("bin"),
-      Some("""WITH c AS (SELECT quantile_cont(l_extendedprice, 0.25) AS c0,
-             |                  quantile_cont(l_extendedprice, 0.50) AS c1,
-             |                  quantile_cont(l_extendedprice, 0.75) AS c2
-             |           FROM lineitem),
-             |b AS (SELECT l_extendedprice AS v,
-             |  CAST(1 + (CASE WHEN l_extendedprice > c0 THEN 1 ELSE 0 END)
-             |         + (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END)
-             |         + (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END)
-             |       AS INT) AS bin
-             |      FROM lineitem, c)
-             |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             |  MIN(v) AS min_price, MAX(v) AS max_price
-             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+      Some {
+        val probs = Seq(0.25, 0.5, 0.75)
+        val brackets = probs.zipWithIndex.flatMap { case (p, i) =>
+          Seq(
+            s"""MIN(CASE WHEN cum - cnt <= CAST(floor($p * (n - 1)) AS BIGINT)
+               |      AND CAST(floor($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS lo$i""".stripMargin,
+            s"""MIN(CASE WHEN cum - cnt <= CAST(ceil($p * (n - 1)) AS BIGINT)
+               |      AND CAST(ceil($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS hi$i""".stripMargin)
+        }.mkString(",\n")
+        val finals = probs.zipWithIndex.map { case (p, i) =>
+          s"CAST(lo$i AS DOUBLE) + (($p * (n - 1)) - floor($p * (n - 1))) * " +
+            s"(CAST(hi$i AS DOUBLE) - CAST(lo$i AS DOUBLE)) AS c$i"
+        }.mkString(",\n")
+        s"""WITH src AS (SELECT l_extendedprice AS v,
+           |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           |             FROM lineitem),
+           |g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM src GROUP BY cents),
+           |r AS (SELECT cents, cnt,
+           |        CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM g),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+           |bk AS (SELECT
+           |$brackets
+           |FROM r, t),
+           |cuts AS (SELECT
+           |$finals
+           |FROM bk, t),
+           |binned AS (SELECT src.v,
+           |  CAST(1 + (CASE WHEN src.cents > c0 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN src.cents > c1 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN src.cents > c2 THEN 1 ELSE 0 END)
+           |       AS INT) AS bin
+           |  FROM src, cuts)
+           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |  MIN(v) AS min_price, MAX(v) AS max_price
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+      }),
 
     // Winsorization audit: clamp at p05/p95; the winsorized sum is
     // decomposed as exact-DECIMAL middle mass + clamp counts × cut values
