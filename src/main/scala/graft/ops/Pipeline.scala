@@ -154,6 +154,28 @@ object Pipeline {
           .otherwise(col(valueCol)))
   }
 
+  /** [[winsorize]] on the distributed percentile path (money columns):
+    * cuts from [[Quantiles.exactPercentiles]] over integer cents, clamp
+    * flags compared in cents (exact), cut columns exposed in value units
+    * via one /100.0 (the same IEEE op on any engine). */
+  def winsorizeCents(df: DataFrame, valueCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, "lo must be below hi")
+    val cents = df.withColumn("_cents",
+      expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"))
+    val cuts = Quantiles.exactPercentiles(
+      cents.select(col("_cents")), "_cents", Seq(lo, hi))
+    cents.crossJoin(broadcast(cuts))
+      .withColumn("clamped_low", col("_cents") < col("p0"))
+      .withColumn("clamped_high", col("_cents") > col("p1"))
+      .withColumn("_lo", col("p0") / 100.0)
+      .withColumn("_hi", col("p1") / 100.0)
+      .withColumn(s"${valueCol}_w",
+        when(col("clamped_low"), col("_lo"))
+          .when(col("clamped_high"), col("_hi"))
+          .otherwise(col(valueCol)))
+      .drop("p0", "p1", "_cents")
+  }
+
   /** Rolling z-score anomaly flag over the PREVIOUS `lookback` events per
     * key (the current event never sees itself): flags rows whose squared
     * deviation from the trailing mean exceeds `zSq` × the trailing

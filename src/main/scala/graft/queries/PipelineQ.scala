@@ -178,12 +178,14 @@ object PipelineQ {
            |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
       }),
 
-    // Winsorization audit: clamp at p05/p95; the winsorized sum is
-    // decomposed as exact-DECIMAL middle mass + clamp counts × cut values
-    // (one fixed-order double expression), so no float ever accumulates.
+    // Winsorization audit: clamp at p05/p95 with cuts from the distributed
+    // cents order statistics (same scale reasoning as the binning above);
+    // the winsorized sum is decomposed as exact-DECIMAL middle mass +
+    // clamp counts × cut values (one fixed-order double expression), so no
+    // float ever accumulates.
     Q("feature_winsorize",
       (s, dir) =>
-        Pipeline.winsorize(Catalog.load(s, dir, "lineitem"),
+        Pipeline.winsorizeCents(Catalog.load(s, dir, "lineitem"),
             "l_extendedprice", 0.05, 0.95)
           .groupBy()
           .agg(count(lit(1)).as("n"),
@@ -195,20 +197,49 @@ object PipelineQ {
           .withColumn("sum_winsorized",
             col("sum_mid") + col("n_lo") * col("lo_cut") +
               col("n_hi") * col("hi_cut")),
-      Some("""WITH c AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo_cut,
-             |                  quantile_cont(l_extendedprice, 0.95) AS hi_cut
-             |           FROM lineitem),
-             |f AS (SELECT l_extendedprice AS v, lo_cut, hi_cut FROM lineitem, c),
-             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-             |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-             |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
-             |  CAST(SUM(CASE WHEN v >= lo_cut AND v <= hi_cut
-             |           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_mid
-             |  FROM f)
-             |SELECT n, n_lo, n_hi, lo_cut, hi_cut, sum_mid,
-             |  sum_mid + n_lo * lo_cut + n_hi * hi_cut AS sum_winsorized
-             |FROM g""".stripMargin)),
+      Some {
+        val probs = Seq(0.05, 0.95)
+        val brackets = probs.zipWithIndex.flatMap { case (p, i) =>
+          Seq(
+            s"""MIN(CASE WHEN cum - cnt <= CAST(floor($p * (n - 1)) AS BIGINT)
+               |      AND CAST(floor($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS lo$i""".stripMargin,
+            s"""MIN(CASE WHEN cum - cnt <= CAST(ceil($p * (n - 1)) AS BIGINT)
+               |      AND CAST(ceil($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS hi$i""".stripMargin)
+        }.mkString(",\n")
+        val finals = probs.zipWithIndex.map { case (p, i) =>
+          s"CAST(lo$i AS DOUBLE) + (($p * (n - 1)) - floor($p * (n - 1))) * " +
+            s"(CAST(hi$i AS DOUBLE) - CAST(lo$i AS DOUBLE)) AS c$i"
+        }.mkString(",\n")
+        s"""WITH src AS (SELECT l_extendedprice AS v,
+           |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           |             FROM lineitem),
+           |g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM src GROUP BY cents),
+           |r AS (SELECT cents, cnt,
+           |        CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM g),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+           |bk AS (SELECT
+           |$brackets
+           |FROM r, t),
+           |cuts AS (SELECT
+           |$finals
+           |FROM bk, t),
+           |f AS (SELECT src.v, src.cents, c0, c1,
+           |        c0 / 100.0 AS lo_cut, c1 / 100.0 AS hi_cut
+           |      FROM src, cuts),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN cents < c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           |  CAST(SUM(CASE WHEN cents > c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+           |  CAST(SUM(CASE WHEN cents >= c0 AND cents <= c1
+           |           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_mid
+           |  FROM f)
+           |SELECT n, n_lo, n_hi, lo_cut, hi_cut, sum_mid,
+           |  sum_mid + n_lo * lo_cut + n_hi * hi_cut AS sum_winsorized
+           |FROM a""".stripMargin
+      }),
 
     // Rolling z-score anomalies over the previous 20 events per user —
     // the flag is exact 64-bit integer-cents arithmetic (no sqrt, no float
