@@ -182,4 +182,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_vec", "rank", "neighbor", "cos")
   }
+
+  /** Persist the IVF index: cell members written PARTITIONED BY the cell
+    * label — a probe's nprobe cells are whole partition DIRECTORIES, so
+    * the serving scan reads nprobe/|cells| of the corpus via partition
+    * pruning instead of filtering after a full scan — plus the min-id
+    * representative table. Norms are precomputed into the index (pay once
+    * at build, never at query time). */
+  def writeIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, path: String): Unit = {
+    vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col(labelCol))
+      .write.mode("overwrite").partitionBy(labelCol).parquet(s"$path/cells")
+    val wRep = Window.partitionBy(labelCol).orderBy(col(idCol).asc)
+    vecs.withColumn("_rn", row_number().over(wRep)).filter(col("_rn") === 1)
+      .select(col(labelCol).as("rep_label"), col(vecCol).as("rep_emb"))
+      .write.mode("overwrite").parquet(s"$path/reps")
+  }
+
+  /** Probe a [[writeIvfIndex]] index from disk — the ANN SERVING path:
+    * representatives broadcast, each probe picks its nprobe cells, and the
+    * cell join against the label-partitioned index prunes the scan to the
+    * selected partition directories (dynamic partition pruning; pinned in
+    * PlanShapeSpec). Results are identical to [[knnIvf]] over the same
+    * data. */
+  def knnIvfPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val reps = spark.read.parquet(s"$path/reps")
+    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
+      norm(col(vecCol)).as("q_nrm"))
+    val wProbe = Window.partitionBy("q_vec")
+      .orderBy(col("rep_cos").desc, col("rep_label").asc)
+    val probeParts = q.crossJoin(broadcast(reps))
+      .select(col("q_vec"), col("q_emb"), col("q_nrm"), col("rep_label"),
+        (dot(col("q_emb"), col("rep_emb")) / sqrt(dot(col("q_emb"), col("q_emb")))
+          / sqrt(dot(col("rep_emb"), col("rep_emb")))).as("rep_cos"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select("q_vec", "q_emb", "q_nrm", "rep_label")
+    val v = spark.read.parquet(s"$path/cells")
+    val scored = v.join(broadcast(probeParts),
+        col(labelCol) === col("rep_label") && col(idCol) =!= col("q_vec"))
+      .select(col("q_vec"), col(idCol).as("neighbor"),
+        (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec", "rank", "neighbor", "cos")
+  }
 }

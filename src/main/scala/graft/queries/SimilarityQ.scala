@@ -175,6 +175,45 @@ object SimilarityQ {
               |                                ORDER BY cos DESC, neighbor ASC) AS rank
               |      FROM scored)
               |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+              |ORDER BY q_vec, rank""".stripMargin)),
+
+    // The SERVING path: the same IVF search against a DISK-persisted index
+    // (cells partitioned by label, norms precomputed at build time) — the
+    // cell join prunes the scan to the probes' partition directories.
+    // Results must equal the in-memory ann_ivf_topk, so the oracle is the
+    // identical SQL.
+    Q("ann_ivf_persisted",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val vecs = Catalog.load(s, dir, "embeddings")
+        Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
+        Similarity.knnIvfPersisted(s, tmp,
+            vecs.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", "label", nprobe = 2, k = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |reps AS (SELECT label AS rep_label, embedding AS rep_emb FROM (
+              |    SELECT label, embedding,
+              |           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              |    FROM embeddings) x WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |pp AS (SELECT q_vec, q_emb, q_nrm, rep_label FROM (
+              |    SELECT q_vec, q_emb, q_nrm, rep_label,
+              |           ROW_NUMBER() OVER (PARTITION BY q_vec
+              |               ORDER BY ${cosDuck("q_emb", "rep_emb")} DESC, rep_label ASC) AS pr
+              |    FROM q, reps) y WHERE pr <= 2),
+              |scored AS (SELECT pp.q_vec, e.vec_id AS neighbor,
+              |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
+              |           FROM e JOIN pp ON e.label = pp.rep_label AND e.vec_id <> pp.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
               |ORDER BY q_vec, rank""".stripMargin))
   )
 }

@@ -211,6 +211,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 0, s"hash exchanges = $hashEx\n$p")
   }
 
+  test("persisted IVF probe prunes index partitions dynamically") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpin").toString
+    val vecs = Catalog.load(spark, dir, "embeddings")
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
+    val p = plan(Similarity.knnIvfPersisted(spark, tmp,
+      vecs.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "label", nprobe = 2, k = 10))
+    // the cells scan must carry a runtime partition filter on the label —
+    // a full-index scan at serving time defeats the layout
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("rolling anomaly is one exchange + one sort on the key") {
     val p = plan(graft.ops.Pipeline.rollingAnomaly(
       Catalog.load(spark, dir, "events"), "user_id", "ts", "event_id", "value",
