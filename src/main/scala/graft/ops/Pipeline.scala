@@ -81,8 +81,10 @@ object Pipeline {
     val noUtmMid = regexp_replace(hostLower, "&utm_[a-z_]+=[^&]*", "")
     val noUtmLead = regexp_replace(noUtmMid, "\\?utm_[a-z_]+=[^&]*&", "?")
     val noUtmOnly = regexp_replace(noUtmLead, "\\?utm_[a-z_]+=[^&]*$", "")
-    val noSlashQ = regexp_replace(noUtmOnly, "/\\?", "?")
-    regexp_replace(noSlashQ, "/$", "")
+    // '+' so stacked slashes collapse in one pass (idempotence — pinned by
+    // a randomized adversarial property)
+    val noSlashQ = regexp_replace(noUtmOnly, "/+\\?", "?")
+    regexp_replace(noSlashQ, "/+$", "")
   }
 
   /** Keep-first dedup by canonical URL: rank within each canonical-url group

@@ -97,8 +97,8 @@ object PipelineQ {
               |    '&utm_[a-z_]+=[^&]*', '', 'g'),
               |    '\\?utm_[a-z_]+=[^&]*&', '?'),
               |    '\\?utm_[a-z_]+=[^&]*$$', ''),
-              |    '/\\?', '?'),
-              |    '/$$', '') AS url_canon
+              |    '/+\\?', '?'),
+              |    '/+$$', '') AS url_canon
               |  FROM u),
               |r AS (SELECT doc_id, url_canon,
               |        CAST(ROW_NUMBER() OVER (PARTITION BY url_canon

@@ -190,4 +190,81 @@ class PropertySpec extends SparkSpec {
       assert(zx == zx.sorted)
     }
   }
+
+  test("applyCdc equals sequential per-key log application on random logs") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val opGen = Gen.oneOf("I", "U", "D")
+    val gen = for {
+      snapKeys <- Gen.listOfN(12, Gen.chooseNum(0L, 19L)).map(_.distinct)
+      n <- Gen.chooseNum(1, 25)
+      log <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 19L)
+        op <- opGen
+        v <- Gen.chooseNum(0L, 999L)
+      } yield (k, op, v))
+    } yield (snapKeys, log)
+    for (seed <- 1 to 20) {
+      val (snapKeys, log) = sample(gen, seed.toLong)
+      val snapshot = snapKeys.map(k => (k, k * 1000)).toDF("k", "v")
+      val changelog = log.zipWithIndex
+        .map { case ((k, op, v), i) => (k, v, op, i.toLong) }
+        .toDF("k", "v", "op", "seq")
+      val got = Relational.applyCdc(snapshot, changelog, "k", "op", "seq")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: latest op per key decides; I/U upsert that value, D deletes
+      val byKey = log.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, ops) => k -> ops.maxBy(_._2)._1 }
+      val want = snapKeys.map(k => k -> k * 1000).toMap.filter {
+        case (k, _) => !byKey.contains(k)
+      } ++ byKey.collect { case (k, (_, op, v)) if op != "D" => k -> v }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("exactPercentiles equals the interpolated order statistic on random data") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, 50L)) // heavy duplication
+    } yield vs
+    for (seed <- 1 to 10) {
+      val vs = sample(gen, seed.toLong)
+      val probs = Seq(0.1, 0.5, 0.9)
+      val got = Quantiles.exactPercentiles(vs.toDF("k"), "k", probs).head
+      val sorted = vs.sorted.toIndexedSeq
+      probs.zipWithIndex.foreach { case (p, i) =>
+        // the SQL spells p as a DECIMAL literal, so p·(n−1) and g are EXACT
+        // decimal arithmetic (g only becomes a double when multiplied by
+        // the bracket span) — the reference must mirror that
+        val idxBD = BigDecimal(p.toString) * BigDecimal(sorted.size - 1)
+        val kLo = idxBD.setScale(0, BigDecimal.RoundingMode.FLOOR).toInt
+        val kHi = idxBD.setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        val (lo, hi) = (sorted(kLo), sorted(kHi))
+        val g = (idxBD - BigDecimal(kLo)).toDouble
+        val want = lo + g * (hi - lo)
+        assert(got.getDouble(i) === want, s"seed=$seed p=$p")
+      }
+    }
+  }
+
+  test("canonicalizeUrl is idempotent on adversarial URL-ish strings") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val seg = Gen.oneOf("a", "B", "utm_x=1", "p=2", "#f", "/", "?", "&")
+    val gen = for {
+      host <- Gen.oneOf("Ex.COM", "h.io", "WWW.A.ORG")
+      n <- Gen.chooseNum(0, 8)
+      parts <- Gen.listOfN(n, seg)
+    } yield s"https://$host/" + parts.mkString
+    val urls = (1 to 40).map(s => sample(gen, s.toLong)).distinct
+    val df = urls.toDF("url")
+      .withColumn("c1", Pipeline.canonicalizeUrl(col("url")))
+      .withColumn("c2", Pipeline.canonicalizeUrl(col("c1")))
+      .collect()
+    df.foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"not idempotent: ${r.getString(0)}")
+    }
+  }
 }
