@@ -185,6 +185,97 @@ object SourcesQ {
       },
       Some("""SELECT doc_id, lang, text FROM documents ORDER BY doc_id""")),
 
+    // Data-quality expectations suite (the dbt-tests / expectations shape):
+    // each rule is one aggregate emitting (rule, n_checked, n_violations).
+    // The corpus is clean, so the probe PLANTS deterministic violations —
+    // a suite that reports zeros on corrupted data would pass unnoticed
+    // otherwise. Range check, FK existence (left join + null count, one
+    // shuffle), non-negativity, and a genuine always-clean consistency rule.
+    Q("dq_expectations",
+      (s, dir) => {
+        val li = Catalog.load(s, dir, "lineitem")
+          .withColumn("l_quantity",
+            when(col("l_orderkey") % 500 === 0, col("l_quantity") + 100.0)
+              .otherwise(col("l_quantity")))
+        val r1 = li.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+            .otherwise(0L)).as("n_violations"))
+          .select(lit("lineitem_quantity_range").as("rule"),
+            col("n_checked"), col("n_violations"))
+        val o = Catalog.load(s, dir, "orders")
+          .withColumn("o_custkey",
+            when(col("o_custkey") % 97 === 0, col("o_custkey") + 1000000L)
+              .otherwise(col("o_custkey")))
+        val cust = Catalog.load(s, dir, "customer")
+          .select(col("c_custkey"), lit(1).as("_hit"))
+        val r2 = o.join(cust, col("o_custkey") === col("c_custkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("orders_fk_customer").as("rule"),
+            col("n_checked"), col("n_violations"))
+        val ev = Catalog.load(s, dir, "events")
+          .withColumn("value",
+            when(col("event_id") % 1000 === 0, -col("value") - 1.0)
+              .otherwise(col("value")))
+        val r3 = ev.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("events_value_nonnegative").as("rule"),
+            col("n_checked"), col("n_violations"))
+        val d = Catalog.load(s, dir, "documents")
+        val r4 = d.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("n_violations"))
+          .select(lit("documents_nchars_consistent").as("rule"),
+            col("n_checked"), col("n_violations"))
+        r1.unionByName(r2).unionByName(r3).unionByName(r4).orderBy("rule")
+      },
+      Some("""SELECT 'lineitem_quantity_range' AS rule,
+             |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+             |  CAST(SUM(CASE WHEN (CASE WHEN l_orderkey % 500 = 0
+             |                      THEN l_quantity + 100.0 ELSE l_quantity END) < 1.0
+             |                  OR (CASE WHEN l_orderkey % 500 = 0
+             |                      THEN l_quantity + 100.0 ELSE l_quantity END) > 50.0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_fk_customer',
+             |  CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM (SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
+             |             ELSE o_custkey END AS k FROM orders) o
+             |LEFT JOIN customer ON o.k = c_custkey
+             |UNION ALL
+             |SELECT 'events_value_nonnegative',
+             |  CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN (CASE WHEN event_id % 1000 = 0
+             |                      THEN -value - 1.0 ELSE value END) < 0.0
+             |           THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'documents_nchars_consistent',
+             |  CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM documents
+             |ORDER BY rule""".stripMargin)),
+
+    // Per-partition lineage via input_file_name(): read back a partitioned
+    // write and recover each row's partition from its FILE PATH — the
+    // debugging/lineage idiom; counts must match the logical grouping.
+    Q("src_file_lineage",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lin").toString + "/t"
+        Catalog.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.partitionBy("l_returnflag").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(regexp_extract(input_file_name(),
+            "l_returnflag=([^/]+)", 1).as("part"))
+          .groupBy("part").agg(count(lit(1)).as("n"))
+          .orderBy("part")
+      },
+      Some("""SELECT l_returnflag AS part, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin)),
+
     // Cohort retention: users bucketed by first-activity day, distinct
     // active users per (cohort, day offset) — two hash aggregates and one
     // shuffle join on the user key.
