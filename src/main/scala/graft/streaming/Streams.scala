@@ -270,6 +270,27 @@ object Streams {
   def writeBatch(batch: DataFrame, path: String, id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch=$id")
 
+  /** Streaming quality gate with quarantine — the ingest-validation
+    * pattern: each microbatch splits on `goodPred`; passing rows land in
+    * `path/clean/batch=<id>`, failing rows in `path/quarantine/batch=<id>`
+    * (kept, never dropped — quarantined data gets inspected and replayed).
+    * Both sides use the idempotent batch-dir overwrite, so a replayed
+    * batch rewrites exactly itself on both sides. */
+  def quarantineSink(
+      stream: DataFrame, goodPred: org.apache.spark.sql.Column, path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          writeBatch(b.filter(goodPred), s"$path/clean", id)
+          writeBatch(b.filter(!goodPred), s"$path/quarantine", id)
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming incremental dedup — the daily-ingest pipeline in streaming
     * form: each microbatch of (doc_id, text) documents is deduped against
     * the ACCUMULATED kept corpus at `corpusDir` (and within-batch,
