@@ -145,6 +145,29 @@ object StressBench {
     }
     println(s"[stress] lpa nodes: $lpaRows")
 
+    val (nRef, _) = timed("corpus refinery over the 10x corpus") {
+      val comp = Dedup.connectedComponents(big.select("doc_id"), edges, "doc_id")
+      val quality = big.select(col("doc_id"),
+        expr("CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+          " / size(split(text, ' '))").as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("q").desc, col("doc_id").asc)
+      comp.join(quality, "doc_id")
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") === 1).count()
+    }
+    println(s"[stress] refinery keepers: $nRef")
+
+    val (nIvf, _) = timed("persisted IVF build + pruned probe, embeddings") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+      val vecs = Catalog.load(spark, sfDir, "embeddings")
+      graft.ops.Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
+      graft.ops.Similarity.knnIvfPersisted(spark, tmp,
+        vecs.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", nprobe = 2, k = 10).count()
+    }
+    println(s"[stress] persisted-ivf results: $nIvf")
+
     val (p50, _) = timed("distributed exact percentiles, 10x lineitem") {
       val li = Catalog.load(spark, sfDir, "lineitem")
         .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))

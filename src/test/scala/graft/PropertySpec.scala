@@ -249,6 +249,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel equals the per-user sequential reference on random events") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val typeGen = Gen.oneOf("view", "click", "purchase", "error")
+    val gen = Gen.listOfN(120, for {
+      u <- Gen.chooseNum(1L, 8L)
+      us <- Gen.chooseNum(1L, 500L)
+      t <- typeGen
+    } yield (u, us, t))
+    for (seed <- 1 to 10) {
+      // unique (user, us) so strict-after semantics have no engine-order tie
+      val evs = sample(gen, seed.toLong)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val df = evs.toDF("u", "us", "t")
+        .select(col("u"), timestamp_micros(col("us")).as("ts"), col("t"))
+      val got = Pipeline.funnel(df, "u", "ts", "t",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) ->
+          (Seq(1, 2, 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+            r.getInt(4))).toMap
+      evs.groupBy(_._1).foreach { case (u, es) =>
+        def firstAfter(t: String, after: Long): Long =
+          es.filter(e => e._3 == t && e._2 > after)
+            .map(_._2).minOption.getOrElse(-1L)
+        val tv = firstAfter("view", Long.MinValue)
+        val tc = if (tv < 0) -1L else firstAfter("click", tv)
+        val tp = if (tc < 0) -1L else firstAfter("purchase", tc)
+        val stage = Seq(tv, tc, tp).count(_ >= 0)
+        assert(got(u) === ((Seq(tv, tc, tp), stage)), s"seed=$seed user=$u")
+      }
+    }
+  }
+
   test("canonicalizeUrl is idempotent on adversarial URL-ish strings") {
     import spark.implicits._
     import graft.ops.Pipeline
