@@ -66,6 +66,81 @@ object DedupQ {
       c
     })
 
+  /** The corpus-refinery decision table (doc_id, component, q, reason) —
+    * shared by `corpus_refinery` and the end-to-end export capstone. */
+  private def refineryDecisions(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Catalog.load(s, dir, "documents")
+    val comp = lshComponents(s, dir)
+    val quality = docs.select(col("doc_id"),
+      expr("CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+        " / size(split(text, ' '))").as("q"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val ranked = comp.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+    val contam = graft.ops.Corpus.decontaminate(docs, "doc_id", "text",
+        n = 5, benchmarkPred = col("doc_id") % 97 === 0, threshold = 0.2)
+      .select(col("doc_id"), col("contaminated"))
+    ranked.join(contam, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("doc_id") % 97 === 0, "benchmark_eval")
+          .when(col("rk") > 1, "drop_near_dup")
+          .when(coalesce(col("contaminated"), lit(false)), "drop_contaminated")
+          .when(col("q") < 0.45, "drop_low_quality")
+          .otherwise("keep"))
+      .select("doc_id", "component", "q", "reason")
+  }
+
+  /** DuckDB CTE prelude ending in `decisions` — the oracle-side twin of
+    * [[refineryDecisions]], shared the same way. */
+  private def refineryOracleCtes: String = {
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+      .mkString("\nUNION ALL ")
+    s"""${shingleCte(3)},
+       |hs AS (SELECT doc_id, s AS H FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |$jaccCtes,
+       |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+       |        UNION ALL SELECT d2, d1 FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |cc AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+       |sh5 AS (SELECT doc_id, ${windowFoldDuck("th", 5)} AS s5 FROM thx
+       |        WHERE len(th) >= 5),
+       |bench AS (SELECT DISTINCT unnest(s5) AS h FROM sh5 WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, len(s5) AS ns, unnest(s5) AS h FROM sh5
+       |       WHERE doc_id % 97 <> 0),
+       |ct AS (SELECT tr.doc_id,
+       |         CAST(SUM(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |           / ns >= 0.2 AS contaminated
+       |       FROM tr LEFT JOIN bench b ON tr.h = b.h
+       |       GROUP BY tr.doc_id, ns),
+       |qy AS (SELECT doc_id,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS q
+       |       FROM documents),
+       |rr AS (SELECT cc.doc_id, cc.component, qy.q,
+       |        ROW_NUMBER() OVER (PARTITION BY cc.component
+       |             ORDER BY qy.q DESC, cc.doc_id ASC) AS rk
+       |      FROM cc JOIN qy ON cc.doc_id = qy.doc_id),
+       |decisions AS (SELECT rr.doc_id, rr.component, rr.q,
+       |  CASE WHEN rr.doc_id % 97 = 0 THEN 'benchmark_eval'
+       |       WHEN rr.rk > 1 THEN 'drop_near_dup'
+       |       WHEN coalesce(ct.contaminated, FALSE) THEN 'drop_contaminated'
+       |       WHEN rr.q < 0.45 THEN 'drop_low_quality'
+       |       ELSE 'keep' END AS reason
+       |FROM rr LEFT JOIN ct ON rr.doc_id = ct.doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup (hash-groupBy keep-first). The corpus has no exact dups, so
@@ -583,75 +658,61 @@ object DedupQ {
     // (banded candidates, broadcast benchmark dictionary, one shuffle per
     // stage key).
     Q("corpus_refinery",
+      (s, dir) => refineryDecisions(s, dir).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $refineryOracleCtes
+              |SELECT doc_id, component, q, reason FROM decisions
+              |ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end training-data EXPORT capstone: refinery keepers → fixed
+    // 64-token chunks → 512-token packed bins via the distributed global
+    // prefix sum → 4 shards; per-shard manifest (bins, chunks, tokens).
+    // The full "switch your pipeline to this library" path in one query,
+    // against one composed oracle.
+    Q("export_training_shards",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Catalog.load(s, dir, "documents")
-        val comp = lshComponents(s, dir)
-        val quality = docs.select(col("doc_id"),
-          expr("CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
-            " / size(split(text, ' '))").as("q"))
-        val w = Window.partitionBy("component")
-          .orderBy(col("q").desc, col("doc_id").asc)
-        val ranked = comp.join(quality, "doc_id")
-          .withColumn("rk", row_number().over(w))
-        val contam = graft.ops.Corpus.decontaminate(docs, "doc_id", "text",
-            n = 5, benchmarkPred = col("doc_id") % 97 === 0, threshold = 0.2)
-          .select(col("doc_id"), col("contaminated"))
-        ranked.join(contam, Seq("doc_id"), "left")
-          .withColumn("reason",
-            when(col("doc_id") % 97 === 0, "benchmark_eval")
-              .when(col("rk") > 1, "drop_near_dup")
-              .when(coalesce(col("contaminated"), lit(false)), "drop_contaminated")
-              .when(col("q") < 0.45, "drop_low_quality")
-              .otherwise("keep"))
-          .select("doc_id", "component", "q", "reason")
-          .orderBy("doc_id")
+        val kept = refineryDecisions(s, dir)
+          .filter(col("reason") === "keep").select("doc_id")
+        val toks = docs.join(kept, "doc_id")
+          .select(col("doc_id"), expr("size(split(text, ' '))").as("tokens"))
+        val chunks = toks
+          .withColumn("chunk_id",
+            explode(expr("sequence(0, CAST((tokens + 63) DIV 64 AS INT) - 1)")))
+          .withColumn("chunk_tokens",
+            least(lit(64L), col("tokens") - col("chunk_id") * 64L))
+          .withColumn("ord", col("doc_id") * 1024L + col("chunk_id"))
+        val packed = graft.ops.Packing.packSequences(
+          chunks, "ord", col("chunk_tokens"), budget = 512)
+        packed
+          .withColumn("shard", (col("bin") % 4).cast("int"))
+          .groupBy("shard")
+          .agg(countDistinct(col("bin")).as("n_bins"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).as("n_tokens"),
+            min(col("bin")).as("first_bin"), max(col("bin")).as("last_bin"))
+          .orderBy("shard")
       },
-      Some {
-        val bandSelects = (0 until Bands)
-          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
-          .mkString("\nUNION ALL ")
-        s"""WITH RECURSIVE ${shingleCte(3)},
-           |hs AS (SELECT doc_id, s AS H FROM sh),
-           |bands AS ($bandSelects),
-           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-           |         FROM bands l JOIN bands r
-           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-           |$jaccCtes,
-           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
-           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
-           |        UNION ALL SELECT d2, d1 FROM edges),
-           |reach(a, b) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-           |cc AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
-           |sh5 AS (SELECT doc_id, ${windowFoldDuck("th", 5)} AS s5 FROM thx
-           |        WHERE len(th) >= 5),
-           |bench AS (SELECT DISTINCT unnest(s5) AS h FROM sh5 WHERE doc_id % 97 = 0),
-           |tr AS (SELECT doc_id, len(s5) AS ns, unnest(s5) AS h FROM sh5
-           |       WHERE doc_id % 97 <> 0),
-           |ct AS (SELECT tr.doc_id,
-           |         CAST(SUM(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-           |           / ns >= 0.2 AS contaminated
-           |       FROM tr LEFT JOIN bench b ON tr.h = b.h
-           |       GROUP BY tr.doc_id, ns),
-           |qy AS (SELECT doc_id,
-           |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           |           / len(string_split(text, ' ')) AS q
-           |       FROM documents),
-           |r AS (SELECT cc.doc_id, cc.component, qy.q,
-           |        ROW_NUMBER() OVER (PARTITION BY cc.component
-           |             ORDER BY qy.q DESC, cc.doc_id ASC) AS rk
-           |      FROM cc JOIN qy ON cc.doc_id = qy.doc_id)
-           |SELECT r.doc_id, r.component, r.q,
-           |  CASE WHEN r.doc_id % 97 = 0 THEN 'benchmark_eval'
-           |       WHEN r.rk > 1 THEN 'drop_near_dup'
-           |       WHEN coalesce(ct.contaminated, FALSE) THEN 'drop_contaminated'
-           |       WHEN r.q < 0.45 THEN 'drop_low_quality'
-           |       ELSE 'keep' END AS reason
-           |FROM r LEFT JOIN ct ON r.doc_id = ct.doc_id
-           |ORDER BY r.doc_id""".stripMargin
-      })
+      Some(s"""WITH RECURSIVE $refineryOracleCtes,
+              |kept AS (SELECT doc_id FROM decisions WHERE reason = 'keep'),
+              |tk AS (SELECT d.doc_id,
+              |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens
+              |       FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+              |chx AS (SELECT doc_id, tokens,
+              |          unnest(range(0, (tokens + 63) // 64)) AS chunk_id
+              |        FROM tk),
+              |ch AS (SELECT doc_id, chunk_id,
+              |         least(64, tokens - chunk_id * 64) AS chunk_tokens,
+              |         doc_id * 1024 + chunk_id AS ord
+              |       FROM chx),
+              |pk AS (SELECT chunk_tokens,
+              |         (CAST(SUM(chunk_tokens) OVER (ORDER BY ord) AS BIGINT)
+              |          - chunk_tokens) // 512 AS bin
+              |       FROM ch)
+              |SELECT CAST(bin % 4 AS INT) AS shard,
+              |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+              |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |  CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+              |  MIN(bin) AS first_bin, MAX(bin) AS last_bin
+              |FROM pk GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }
