@@ -510,6 +510,54 @@ object Extended {
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
 
+    // Null-safe equi-join (<=>): NULL keys MATCH each other instead of
+    // vanishing — the semantics MERGE keys and dedup digests need. The
+    // probe nulls a key slice on both sides; inner-join row counts prove
+    // the null-bucket join happened.
+    Q("join_null_safe",
+      (s, dir) => {
+        val o = Catalog.load(s, dir, "orders")
+          .select(when(col("o_custkey") % 50 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("k"), col("o_orderkey"))
+        val c = Catalog.load(s, dir, "customer")
+          .select(when(col("c_custkey") % 50 === 0, lit(null))
+            .otherwise(col("c_custkey")).as("ck"), col("c_custkey"))
+        o.join(c, col("k") <=> col("ck"))
+          .groupBy(col("k").isNull.as("null_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy("null_bucket")
+      },
+      Some("""WITH o AS (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+             |                  ELSE o_custkey END AS k, o_orderkey FROM orders),
+             |c AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+             |             ELSE c_custkey END AS ck, c_custkey FROM customer)
+             |SELECT k IS NULL AS null_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+             |FROM o JOIN c ON k IS NOT DISTINCT FROM ck
+             |GROUP BY 1 ORDER BY null_bucket""".stripMargin)),
+
+    // Market-basket pair mining: parts co-purchased within an order —
+    // the self-join is BLOCKED BY the order key, so pair volume is
+    // Σ C(items_per_order, 2), never corpus-quadratic; top 20 pairs.
+    Q("basket_part_pairs",
+      (s, dir) => {
+        val li = Catalog.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val l = li.select(col("ok"), col("pk").as("p1"))
+        val r = li.select(col("ok"), col("pk").as("p2"))
+        l.join(r, Seq("ok")).filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem)
+             |SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+             |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |GROUP BY 1, 2 ORDER BY n_orders DESC, p1 ASC, p2 ASC
+             |LIMIT 20""".stripMargin)),
+
     // Missing-value handling surface (DataFrameNaFunctions): the probe
     // blanks error-event values, then na.fill patches them and na.drop's
     // row filter is mirrored as a kept flag — the cleaning API compiles to
