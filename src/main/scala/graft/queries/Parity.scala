@@ -392,6 +392,43 @@ object Parity {
              |ORDER BY l_orderkey, l_linenumber, l_partkey,
              |  d NULLS FIRST, ns NULLS FIRST, rf""".stripMargin)),
 
+    // SQL hint surface: the /*+ BROADCAST */ hint through the SQL front
+    // must produce the same rows as the unhinted plan (the hint moves the
+    // physical strategy, never the semantics; PlanShapeSpec pins the
+    // broadcast effect itself elsewhere).
+    Q("sql_broadcast_hint",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT /*+ BROADCAST(n) */ n.n_name,
+                |  COUNT(*) AS n_custs, SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                |    AS bal_sum_d
+                |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+          .selectExpr("n_name", "n_custs", "CAST(bal_sum_d AS DOUBLE) AS bal_sum")
+      },
+      Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // The injectFunction natives exercised END-TO-END through the SQL
+    // front: graft_polyhash / graft_lev_bounded called from SQL text over
+    // a registered view, checked against the dual-dialect oracle
+    // arithmetic (graft_zorder's value convention is pinned in
+    // ZOrderSpec/PropertySpec; its sign-flip encoding has no clean DuckDB
+    // spelling).
+    Q("sql_native_functions",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""SELECT doc_id,
+                |  graft_polyhash(text) AS h,
+                |  graft_lev_bounded(substr(text, 1, 12), lang, 6) AS lev
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""SELECT doc_id, ${graft.functions.Hashing.polyHashDuck("text")} AS h,
+              |  CAST(least(levenshtein(substr(text, 1, 12), lang), 7) AS INT) AS lev
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)
