@@ -144,6 +144,54 @@ object SimilarityQ {
               |FROM r JOIN documents ON neighbor = doc_id
               |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin)),
 
+    // RAG context ASSEMBLY — the step after retrieve: top-3 docs per probe
+    // concatenated in rank order under a 120-token budget (rank 1 always
+    // kept). Rank-ordered concat via array_sort over (rank, text) structs —
+    // deterministic on any partitioning, mirrored by DuckDB's ordered
+    // string_agg.
+    Q("rag_assemble_context",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vecs = Catalog.load(s, dir, "embeddings")
+        val hits = Similarity.knnBruteForce(vecs,
+          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 3)
+        val docs = hits.join(Catalog.load(s, dir, "documents"),
+            hits("neighbor") === col("doc_id"))
+          .select(col("q_vec"), col("rank"), col("text"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tokens"))
+        val w = Window.partitionBy("q_vec").orderBy("rank")
+        docs.withColumn("cum", sum(col("tokens")).over(w))
+          .filter(col("rank") === 1 || col("cum") <= 120)
+          .groupBy("q_vec")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(rank, text))), x -> x.text), ' | ')").as("context"))
+          .orderBy("q_vec")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |scored AS (SELECT q_vec, e.vec_id AS neighbor,
+              |                  ${Similarity.dotDuck("q_emb", "e.embedding")} / (q_nrm * nrm) AS cos
+              |           FROM e, q WHERE e.vec_id <> q.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored),
+              |tk AS (SELECT q_vec, rank, text,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+              |       FROM r JOIN documents ON neighbor = doc_id WHERE rank <= 3),
+              |c AS (SELECT q_vec, rank, text, tokens,
+              |        SUM(tokens) OVER (PARTITION BY q_vec ORDER BY rank) AS cum
+              |      FROM tk),
+              |k AS (SELECT * FROM c WHERE rank = 1 OR cum <= 120)
+              |SELECT q_vec, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(text, ' | ' ORDER BY rank) AS context
+              |FROM k GROUP BY q_vec ORDER BY q_vec""".stripMargin)),
+
     // IVF-style ANN: coarse partitions = `label`, representative = min-id
     // member, nprobe=2 — searches only ~2/10 of the corpus per probe.
     Q("ann_ivf_topk",
