@@ -183,6 +183,22 @@ object TextQ {
               |  ${minWindowHashDuck("text")} AS fp_min8
               |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic k-fold assignment for cross-validation: fold = salted
+    // id hash mod k — reproducible on any engine/layout (row-order splits
+    // are not), folds near-balanced by the hash. Companion to the 80/20
+    // split_train_test gate.
+    Q("split_kfold",
+      (s, dir) =>
+        Catalog.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (expr(polyHashSpark("concat('fold:', CAST(doc_id AS STRING))")) % 5)
+              .cast("int").as("fold"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(${polyHashDuck("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS INT)
+              |    AS fold
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // HTML boilerplate stripping for web-corpus ingestion: the probe wraps
     // each doc in a full HTML page (title, heading with an entity, script
     // with a raw '<', a comment), and the stripper must recover clean text:

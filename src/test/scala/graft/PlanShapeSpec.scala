@@ -225,6 +225,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("scd2 is one exchange + one sort on the entity key") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.ops.Pipeline.scd2(
+      Catalog.load(spark, dir, "events"), "user_id", "ts", "event_id", "event_type"))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("basket pair mining joins on the order key — never a cartesian") {
+    val p = plan(SparkEntry.queries("basket_part_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("user feature-store row is one partial+final aggregate — no pivot") {
+    val p = plan(SparkEntry.queries("events_user_features")(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("rolling anomaly is one exchange + one sort on the key") {
     val p = plan(graft.ops.Pipeline.rollingAnomaly(
       Catalog.load(spark, dir, "events"), "user_id", "ts", "event_id", "value",
