@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.engine.Catalog
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, RangeJoin, Relational}
 
 /** Relational surface beyond the reference's inventory (SURVEY.md §2.3/§2.6
   * list these as absent): set operations, outer/semi/anti joins, window
@@ -509,6 +509,70 @@ object Extended {
              |FROM e JOIN p ON e.user_id = p.user_id
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
+
+    // Boolean / bitwise aggregate surface: count_if, bool_and/bool_or,
+    // bit_or/bit_and/bit_xor — one grouped pass.
+    Q("agg_bool_bit_surface",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("count_if(l_discount > 0.05)").as("n_discounted"),
+            expr("bool_and(l_quantity >= 1)").as("all_qty_pos"),
+            expr("bool_or(l_quantity >= 49)").as("any_qty_high"),
+            expr("bit_or(CAST(l_linenumber AS BIGINT))").as("ln_or"),
+            expr("bit_and(CAST(l_linenumber AS BIGINT))").as("ln_and"),
+            expr("bit_xor(CAST(l_orderkey AS BIGINT))").as("ok_xor"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_discounted,
+             |  bool_and(l_quantity >= 1) AS all_qty_pos,
+             |  bool_or(l_quantity >= 49) AS any_qty_high,
+             |  bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
+             |  bit_and(CAST(l_linenumber AS BIGINT)) AS ln_and,
+             |  bit_xor(CAST(l_orderkey AS BIGINT)) AS ok_xor
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact simple linear regression (price on quantity): every moment is
+    // an exact-DECIMAL sum (the engine-native regr_* aggregates accumulate
+    // doubles in partition order — not cross-engine reproducible); slope,
+    // intercept and r² are then a fixed sequence of IEEE ops on those
+    // exact sums.
+    Q("stats_regression_exact",
+      (s, dir) => {
+        val li = Catalog.load(s, dir, "lineitem")
+        val agg = li.agg(
+          count(lit(1)).as("n"),
+          Relational.sumExact(col("l_quantity")).as("sx"),
+          Relational.sumExact(col("l_extendedprice")).as("sy"),
+          Relational.sumExactScaled(col("l_quantity") * col("l_extendedprice"), 2)
+            .as("sxy"),
+          Relational.sumExact(col("l_quantity") * col("l_quantity")).as("sxx"),
+          Relational.sumExactScaled(col("l_extendedprice") * col("l_extendedprice"), 4)
+            .as("syy"))
+        agg.select(col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+            / col("n")).as("intercept"),
+          (((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      },
+      Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+             |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+             |  FROM lineitem)
+             |SELECT n, sx, sy,
+             |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+             |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+             |FROM a""".stripMargin)),
 
     // Null-safe equi-join (<=>): NULL keys MATCH each other instead of
     // vanishing — the semantics MERGE keys and dedup digests need. The
