@@ -510,6 +510,41 @@ object Extended {
              |  AND abs(pur_us - err_us) <= 600000000
              |ORDER BY err_id, pur_id""".stripMargin)),
 
+    // Gaps-and-islands (streak detection): maximal runs of SAME-TYPE
+    // consecutive events per user via the double-rank-difference trick
+    // (row_number over user minus row_number over (user, type) is constant
+    // within a streak) — one exchange on the user key, the classic
+    // sequence segmentation every event pipeline eventually needs.
+    // Surfaced: error streaks of length ≥ 3.
+    Q("islands_error_streaks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy("user_id").orderBy("event_id")
+        val wTyp = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+        Catalog.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("island",
+            row_number().over(wAll) - row_number().over(wTyp))
+          .filter(col("event_type") === "error")
+          .groupBy("user_id", "island")
+          .agg(min(col("event_id")).as("first_id"),
+            max(col("event_id")).as("last_id"),
+            count(lit(1)).as("streak_len"))
+          .filter(col("streak_len") >= 3)
+          .select("user_id", "first_id", "last_id", "streak_len")
+          .orderBy("user_id", "first_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, event_type,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             |  - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |         ORDER BY event_id) AS island
+             |  FROM events),
+             |g AS (SELECT user_id, island, MIN(event_id) AS first_id,
+             |        MAX(event_id) AS last_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+             |      FROM x WHERE event_type = 'error' GROUP BY user_id, island)
+             |SELECT user_id, first_id, last_id, streak_len
+             |FROM g WHERE streak_len >= 3 ORDER BY user_id, first_id""".stripMargin)),
+
     // Boolean / bitwise aggregate surface: count_if, bool_and/bool_or,
     // bit_or/bit_and/bit_xor — one grouped pass.
     Q("agg_bool_bit_surface",
