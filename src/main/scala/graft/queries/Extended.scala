@@ -567,47 +567,74 @@ object Extended {
              |  bit_xor(CAST(l_orderkey AS BIGINT)) AS ok_xor
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // Exact simple linear regression (price on quantity): every moment is
-    // an exact-DECIMAL sum (the engine-native regr_* aggregates accumulate
-    // doubles in partition order — not cross-engine reproducible); slope,
-    // intercept and r² are then a fixed sequence of IEEE ops on those
-    // exact sums.
+    // Exact simple linear regression (price-in-cents on quantity): every
+    // moment is an exact INTEGER (the engine-native regr_* aggregates
+    // accumulate doubles in partition order — not reproducible). The
+    // Σy²-cents sum exceeds 2^53, where DECIMAL→DOUBLE casts themselves
+    // diverge across engines (Spark shortest-string vs DuckDB scaled
+    // binary — found by the sf0.1 certification), so it stays an exact
+    // DECIMAL split into (hi, lo) by integral division; slope, intercept
+    // and r² are then a fixed sequence of IEEE ops on sub-2^53 integers —
+    // deterministic at any scale.
     Q("stats_regression_exact",
       (s, dir) => {
         val li = Catalog.load(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("y"))
         val agg = li.agg(
           count(lit(1)).as("n"),
-          Relational.sumExact(col("l_quantity")).as("sx"),
-          Relational.sumExact(col("l_extendedprice")).as("sy"),
-          Relational.sumExactScaled(col("l_quantity") * col("l_extendedprice"), 2)
-            .as("sxy"),
-          Relational.sumExact(col("l_quantity") * col("l_quantity")).as("sxx"),
-          Relational.sumExactScaled(col("l_extendedprice") * col("l_extendedprice"), 4)
-            .as("syy"))
-        agg.select(col("n"), col("sx"), col("sy"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
-            / col("n")).as("intercept"),
-          (((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy"))) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy_c"),
+          sum(col("x") * col("y")).as("sxy_c"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy_dec"))
+        agg
+          .withColumn("syy_hi", expr("CAST(syy_dec div 1000000000 AS BIGINT)"))
+          .withColumn("syy_lo", expr("CAST(syy_dec % 1000000000 AS BIGINT)"))
+          .withColumn("cov_n", expr(
+            "CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE)"))
+          .withColumn("varx_n", expr(
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+          .withColumn("vary_n", expr(
+            "(CAST(n * syy_hi AS DOUBLE) * 1000000000.0 + CAST(n * syy_lo AS DOUBLE))" +
+              " - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE)"))
+          .withColumn("slope_cents", col("cov_n") / col("varx_n"))
+          .withColumn("intercept_cents",
+            (col("sy_c") - col("slope_cents") * col("sx")) / col("n"))
+          .withColumn("r2",
+            (col("cov_n") * col("cov_n")) / (col("varx_n") * col("vary_n")))
+          .select("n", "sx", "sy_c", "cov_n", "varx_n", "vary_n",
+            "slope_cents", "intercept_cents", "r2")
       },
       Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
-             |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
-             |  FROM lineitem)
-             |SELECT n, sx, sy,
-             |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-             |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-             |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-             |FROM a""".stripMargin)),
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy_c,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)
+             |       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy_c,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             |       AS BIGINT) AS sxx,
+             |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             |      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy_hug
+             |  FROM lineitem),
+             |b AS (SELECT n, sx, sy_c, sxy_c, sxx,
+             |        CAST(syy_hug // 1000000000 AS BIGINT) AS syy_hi,
+             |        CAST(syy_hug % 1000000000 AS BIGINT) AS syy_lo
+             |      FROM a),
+             |c AS (SELECT n, sx, sy_c,
+             |  CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE) AS cov_n,
+             |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+             |  (CAST(n * syy_hi AS DOUBLE) * 1000000000.0 + CAST(n * syy_lo AS DOUBLE))
+             |    - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) AS vary_n
+             |  FROM b)
+             |SELECT n, sx, sy_c, cov_n, varx_n, vary_n,
+             |  cov_n / varx_n AS slope_cents,
+             |  (sy_c - (cov_n / varx_n) * sx) / n AS intercept_cents,
+             |  (cov_n * cov_n) / (varx_n * vary_n) AS r2
+             |FROM c""".stripMargin)),
 
     // Null-safe equi-join (<=>): NULL keys MATCH each other instead of
     // vanishing — the semantics MERGE keys and dedup digests need. The
