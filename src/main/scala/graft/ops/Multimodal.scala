@@ -147,6 +147,44 @@ object Multimodal {
     typed.mapPartitions(batch => batch.map(decodeWav)).toDF()
   }
 
+  /** Output row of the audio resample stage. */
+  final case class AudioResampled(
+      doc_id: Long, orig_rate: Int, new_rate: Int,
+      n_in: Long, n_out: Long, checksum: Long)
+
+  /** REAL 2:1 audio decimation over the parsed PCM: the RIFF header is
+    * re-parsed from the bytes, every second 8-bit sample of the data chunk
+    * is kept (the naive half-rate resample — a production resampler would
+    * low-pass first; the byte addressing and header rewrite are what carry
+    * over), and the kept samples fold into a checksum. The audio analog of
+    * [[resizePpmHalf]]. */
+  private[graft] def decimateWav(m: MediaIn): AudioResampled = {
+    val b = m.payload
+    require(b.length >= 44, "truncated WAV payload")
+    require(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE" &&
+      new String(b, 12, 4) == "fmt " && new String(b, 36, 4) == "data",
+      "not a canonical 44-byte-header WAV payload")
+    require(leInt(b, 20, 2) == 1L && leInt(b, 34, 2) == 8L, "not 8-bit PCM")
+    val rate = leInt(b, 24, 4).toInt
+    val dataLen = leInt(b, 40, 4).toInt
+    var hsum = 0L
+    var j = 44
+    while (j < 44 + dataLen && j < b.length) {
+      hsum = (hsum * 31 + (b(j) & 0xff)) % P
+      j += 2
+    }
+    AudioResampled(m.doc_id, rate, rate / 2,
+      n_in = dataLen.toLong, n_out = (dataLen.toLong + 1) / 2, checksum = hsum)
+  }
+
+  /** Audio resample stage, partition-batched like the decoders. */
+  def resampleAudioHalf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaIn] = media.select(col("doc_id"), col("payload")).as[MediaIn]
+    typed.mapPartitions(batch => batch.map(decimateWav)).toDF()
+  }
+
   /** Output row of the resize stage. */
   final case class ImageResized(
       doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int, checksum: Long)

@@ -28,6 +28,26 @@ object MultimodalQ {
               |  ${polyHashDuck("text")} AS checksum
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL 2:1 audio decimation over the parsed PCM — the audio analog of
+    // the image resize: header re-parse, every second sample kept, rate
+    // halved. Data bytes are the text chars, so the oracle keeps the odd
+    // 1-indexed positions.
+    Q("mm_audio_resample",
+      (s, dir) =>
+        Multimodal.resampleAudioHalf(
+            Multimodal.withAudioPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS orig_rate,
+              |  CAST((8000 + (doc_id % 8) * 1000) // 2 AS INTEGER) AS new_rate,
+              |  CAST(length(text) AS BIGINT) AS n_in,
+              |  (CAST(length(text) AS BIGINT) + 1) // 2 AS n_out,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(range(0, (length(text) + 1) // 2), k ->
+              |      CAST(unicode(substr(text, CAST(2*k + 1 AS INT), 1)) AS BIGINT))),
+              |    (a, v) -> (a*31 + v) % $P) AS checksum
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL nearest-neighbor 2x downsample over the parsed raster: width
     // from the re-parsed container header, row-major stride addressing,
     // sampled (2r, 2c) pixels folded into a checksum — the resize step of
