@@ -45,18 +45,34 @@ object Quantiles {
     val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
       val idx = s"($p * (_n - 1))"
       Seq(
-        expr(s"min(CASE WHEN _start <= CAST(floor($idx) AS BIGINT) " +
-          s"AND CAST(floor($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_lo$i"),
-        expr(s"min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
-          s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_hi$i"))
+        expr(s"CAST(min(CASE WHEN _start <= CAST(floor($idx) AS BIGINT) " +
+          s"AND CAST(floor($idx) AS BIGINT) < _cum THEN $keyCol END) AS BIGINT)").as(s"_lo$i"),
+        expr(s"CAST(min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
+          s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END) AS BIGINT)").as(s"_hi$i"))
     }
-    val brackets = joined.agg(aggs.head, aggs.tail: _*)
-      .crossJoin(broadcast(totals))
-    probs.zipWithIndex.foldLeft(brackets) { case (acc, (p, i)) =>
-      acc.withColumn(s"p$i", expr(
-        s"CAST(_lo$i AS DOUBLE) + (($p * (_n - 1)) - floor($p * (_n - 1))) * " +
-          s"(CAST(_hi$i AS DOUBLE) - CAST(_lo$i AS DOUBLE))"))
-    }.select(probs.indices.map(i => col(s"p$i")): _*)
+    // Materialize the single bracket row EAGERLY and release the
+    // |distinct|-sized ranked cache right away: the op runs repeatedly per
+    // session (binning, winsorization, stress, conformance), and a lazily
+    // returned plan would pin each call's cache for the session lifetime.
+    // The driver pull is O(probs) scalars — the same legitimate budget as
+    // the Lloyd centroid collect.
+    val row = joined.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(totals)).head()
+    ranked.unpersist()
+    // Re-emit the interpolation over the collected scalars with the IDENTICAL
+    // fixed-order spelling (lo + g·(hi − lo), g = p·(n−1) − floor(p·(n−1)))
+    // so results are bit-equal to the in-plan formulation.
+    def dlit(name: String): String =
+      if (row.isNullAt(row.fieldIndex(name))) "CAST(NULL AS DOUBLE)"
+      else s"CAST(${row.getLong(row.fieldIndex(name))} AS DOUBLE)"
+    val nLit =
+      if (row.isNullAt(row.fieldIndex("_n"))) "CAST(NULL AS BIGINT)"
+      else s"CAST(${row.getLong(row.fieldIndex("_n"))} AS BIGINT)"
+    val cols = probs.zipWithIndex.map { case (p, i) =>
+      expr(s"${dlit(s"_lo$i")} + (($p * ($nLit - 1)) - floor($p * ($nLit - 1))) * " +
+        s"(${dlit(s"_hi$i")} - ${dlit(s"_lo$i")})").as(s"p$i")
+    }
+    df.sparkSession.range(1).select(cols: _*)
   }
 
   /** Per-group exact interpolated percentiles: one row per `groupCol` value

@@ -572,10 +572,13 @@ object Extended {
     // accumulate doubles in partition order — not reproducible). The
     // Σy²-cents sum exceeds 2^53, where DECIMAL→DOUBLE casts themselves
     // diverge across engines (Spark shortest-string vs DuckDB scaled
-    // binary — found by the sf0.1 certification), so it stays an exact
-    // DECIMAL split into (hi, lo) by integral division; slope, intercept
-    // and r² are then a fixed sequence of IEEE ops on sub-2^53 integers —
-    // deterministic at any scale.
+    // binary — found by the sf0.1 certification), so y is cast to DECIMAL
+    // BEFORE squaring (a BIGINT y·y overflows at |y| ≈ 3e9 cents) and the
+    // n·Σy² product is formed exactly in DECIMAL/HUGEINT, then split by
+    // integral division into THREE sub-2^53 pieces (h2·10¹⁸ + h1·10⁹ + h0)
+    // recombined with the shared IEEE sequence; slope, intercept and r²
+    // are then fixed IEEE ops on sub-2^53 integers — deterministic at any
+    // scale (n·Σy² ≤ ~4e33 at sf1000, far inside DECIMAL(38,0)/HUGEINT).
     Q("stats_regression_exact",
       (s, dir) => {
         val li = Catalog.load(s, dir, "lineitem")
@@ -587,10 +590,13 @@ object Extended {
           sum(col("y")).as("sy_c"),
           sum(col("x") * col("y")).as("sxy_c"),
           sum(col("x") * col("x")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy_dec"))
+          sum(expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")).as("syy_dec"))
         agg
-          .withColumn("syy_hi", expr("CAST(syy_dec div 1000000000 AS BIGINT)"))
-          .withColumn("syy_lo", expr("CAST(syy_dec % 1000000000 AS BIGINT)"))
+          .withColumn("nsyy", expr("syy_dec * n"))
+          .withColumn("h2", expr("CAST(nsyy div 1000000000000000000 AS BIGINT)"))
+          .withColumn("h1", expr(
+            "CAST((nsyy % 1000000000000000000) div 1000000000 AS BIGINT)"))
+          .withColumn("h0", expr("CAST(nsyy % 1000000000 AS BIGINT)"))
           .withColumn("cov_n", expr(
             "CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)" +
               " - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE)"))
@@ -598,7 +604,7 @@ object Extended {
             "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
           .withColumn("vary_n", expr(
-            "(CAST(n * syy_hi AS DOUBLE) * 1000000000.0 + CAST(n * syy_lo AS DOUBLE))" +
+            "(CAST(h2 AS DOUBLE) * 1e18 + CAST(h1 AS DOUBLE) * 1e9 + CAST(h0 AS DOUBLE))" +
               " - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE)"))
           .withColumn("slope_cents", col("cov_n") / col("varx_n"))
           .withColumn("intercept_cents",
@@ -615,21 +621,25 @@ object Extended {
              |       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy_c,
              |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
              |       AS BIGINT) AS sxx,
-             |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-             |      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy_hug
+             |  SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy_hug
              |  FROM lineitem),
              |b AS (SELECT n, sx, sy_c, sxy_c, sxx,
-             |        CAST(syy_hug // 1000000000 AS BIGINT) AS syy_hi,
-             |        CAST(syy_hug % 1000000000 AS BIGINT) AS syy_lo
+             |        CAST(n AS HUGEINT) * syy_hug AS nsyy
              |      FROM a),
+             |b2 AS (SELECT n, sx, sy_c, sxy_c, sxx,
+             |        CAST(nsyy // 1000000000000000000 AS BIGINT) AS h2,
+             |        CAST((nsyy % 1000000000000000000) // 1000000000 AS BIGINT) AS h1,
+             |        CAST(nsyy % 1000000000 AS BIGINT) AS h0
+             |      FROM b),
              |c AS (SELECT n, sx, sy_c,
              |  CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)
              |    - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE) AS cov_n,
              |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
              |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
-             |  (CAST(n * syy_hi AS DOUBLE) * 1000000000.0 + CAST(n * syy_lo AS DOUBLE))
+             |  (CAST(h2 AS DOUBLE) * 1e18 + CAST(h1 AS DOUBLE) * 1e9 + CAST(h0 AS DOUBLE))
              |    - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) AS vary_n
-             |  FROM b)
+             |  FROM b2)
              |SELECT n, sx, sy_c, cov_n, varx_n, vary_n,
              |  cov_n / varx_n AS slope_cents,
              |  (sy_c - (cov_n / varx_n) * sx) / n AS intercept_cents,

@@ -95,10 +95,10 @@ object PipelineQ {
               |      regexp_replace(regexp_replace(url, '#.*$$', ''),
               |                     '^https?://[^/?]+', ''),
               |    '&utm_[a-z_]+=[^&]*', '', 'g'),
-              |    '\\?utm_[a-z_]+=[^&]*&', '?'),
-              |    '\\?utm_[a-z_]+=[^&]*$$', ''),
-              |    '/+\\?', '?'),
-              |    '/+$$', '') AS url_canon
+              |    '\\?utm_[a-z_]+=[^&]*&', '?', 'g'),
+              |    '\\?utm_[a-z_]+=[^&]*$$', '', 'g'),
+              |    '/+\\?', '?', 'g'),
+              |    '/+$$', '', 'g') AS url_canon
               |  FROM u),
               |r AS (SELECT doc_id, url_canon,
               |        CAST(ROW_NUMBER() OVER (PARTITION BY url_canon

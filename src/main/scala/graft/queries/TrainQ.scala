@@ -16,22 +16,29 @@ object TrainQ {
   private val Iters = 3
   private val Dims = 64
 
-  /** Session-scoped materialization of the Lloyd training run — three
-    * queries (`kmeans_assign`, `kmeans_centroids`, `ann_ivf_kmeans`) consume
-    * the same trained model, so within one session it trains ONCE (same
-    * pattern as DedupQ's shared LSH pair pipeline). */
-  private val lloydCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  /** Session-scoped materialization of the Lloyd training run — the
+    * `kmeans_assign` / `kmeans_centroids` / `ann_ivf_kmeans*` family
+    * consumes the same trained model, so within one session it trains ONCE
+    * (same pattern as DedupQ's shared LSH pair pipeline; switching dirs
+    * evicts + unpersists, [[SessionCache]]). */
+  private val lloydCache =
+    new SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      { case (a, c) => a.unpersist(); c.unpersist() })
 
   private def trained(s: org.apache.spark.sql.SparkSession, dir: String) =
-    lloydCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+    lloydCache.getOrElseUpdate(s, dir) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val (a, c) = KMeans.lloyd(Catalog.load(s, dir, "embeddings"),
         "vec_id", "embedding", K, Iters, Dims)
       val ap = a.persist(MEMORY_AND_DISK); ap.count()
       val cp = c.persist(MEMORY_AND_DISK); cp.count()
       (ap, cp)
-    })
+    }
+
+  /** Named shared-pipeline builder for explicit bench attribution (see
+    * [[DedupQ.pipelines]]). */
+  def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("lloyd_kmeans" -> ((s, d) => { trained(s, d); () }))
 
   val all: Seq[Q] = Seq(
 
