@@ -400,7 +400,7 @@ object Dedup {
     * assignment that completes a dedup pipeline. */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, idCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
@@ -430,13 +430,27 @@ object Dedup {
         .persist(MEMORY_AND_DISK)
       val s = labelSum(next)
       labels.unpersist()
-      labels = next
+      // The per-round persist dedupes work but leaves the LOGICAL plan
+      // growing linearly with rounds — a driver-side planning/stack risk at
+      // high round counts. localCheckpoint every N rounds rebases the plan
+      // on the already-cached blocks (a cheap cache-read job) and truncates
+      // the lineage; executor-local blocks suffice on a stable cluster
+      // (reliable checkpoint() is the lose-an-executor-safe variant).
+      labels =
+        if ((i + 1) % checkpointEvery == 0) {
+          val ck = next.localCheckpoint(); next.unpersist(); ck
+        } else next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
     sym.unpersist()
-    labels.select(col("id").as(idCol), col("comp").as("component"))
+    // Hand back a lineage-free result and release the loop's last cache —
+    // callers re-cache if they fan out (e.g. the session component cache);
+    // nothing stays pinned by the op itself.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out.select(col("id").as(idCol), col("comp").as("component"))
   }
 
   /** Semi-supervised label propagation over an undirected edge set: seeded
@@ -447,10 +461,21 @@ object Dedup {
     * scalar, so a fixed horizon is the deterministic choice. Per round: one
     * equi-join against the cached symmetric edges + two hash aggregates
     * (count per (node, label), then lexicographic-min of (-count, label));
-    * state is one row per node, like [[connectedComponents]]. */
+    * state is one row per node, like [[connectedComponents]].
+    *
+    * Loop shape (round-5 rework, ~2× over the eager original): LPA needs no
+    * per-round convergence scalar, so rounds CHAIN LAZILY — no count barrier
+    * per round. A round's state is lazily persisted (it feeds two plan
+    * branches of the next round: the neighbor join and the carry-forward),
+    * and every `checkpointEvery` rounds — plus once at the end — the chain is
+    * cut with an EAGER localCheckpoint: one job materializes the rounds since
+    * the last cut, truncates the logical plan to a cached-RDD scan (bounded
+    * plan depth at any round count — pinned by `IterativePlanSpec`), and the
+    * intermediate caches are released. */
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, idCol: String,
-      seeds: DataFrame, labelCol: String, rounds: Int): DataFrame = {
+      seeds: DataFrame, labelCol: String, rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
@@ -460,8 +485,8 @@ object Dedup {
       .join(seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
         Seq("id"), "left")
       .withColumn("seeded", col("label").isNotNull)
-      .persist(MEMORY_AND_DISK)
-    for (_ <- 1 to rounds) {
+    var pending = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
       val nbr = sym.join(labels.filter(col("label").isNotNull),
           col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
@@ -473,10 +498,18 @@ object Dedup {
         .withColumn("label", when(col("seeded"), col("label"))
           .otherwise(coalesce(col("nbr_label"), col("label"))))
         .select("id", "label", "seeded")
-        .persist(MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist()
-      labels = next
+      labels =
+        if (r % checkpointEvery == 0 || r == rounds) {
+          val ck = next.localCheckpoint() // eager: materialize + cut lineage
+          pending.foreach(_.unpersist()); pending = Nil
+          ck
+        } else {
+          // Lazy persist: dedupes this round's two references in the next
+          // round's plan when the next checkpoint job evaluates them.
+          val p = next.persist(MEMORY_AND_DISK)
+          pending ::= p
+          p
+        }
     }
     sym.unpersist()
     labels.select(col("id").as(idCol), col("label"), col("seeded"))
@@ -500,7 +533,8 @@ object Dedup {
     * symmetric edge list — same shuffle shape as [[connectedComponents]].
     * Output: idCol, deg, rank_u (fixed-point BIGINT), rank (double). */
   def pageRank(
-      nodes: DataFrame, edges: DataFrame, idCol: String, iters: Int = 3): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, idCol: String, iters: Int = 3,
+      checkpointEvery: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val One = 1000000000000L // fixed-point 1.0 (scale 1e12)
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
@@ -512,7 +546,7 @@ object Dedup {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(MEMORY_AND_DISK)
     var ranks = base.withColumn("rank_u", lit(One))
-    (0 until iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val contrib = sym.join(ranks, col("src") === col("id"))
         .select(col("dst").as("id"), expr("rank_u div deg").as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("csum"))
@@ -520,8 +554,16 @@ object Dedup {
         .select(col("id"), col("deg"),
           (lit(15L * One / 100) +
             expr("(17 * coalesce(csum, CAST(0 AS BIGINT))) div 20")).as("rank_u"))
+      // The recurrence references ranks once per iteration, so the lazy plan
+      // grows only linearly — but unbounded linear growth is still a driver
+      // planning risk at high iteration counts; cut it periodically.
+      if (it % checkpointEvery == 0 && it < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("id").as(idCol), col("deg"), col("rank_u"),
+    // Lineage-free handoff; release the loop caches (see connectedComponents).
+    val out = ranks.localCheckpoint()
+    sym.unpersist()
+    base.unpersist()
+    out.select(col("id").as(idCol), col("deg"), col("rank_u"),
       (col("rank_u").cast("double") / lit(One.toDouble)).as("rank"))
   }
 
