@@ -25,6 +25,21 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.findFirstIn(name).isDefined)
     }
+    // Shared pipelines (LSH pairs/components, Lloyd training) are built ONCE
+    // per session and fanned out to many queries; time the builds explicitly
+    // so per-query numbers measure SERVING, not whichever (alphabetically
+    // first) consumer happens to trigger the materialization — round 4's
+    // corpus_refinery at 9.3 s was ~80% this attribution artifact. Dev
+    // subsets (SPARK_GRAFT_ONLY) skip the fronting, so a lone family
+    // measurement still sees its own build cost.
+    val pipelineTimes: Seq[(String, Double)] =
+      if (only.isEmpty)
+        SparkEntry.pipelines.map { case (name, build) =>
+          val t0 = System.nanoTime()
+          try build(spark, sfDir) catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      else Seq.empty
     // Fixed (sorted) execution order: Map iteration order scatters the
     // session's cold-start costs (codegen/JIT of the first big expression
     // trees) onto arbitrary queries each build, which round 3 showed as a
@@ -38,6 +53,9 @@ object Bench {
     }.toMap
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // Full per-query detail for humans (NOT the machine-read line).
+    pipelineTimes.foreach { case (k, v) =>
+      println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
+    }
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"BENCH_DETAIL $k ${v}%.3f")
     }
@@ -59,8 +77,12 @@ object Bench {
       "stats_percentiles_distributed", "graph_label_propagation")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      .mkString("{", ",", "}")
+    // total = pipeline builds + all queries (the whole session's work, so
+    // it stays comparable with rounds 1-4 where builds hid inside queries).
+    val total = results.values.sum + pipelineTimes.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
