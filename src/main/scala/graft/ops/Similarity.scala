@@ -199,6 +199,54 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/reps")
   }
 
+  /** Persist a TRAINED-quantizer IVF index: cell members written PARTITIONED
+    * BY the learned k-means cluster (norms precomputed at build) plus the
+    * centroid table — the train-once / serve-many split production ANN
+    * requires. Training ([[KMeans.lloyd]]) and this write run in the BUILD
+    * job; serving ([[knnIvfKmeansPersisted]]) reads only the index and never
+    * pays training. `assigned`/`cents` are [[KMeans.lloyd]]'s outputs. */
+  def writeKmeansIvfIndex(assigned: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit = {
+    assigned
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+    cents.select(col("cluster"), col("cent"))
+      .write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  /** Probe a [[writeKmeansIvfIndex]] index from disk: the k centroids
+    * broadcast, each probe picks its `nprobe` nearest cells by squared L2
+    * (the metric the quantizer was trained in), and the cell join prunes the
+    * scan to the selected partition directories (dynamic partition pruning,
+    * pinned in PlanShapeSpec). Results are identical to the in-session
+    * trained path (`ann_ivf_kmeans`), so the same oracle checks both. */
+  def knnIvfKmeansPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/cents")
+    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
+      norm(col(vecCol)).as("q_nrm"))
+    val wProbe = Window.partitionBy("q_vec").orderBy(col("d").asc, col("p_cluster").asc)
+    val probeParts = q.crossJoin(broadcast(
+        cents.select(col("cluster").as("p_cluster"), col("cent"))))
+      .withColumn("d", expr(
+        """aggregate(zip_with(q_emb, cent, (x, y) ->
+          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_vec", "q_emb", "q_nrm", "p_cluster")
+    val v = spark.read.parquet(s"$path/cells")
+    val scored = v.join(broadcast(probeParts),
+        col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
+      .select(col("q_vec"), col(idCol).as("neighbor"),
+        (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec", "rank", "neighbor", "cos")
+  }
+
   /** Probe a [[writeIvfIndex]] index from disk — the ANN SERVING path:
     * representatives broadcast, each probe picks its nprobe cells, and the
     * cell join against the label-partitioned index prunes the scan to the

@@ -35,10 +35,54 @@ object TrainQ {
       (ap, cp)
     }
 
-  /** Named shared-pipeline builder for explicit bench attribution (see
-    * [[DedupQ.pipelines]]). */
+  /** Session-scoped trained-quantizer IVF index on disk (train-once /
+    * serve-many): the Lloyd outputs written as a partitioned cell layout +
+    * centroid table ([[Similarity.writeKmeansIvfIndex]]). The serving query
+    * (`ann_ivf_kmeans_persisted`) reads only this — it never pays training. */
+  private val ivfIndexCache = new SessionCache[String](_ => ())
+
+  private def kmeansIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexCache.getOrElseUpdate(s, dir) {
+      val (assigned, cents) = trained(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kivf").toString
+      Similarity.writeKmeansIvfIndex(assigned, cents, "vec_id", "embedding", tmp)
+      tmp
+    }
+
+  /** Named shared-pipeline builders for explicit bench attribution (see
+    * [[DedupQ.pipelines]]). Order matters: the index build consumes the
+    * trained model. */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
-    Seq("lloyd_kmeans" -> ((s, d) => { trained(s, d); () }))
+    Seq(
+      "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
+      "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }))
+
+  /** Shared oracle for both trained-quantizer ANN paths — the persisted
+    * serving query must return exactly what the in-session path returns. */
+  private def annIvfKmeansOracle: String =
+    s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+       |e AS (SELECT vec_id, embedding, ${Similarity.normDuck("embedding")} AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+       |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |pp AS (SELECT q_vec, q_emb, q_nrm, cluster FROM (
+       |    SELECT q.q_vec, q.q_emb, q.q_nrm, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+       |               ORDER BY ${KMeans.distDuck("q.q_emb", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS pr
+       |    FROM q, c$Iters c) z WHERE pr <= 2),
+       |scored AS (SELECT pp.q_vec, a.vec_id AS neighbor,
+       |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
+       |           FROM a$Iters a
+       |           JOIN pp ON a.cluster = pp.cluster AND a.vec_id <> pp.q_vec
+       |           JOIN e ON e.vec_id = a.vec_id),
+       |r AS (SELECT q_vec, neighbor, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY q_vec
+       |                                ORDER BY cos DESC, neighbor ASC) AS rank
+       |      FROM scored)
+       |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+       |ORDER BY q_vec, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -209,29 +253,23 @@ object TrainQ {
           .select("q_vec", "rank", "neighbor", "cos")
           .orderBy("q_vec", "rank")
       },
-      Some(s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
-              |e AS (SELECT vec_id, embedding, ${Similarity.normDuck("embedding")} AS nrm
-              |      FROM embeddings),
-              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
-              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
-              |      WHERE vec_id % 100 = 0),
-              |pp AS (SELECT q_vec, q_emb, q_nrm, cluster FROM (
-              |    SELECT q.q_vec, q.q_emb, q.q_nrm, c.cluster,
-              |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
-              |               ORDER BY ${KMeans.distDuck("q.q_emb", "c.cent", Dims)} ASC,
-              |                        c.cluster ASC) AS pr
-              |    FROM q, c$Iters c) z WHERE pr <= 2),
-              |scored AS (SELECT pp.q_vec, a.vec_id AS neighbor,
-              |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
-              |           FROM a$Iters a
-              |           JOIN pp ON a.cluster = pp.cluster AND a.vec_id <> pp.q_vec
-              |           JOIN e ON e.vec_id = a.vec_id),
-              |r AS (SELECT q_vec, neighbor, cos,
-              |             ROW_NUMBER() OVER (PARTITION BY q_vec
-              |                                ORDER BY cos DESC, neighbor ASC) AS rank
-              |      FROM scored)
-              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
-              |ORDER BY q_vec, rank""".stripMargin)),
+      Some(annIvfKmeansOracle)),
+
+    // The trained-quantizer SERVING path: identical search against the
+    // DISK-persisted k-means IVF index (cells partitioned by the learned
+    // cluster, norms precomputed at build; centroids broadcast from the
+    // index's centroid table). Serving pays NO training — the Lloyd run and
+    // the index write happen in the session-scoped build pipeline
+    // (`pipeline:kmeans_ivf_index` in the bench), mirroring how
+    // ann_ivf_persisted serves the label-partitioned index. Results must
+    // equal the in-session trained path, so the oracle is the identical SQL.
+    Q("ann_ivf_kmeans_persisted",
+      (s, dir) =>
+        Similarity.knnIvfKmeansPersisted(s, kmeansIndex(s, dir),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", nprobe = 2, k = 10)
+          .orderBy("q_vec", "rank"),
+      Some(annIvfKmeansOracle)),
 
     // Bigram language-model score — the deterministic analog of a
     // perplexity filter: corpus-level bigram counts (multiplicity kept),

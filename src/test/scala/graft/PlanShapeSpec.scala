@@ -225,6 +225,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("persisted trained-quantizer IVF probe also prunes cell partitions") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{KMeans, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kivfpin").toString
+    val vecs = Catalog.load(spark, dir, "embeddings")
+    val (assigned, cents) = KMeans.lloyd(vecs, "vec_id", "embedding",
+      k = 4, iters = 1, dims = 64)
+    Similarity.writeKmeansIvfIndex(assigned, cents, "vec_id", "embedding", tmp)
+    val p = plan(Similarity.knnIvfKmeansPersisted(spark, tmp,
+      vecs.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", nprobe = 2, k = 10))
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("scd2 is one exchange + one sort on the entity key") {
     import org.apache.spark.sql.functions.col
     val p = plan(graft.ops.Pipeline.scd2(
