@@ -204,7 +204,13 @@ object Extended {
 
     // Trailing-hour DISTINCT count per event: Spark has no windowed
     // COUNT(DISTINCT) — size(collect_set) over the RANGE frame is the
-    // equivalent (bounded by |event types|, so the per-row set stays tiny).
+    // equivalent. CONTRACT (pinned by PipelineSpec "windowed collect_set"):
+    // the per-row buffer is O(distinct values IN FRAME), so this pattern is
+    // only safe when the collected column's in-frame cardinality is bounded
+    // (event types here — a handful). For a high-cardinality column (user
+    // ids, event ids) bound the frame tightly or use a two-pass
+    // distinct-then-count instead; an unbounded frame over an unbounded
+    // column is an executor-memory landmine.
     Q("w7_distinct_types_trailing",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))

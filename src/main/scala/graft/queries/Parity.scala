@@ -429,6 +429,40 @@ object Parity {
               |  CAST(least(levenshtein(substr(text, 1, 12), lang), 7) AS INT) AS lev
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // §1.2 TIME type conformance — the one reference type with no Spark
+    // equivalent. The reference codes TIME as a 64-bit long: millis since
+    // midnight in the low 32 bits plus a timezone offset in the high 32
+    // (minidbs-core/src/de/tuberlin/dima/minidb/core/TimeField.java:11-18,
+    // DataType.java:518-521). The documented mapping here is LongType
+    // millis-since-midnight with offset 0 (sessions run UTC — CONFORMANCE
+    // .md); this query exercises the full TIME surface: derivation from a
+    // timestamp, hour/minute/second extraction, wrap-around time-of-day
+    // arithmetic (+90 min mod day) and a time-of-day range predicate.
+    Q("type_time_of_day",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("tod_ms", expr("(us % 86400000000) div 1000"))
+          .withColumn("hh", expr("CAST(tod_ms div 3600000 AS INT)"))
+          .withColumn("mi", expr("CAST((tod_ms % 3600000) div 60000 AS INT)"))
+          .withColumn("ss", expr("CAST((tod_ms % 60000) div 1000 AS INT)"))
+          .withColumn("shift90_ms", expr("(tod_ms + 5400000) % 86400000"))
+          .withColumn("in_business_hours", expr("hh >= 9 AND hh < 17"))
+          .select("event_id", "tod_ms", "hh", "mi", "ss", "shift90_ms",
+            "in_business_hours")
+          .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+             |t AS (SELECT event_id, (us % 86400000000) // 1000 AS tod_ms FROM e),
+             |x AS (SELECT event_id, tod_ms,
+             |        CAST(tod_ms // 3600000 AS INT) AS hh,
+             |        CAST((tod_ms % 3600000) // 60000 AS INT) AS mi,
+             |        CAST((tod_ms % 60000) // 1000 AS INT) AS ss,
+             |        (tod_ms + 5400000) % 86400000 AS shift90_ms
+             |      FROM t)
+             |SELECT event_id, tod_ms, hh, mi, ss, shift90_ms,
+             |       hh >= 9 AND hh < 17 AS in_business_hours
+             |FROM x ORDER BY event_id""".stripMargin)),
+
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)

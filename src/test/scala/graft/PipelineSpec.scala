@@ -172,4 +172,21 @@ class PipelineSpec extends SparkSpec {
     assert(mass === tokens)
     v.unpersist()
   }
+
+  test("windowed collect_set: degenerate cardinality is frame-bounded and exact") {
+    // The w7 pattern's contract (queries/Extended.scala): per-row memory is
+    // O(distinct values IN FRAME). Worst case — every value UNIQUE — the set
+    // grows with the frame, never the column: 5000 unique values under a
+    // trailing RANGE frame of width 100 peak at 100 entries and the counts
+    // stay exact.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 5000L).map(i => (1L, i, s"t$i")).toDF("k", "pos", "typ")
+    val w = Window.partitionBy("k").orderBy(col("pos")).rangeBetween(-99, 0)
+    val got = df.select(col("pos"),
+        size(collect_set(col("typ")).over(w)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length === 5000)
+    assert(got.forall { case (pos, d) => d == math.min(pos + 1, 100L) })
+  }
 }
