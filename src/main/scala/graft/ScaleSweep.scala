@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Catalog
+
+/** 10×/1× scaling sweep (dev harness, like [[StressBench]]): materialize a
+  * referentially-consistent 10× replica of the testdata tables on disk, run
+  * the heavy conformance queries at BOTH scales through the exact
+  * `SparkEntry.queries` entry points, and print the wall-time ratio table.
+  *
+  * The pass bar is near-linear scaling: ratio ≈ 10 (≤ ~12 allowing fixed
+  * overheads to amortize oddly at toy scale); a super-linear outlier names
+  * the next plan audit. Sub-linear ratios are expected for queries dominated
+  * by fixed costs (codegen, microbatch commits) at 1×.
+  *
+  * Replication: 10 copies with every KEY-domain column offset by k·10⁹ per
+  * clone k — orderkey offsets match between orders and lineitem, custkey
+  * between customer and orders, etc., so join cardinalities scale exactly
+  * 10× while tiny dims (nation, region) stay shared, like 10 TPC-H databases
+  * unioned. Events get 10× the users at the same per-user history depth;
+  * documents get 10× docs, so every near-dup family and LSH bucket grows
+  * 10× — exactly the load the skew caps exist for.
+  */
+object ScaleSweep {
+
+  private val Off = 1000000000L
+
+  /** Key-domain columns to offset per clone (referential integrity: the
+    * same domain gets the same offset everywhere it appears). */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The sweep set: every query above ~1 s in the round-4 bench plus one
+    * representative per heavy family (streaming excluded — the file-glob
+    * source layout doesn't survive the replica dir, and its scaling story
+    * is state-store-bound, covered by StressBench). */
+  private val sweep: Seq[String] = Seq(
+    "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
+    "anomaly_rolling_z", "bpe_pair_counts", "corpus_refinery",
+    "dedup_clusters", "dedup_containment", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_spans", "er_resolve_entities", "export_training_shards",
+    "feature_quantile_bin", "funnel_conversion", "graph_label_propagation",
+    "graph_pagerank", "graph_triangles", "pack_sequences",
+    "rfm_segmentation", "sample_bottomk", "scd2_user_state",
+    "sessionize_events", "stats_percentiles_distributed",
+    "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
+    "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
+    "tpch_q9_profit_proxy", "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier", "w2_running_sum")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.engine.GraftSession.local("graft-scale-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dst = java.nio.file.Files.createTempDirectory("graft_10x").toString
+    Catalog.tableNames.foreach { t =>
+      // Raw read (no ts normalization) so the replica round-trips bytes;
+      // events.ts arrives as plain INT64 nanos either way and
+      // Catalog.normalizeEventTs handles both layouts on load.
+      val src = spark.read.parquet(Catalog.path(sfDir, t))
+      val out = keyCols.get(t) match {
+        case None => src
+        case Some(keys) =>
+          (0 until 10).map { k =>
+            keys.foldLeft(src)((d, c) => d.withColumn(c, col(c) + lit(k * Off)))
+          }.reduce(_ unionByName _)
+      }
+      out.write.mode("overwrite").parquet(Catalog.path(dst, t))
+    }
+    println(s"[sweep] 10x replica at $dst")
+
+    def runAll(dir: String): Seq[(String, Double)] = {
+      val pipelines = SparkEntry.pipelines.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        build(spark, dir)
+        s"pipeline:$name" -> (System.nanoTime() - t0) / 1e9
+      }
+      val queries = sweep.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      pipelines ++ queries
+    }
+
+    // 1× first, then 10× — the SessionCache dir-eviction swaps the shared
+    // pipelines over automatically.
+    val t1 = runAll(sfDir)
+    val t10 = runAll(dst).toMap
+    println(f"[sweep] ${"name"}%-34s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
+    val ratios = t1.map { case (name, a) =>
+      val b = t10(name)
+      val r = b / a
+      val flag = if (r > 12.0) "  <-- SUPER-LINEAR" else ""
+      println(f"[sweep] $name%-34s $a%8.2f $b%8.2f $r%7.2f$flag")
+      name -> r
+    }
+    val worst = ratios.maxBy(_._2)
+    println(f"[sweep] worst ratio: ${worst._1} ${worst._2}%.2f")
+    spark.stop()
+  }
+}

@@ -73,6 +73,23 @@ object StressBench {
     }
     println(s"[stress] containment pairs capped=$nCont")
 
+    // The EXACT pair miners under the same 10× clone families: uncapped
+    // their true pair output is quadratic by definition (the ScaleSweep
+    // measured 980× output at 10×); the caps keep them bounded.
+    val (nNg, _) = timed("ngram-jaccard pairs, bucket cap=64") {
+      Dedup.ngramJaccardPairs(big, "doc_id", "text", n = 2, threshold = 0.6,
+        bucketWidth = 16, maxBucket = 64).count()
+    }
+    println(s"[stress] ngram pairs capped=$nNg")
+    val (nLev, _) = timed("levenshtein pairs, block cap=64") {
+      val titles = big.select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      Dedup.editDistancePairs(titles, "doc_id", "t", maxDist = 8,
+        blockOn = t => Seq(split(t, " ").getItem(0),
+          floor(length(t) / lit(8)).cast("long")),
+        maxBlock = 64).count()
+    }
+    println(s"[stress] levenshtein pairs capped=$nLev")
+
     // Incremental dedup: last replica block = the daily batch (10% of the
     // corpus), first nine = the accumulated history it probes.
     val (incr, _) = timed("incremental dedup, 10% batch vs 9x history") {

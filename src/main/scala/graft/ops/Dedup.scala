@@ -203,20 +203,34 @@ object Dedup {
     * `bucketWidth` tokens (each doc emits buckets {b, b+1}; a pair within
     * `bucketWidth` tokens of each other shares one). Equi-join on the bucket,
     * exact Jaccard on candidates. The scalable-but-exact baseline beside
-    * [[minhashLshPairs]]. */
+    * [[minhashLshPairs]].
+    *
+    * Boundedness caveat (measured by the 10× ScaleSweep): the EXACT pair
+    * relation is itself quadratic in duplicate-family size — a family of B
+    * mutual near-dups IS B(B−1)/2 true pairs, so no plan can emit it in less
+    * than quadratic output. Production pipelines run exact/content-hash
+    * dedup BEFORE near-dup mining precisely to collapse clone families; for
+    * corpora where that's not enough, `maxBucket` applies the same capped
+    * candidate generation as the LSH family ([[Skew.capBuckets]], observed
+    * drops under `ngram_bucket_cap`) at the documented recall trade. The
+    * default is UNCAPPED — exact semantics. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, bucketWidth: Int): DataFrame = {
+      n: Int, threshold: Double, bucketWidth: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // Three plan branches (bucket keys + both verify sides) → persist; the
     // repartition spreads the broadcast-join-only verify stage across cores
     // (see minhashLshPairs).
     val sh = hashedShingleSets(docs, idCol, textCol, n)
       .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withB = sh
+    val withB0 = sh
       .select(col(idCol), size(col("s")).as("n"),
         expr(s"CAST(floor(size(s) / $bucketWidth) AS BIGINT)").as("b"))
       .select(col(idCol), col("n"), col("b"), explode(expr("array(b, b + 1)")).as("bk"))
+    val withB =
+      if (maxBucket == Int.MaxValue) withB0
+      else Skew.capBuckets(withB0, Seq("bk"), idCol, maxBucket, "ngram_bucket_cap")
     // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|. Pairs in
     // the same base bucket would match on BOTH emitted keys; keeping only the
     // smallest shared key (= greatest base bucket) emits each pair exactly
@@ -593,19 +607,28 @@ object Dedup {
     * the built-in's full O(len²) DP. Blocking trades
     * recall for boundedness exactly like LSH banding: a pair split across
     * blocks is never compared — at 100 TB that is the only way an
-    * edit-distance pass is runnable at all. */
+    * edit-distance pass is runnable at all.
+    *
+    * Like [[ngramJaccardPairs]], the exact pair relation is quadratic in
+    * clone-family size by definition; `maxBlock` bounds degenerate blocks
+    * ([[Skew.capBuckets]], observed drops under `lev_block_cap`) when
+    * upstream exact dedup can't. Default UNCAPPED — exact semantics. */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
-      blockOn: Column => Seq[Column]): DataFrame = {
-    def side(id: String, t: String): DataFrame = {
-      val base = df.select(col(idCol).as(id), col(strCol).as(t))
-      blockOn(col(t)).zipWithIndex.foldLeft(base) {
-        case (d, (c, i)) => d.withColumn(s"_bk$i", c)
-      }
+      blockOn: Column => Seq[Column], maxBlock: Int = Int.MaxValue): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_t"))
+    val keyed0 = blockOn(col("_t")).zipWithIndex.foldLeft(base) {
+      case (d, (c, i)) => d.withColumn(s"_bk$i", c)
     }
-    val a = side("d1", "t1")
-    val keys = a.columns.filter(_.startsWith("_bk")).toSeq
-    a.join(side("d2", "t2"), keys)
+    val keyed =
+      if (maxBlock == Int.MaxValue) keyed0
+      else Skew.capBuckets(keyed0,
+        keyed0.columns.filter(_.startsWith("_bk")).toSeq, "_id", maxBlock,
+        "lev_block_cap")
+    val keys = keyed.columns.filter(_.startsWith("_bk")).toSeq
+    val a = keyed.select(col("_id").as("d1") +: col("_t").as("t1") +: keys.map(col): _*)
+    val b = keyed.select(col("_id").as("d2") +: col("_t").as("t2") +: keys.map(col): _*)
+    a.join(b, keys)
       .filter(col("d1") < col("d2"))
       .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
       .withColumn("dist",

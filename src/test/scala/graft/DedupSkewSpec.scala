@@ -122,4 +122,31 @@ class DedupSkewSpec extends SparkSpec {
     assert(n > 0, "capped SRP must still find pairs inside kept buckets")
     assert(n <= bound, s"$n candidate pairs exceed bands*C(cap,2) = $bound")
   }
+
+  test("exact ngram-Jaccard: uncapped is quadratic BY DEFINITION; cap bounds it") {
+    // The exact pair relation over a B-clone family IS C(B,2) rows — the 10×
+    // ScaleSweep measured exactly this (256 → 250,600 true pairs under 10×
+    // replication). maxBucket applies the LSH family's capped candidate
+    // generation when upstream exact dedup can't collapse the family first.
+    val cap = 16
+    val n = Dedup.ngramJaccardPairs(boiler, "doc_id", "text",
+      n = 2, threshold = 0.5, bucketWidth = 16, maxBucket = cap).count()
+    // each doc emits 2 bucket keys {b, b+1} → ≤ 2 kept buckets of `cap`
+    val bound = 2L * cap * (cap - 1) / 2
+    assert(n > 0, "capped ngram must still find pairs inside kept buckets")
+    assert(n <= bound, s"$n pairs exceed 2*C(cap,2) = $bound")
+  }
+
+  test("blocked Levenshtein: block cap bounds a clone family's pair count") {
+    val cap = 16
+    val titles = boiler.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("t")) // identical 40-char prefixes
+    val n = Dedup.editDistancePairs(titles, "doc_id", "t", maxDist = 8,
+      blockOn = t => Seq(split(t, " ").getItem(0),
+        floor(length(t) / lit(8)).cast("long")),
+      maxBlock = cap).count()
+    val bound = cap.toLong * (cap - 1) / 2 // one (token, len-bucket) block
+    assert(n > 0, "capped lev must still find pairs inside the kept block")
+    assert(n <= bound, s"$n pairs exceed C(cap,2) = $bound")
+  }
 }
