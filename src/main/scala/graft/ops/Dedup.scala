@@ -139,7 +139,6 @@ object Dedup {
   def incrementalMinhashDedup(
       history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxBucket: Int = LshMaxBucket): DataFrame = {
-    import graft.expressions.IntersectSize.intersectSize
     // Deliberately NOT persisted, although each side feeds two plan
     // branches: the cache manager matches by canonicalized PLAN, so a
     // persisted read of a corpus path that gains files between invocations
@@ -147,13 +146,57 @@ object Dedup {
     // serves the STALE previous snapshot — batch 2 would never see batch
     // 1's kept docs. Recomputing the (compiled, cheap) shingle pipeline
     // twice is the correct trade; at production scale both sides' shingle
-    // sets and band signatures are precomputed artifacts, not inline
-    // recomputation.
+    // sets and band signatures are precomputed artifacts
+    // ([[writeDedupIndex]] / [[incrementalMinhashDedupPersisted]]), not
+    // inline recomputation.
     val shH = hashedShingleSets(history, idCol, textCol, n)
-    val shB = hashedShingleSets(batch, idCol, textCol, n)
-      .repartition(col(idCol))
     val bandsH = Skew.capBuckets(minhashBandSignatures(shH, idCol),
       Seq("band", "sig"), idCol, maxBucket, "lsh_inc_hist_cap")
+    incrementalMinhashCore(shH, bandsH, batch, idCol, textCol, n, threshold,
+      maxBucket)
+  }
+
+  /** Persist the corpus-side MinHash dedup index — the artifact a daily
+    * ingest probes instead of re-shingling its whole history: the hashed
+    * shingle sets (the verify side) and the capped band signatures (the
+    * candidate side), both plain columnar tables keyed by the doc id. After
+    * each ingest the kept batch's rows are APPENDED to both tables (same
+    * schemas), so the index grows incrementally with the corpus. */
+  def writeDedupIndex(history: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String, maxBucket: Int = LshMaxBucket): Unit = {
+    val sh = hashedShingleSets(history, idCol, textCol, n)
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    // Derive the band table from the WRITTEN shingles: the artifacts stay
+    // mutually consistent and the text pipeline runs exactly once.
+    val shBack = history.sparkSession.read.parquet(s"$path/shingles")
+    Skew.capBuckets(minhashBandSignatures(shBack, idCol),
+        Seq("band", "sig"), idCol, maxBucket, "lsh_index_cap")
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** [[incrementalMinhashDedup]] against a [[writeDedupIndex]] artifact —
+    * the SERVING shape: only the (small) batch is shingled at probe time;
+    * the history side streams from the precomputed index and never
+    * shuffles. Results are identical to the inline variant over the same
+    * history, so the same oracle checks both. */
+  def incrementalMinhashDedupPersisted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxBucket: Int = LshMaxBucket): DataFrame =
+    incrementalMinhashCore(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"),
+      batch, idCol, textCol, n, threshold, maxBucket)
+
+  /** Shared probe core: history arrives as precomputed (or inline-derived)
+    * shingle + band tables; the batch is shingled here. */
+  private def incrementalMinhashCore(
+      shH: DataFrame, bandsH: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    import graft.expressions.IntersectSize.intersectSize
+    val shB = hashedShingleSets(batch, idCol, textCol, n)
+      .repartition(col(idCol))
     val bandsB = Skew.capBuckets(minhashBandSignatures(shB, idCol),
       Seq("band", "sig"), idCol, maxBucket, "lsh_inc_batch_cap")
 
