@@ -38,10 +38,10 @@ object ScaleSweep {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** The sweep set: every query above ~1 s in the round-4 bench plus one
-    * representative per heavy family (streaming excluded — the file-glob
-    * source layout doesn't survive the replica dir, and its scaling story
-    * is state-store-bound, covered by StressBench). */
+  /** The 10× sweep set: every query above ~1 s in the round-4 bench plus
+    * one representative per heavy family (streaming excluded — the
+    * file-glob source layout doesn't survive the replica dir, and its
+    * scaling story is state-store-bound, covered by StressBench). */
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "anomaly_rolling_z", "bpe_pair_counts", "corpus_refinery",
@@ -57,12 +57,34 @@ object ScaleSweep {
     "tpch_q9_profit_proxy", "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier", "w2_running_sum")
 
+  /** The ≥100× sweep set: only queries whose WORK and OUTPUT scale
+    * linearly in the inputs. Clone replication makes every pair relation
+    * quadratic in family size (a semantic fact, measured at 10×) and
+    * multiplies the ANN probe set with the corpus (|Q|·|V| work) — those
+    * shapes measure output blow-up, not plan scaling, so they are
+    * excluded here and their boundedness is pinned by the capped
+    * StressBench runs instead. */
+  private val sweepLinear: Seq[String] = Seq(
+    "anomaly_rolling_z", "bpe_pair_counts", "dedup_content_hash",
+    "dedup_exact", "embed_l2_normalize", "events_user_features",
+    "feature_quantile_bin", "funnel_conversion", "islands_error_streaks",
+    "pack_sequences", "rfm_segmentation", "sample_bottomk",
+    "scd2_user_state", "sessionize_events", "stats_percentiles_distributed",
+    "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
+    "text_quality", "text_token_count", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q9_profit_proxy",
+    "tpch_q18_large_orders", "tpch_q21_waiting_supplier",
+    "ts_ohlc_hourly", "w2_running_sum", "w5_trailing_hour_range")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    require(factor >= 2 && factor.toLong * Off <= Long.MaxValue / 4)
     val spark = graft.engine.GraftSession.local("graft-scale-sweep")
     spark.sparkContext.setLogLevel("WARN")
 
-    val dst = java.nio.file.Files.createTempDirectory("graft_10x").toString
+    val dst = java.nio.file.Files.createTempDirectory(s"graft_${factor}x").toString
     Catalog.tableNames.foreach { t =>
       // Raw read (no ts normalization) so the replica round-trips bytes;
       // events.ts arrives as plain INT64 nanos either way and
@@ -71,21 +93,32 @@ object ScaleSweep {
       val out = keyCols.get(t) match {
         case None => src
         case Some(keys) =>
-          (0 until 10).map { k =>
-            keys.foldLeft(src)((d, c) => d.withColumn(c, col(c) + lit(k * Off)))
-          }.reduce(_ unionByName _)
+          // One plan branch for any factor: cross the replica index in and
+          // offset every key domain by k·Off.
+          val crossed = src.crossJoin(
+            spark.range(factor).withColumnRenamed("id", "_k"))
+          keys.foldLeft(crossed)((d, c) =>
+            d.withColumn(c, col(c) + col("_k") * lit(Off))).drop("_k")
       }
       out.write.mode("overwrite").parquet(Catalog.path(dst, t))
     }
-    println(s"[sweep] 10x replica at $dst")
+    println(s"[sweep] ${factor}x replica at $dst")
+
+    // Pair-mining and |Q|-scaling shapes are only meaningful at 10× (their
+    // OUTPUT is quadratic under replication); past that, sweep the
+    // linear-work subset.
+    val names = if (factor <= 10) sweep else sweepLinear
 
     def runAll(dir: String): Seq[(String, Double)] = {
-      val pipelines = SparkEntry.pipelines.map { case (name, build) =>
-        val t0 = System.nanoTime()
-        build(spark, dir)
-        s"pipeline:$name" -> (System.nanoTime() - t0) / 1e9
-      }
-      val queries = sweep.map { name =>
+      val pipelines =
+        if (factor <= 10)
+          SparkEntry.pipelines.map { case (name, build) =>
+            val t0 = System.nanoTime()
+            build(spark, dir)
+            s"pipeline:$name" -> (System.nanoTime() - t0) / 1e9
+          }
+        else Seq.empty
+      val queries = names.map { name =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         name -> (System.nanoTime() - t0) / 1e9
@@ -93,15 +126,15 @@ object ScaleSweep {
       pipelines ++ queries
     }
 
-    // 1× first, then 10× — the SessionCache dir-eviction swaps the shared
-    // pipelines over automatically.
+    // 1× first, then the replica — the SessionCache dir-eviction swaps the
+    // shared pipelines over automatically.
     val t1 = runAll(sfDir)
-    val t10 = runAll(dst).toMap
-    println(f"[sweep] ${"name"}%-34s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
+    val tN = runAll(dst).toMap
+    println(f"[sweep] ${"name"}%-34s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s")
     val ratios = t1.map { case (name, a) =>
-      val b = t10(name)
+      val b = tN(name)
       val r = b / a
-      val flag = if (r > 12.0) "  <-- SUPER-LINEAR" else ""
+      val flag = if (r > 1.2 * factor) "  <-- SUPER-LINEAR" else ""
       println(f"[sweep] $name%-34s $a%8.2f $b%8.2f $r%7.2f$flag")
       name -> r
     }
