@@ -1,0 +1,31 @@
+package graft
+
+/** Plan auditor (dev harness): run named conformance queries against a data
+  * dir and print the FINAL adaptive plan's join strategies and exchange
+  * counts — the quick check for "did the dimension chain stay broadcast /
+  * did a fact-fact join correctly go to sort-merge" at a given scale.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.PlanAudit q1 q2 ..."
+  * (add SPARK_GRAFT_PLAN=1 to dump the full executed plan per query).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.engine.GraftSession.local("graft-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      def n(s: String) = p.linesIterator.count(_.contains(s))
+      println(s"AUDIT $q broadcastHash=${n("BroadcastHashJoin")}" +
+        s" sortMerge=${n("SortMergeJoin")}" +
+        s" shuffledHash=${n("ShuffledHashJoin")}" +
+        s" nestedLoop=${n("BroadcastNestedLoopJoin")}" +
+        s" hashExchanges=${n("Exchange hashpartitioning")}" +
+        s" aqeShuffleReads=${n("AQEShuffleRead")}")
+      if (sys.env.contains("SPARK_GRAFT_PLAN")) println(p)
+    }
+    spark.stop()
+  }
+}
