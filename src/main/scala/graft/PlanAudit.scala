@@ -14,8 +14,12 @@ object PlanAudit {
     val spark = graft.engine.GraftSession.local("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { q =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, dir)
       df.count() // finalize the adaptive plan
+      val t1 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count() // warm re-run (layouts built)
+      val t2 = System.nanoTime()
       val p = df.queryExecution.executedPlan.toString
       def n(s: String) = p.linesIterator.count(_.contains(s))
       println(s"AUDIT $q broadcastHash=${n("BroadcastHashJoin")}" +
@@ -23,7 +27,8 @@ object PlanAudit {
         s" shuffledHash=${n("ShuffledHashJoin")}" +
         s" nestedLoop=${n("BroadcastNestedLoopJoin")}" +
         s" hashExchanges=${n("Exchange hashpartitioning")}" +
-        s" aqeShuffleReads=${n("AQEShuffleRead")}")
+        s" aqeShuffleReads=${n("AQEShuffleRead")}" +
+        f" firstSec=${(t1 - t0) / 1e9}%.2f warmSec=${(t2 - t1) / 1e9}%.2f")
       if (sys.env.contains("SPARK_GRAFT_PLAN")) println(p)
     }
     spark.stop()

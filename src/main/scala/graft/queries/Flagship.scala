@@ -12,6 +12,42 @@ import graft.ops.Relational.{avgExact, sumExact, sumExactScaled}
   * under partial aggregation), and every output is totally ordered. */
 object Flagship {
 
+  /** Session-scoped bucketed layout of the two fact tables, hash-clustered
+    * by the orderkey into matching bucket counts ([[graft.ops.Bucketing]]):
+    * the layout shuffle is paid ONCE here, and every orderkey
+    * join/aggregation over these tables then plans with zero hash Exchange.
+    * The 100× ScaleSweep measured q18/q21 paying 3 and 7 exchanges at
+    * sf10 — this is the workload-level answer. */
+  private val bucketedLayoutCache = new SessionCache[Unit](_ => ())
+
+  private def bucketedOrderkeyLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    bucketedLayoutCache.getOrElseUpdate(s, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bfl").toString
+      graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "orders"),
+        "graft_b_orders", s"$tmp/orders", 8, "o_orderkey")
+      graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "lineitem"),
+        "graft_b_lineitem", s"$tmp/lineitem", 8, "l_orderkey")
+    }
+
+  /** Named builder for bench attribution (see DedupQ.pipelines). */
+  def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("bucketed_orderkey_layout" -> ((s, d) => bucketedOrderkeyLayout(s, d)))
+
+  /** Q18's oracle — shared with the bucketed-layout variant, whose results
+    * must be identical (bucketing is a pure reorganization). */
+  private val q18Oracle =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Q3-shape: top unshipped orders by revenue within a market segment.
@@ -234,16 +270,36 @@ object Flagship {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
           .limit(20)
       },
-      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-             |FROM customer
-             |JOIN orders   ON c_custkey = o_custkey
-             |JOIN lineitem ON o_orderkey = l_orderkey
-             |WHERE o_orderkey IN (
-             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
-             |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+      Some(q18Oracle)),
+
+    // Q18 over the bucketed-by-orderkey layout: identical semantics and
+    // oracle — the layout is a pure reorganization — but the big-orders
+    // aggregate, the semi join, the fact join AND the final grouped
+    // aggregate all inherit the bucket distribution, so the whole query
+    // plans with ZERO hash Exchange (pinned in PlanShapeSpec). The merge
+    // hints keep the co-located sort-merge path (a broadcast would hide
+    // the co-location at toy scale); customer broadcasts as the one
+    // genuine dimension.
+    Q("tpch_q18_bucketed",
+      (s, dir) => {
+        bucketedOrderkeyLayout(s, dir)
+        val c = Catalog.load(s, dir, "customer")
+        val o = s.table("graft_b_orders")
+        val l = s.table("graft_b_lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sumExact(col("l_quantity")).as("q"))
+          .filter(col("q") > 150)
+          .select(col("l_orderkey").as("big_orderkey"))
+        o.hint("merge").join(big, o("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sumExact(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some(q18Oracle)),
 
     // Q19-shape: disjunction of brand/size/quantity conjuncts — the OR-tree
     // the reference's conjunctive-only dialect cannot express (SURVEY §2.2

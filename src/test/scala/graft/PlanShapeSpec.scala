@@ -225,6 +225,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("bucketed q18 plans with ZERO hash exchange — layout paid the shuffle") {
+    val p = plan(SparkEntry.queries("tpch_q18_bucketed")(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"hash exchanges = $hashEx\n$p")
+    // the co-located path must be sort-merge (broadcast would hide it) with
+    // the one genuine dimension (customer) broadcast
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("persisted trained-quantizer IVF probe also prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     import graft.ops.{KMeans, Similarity}
