@@ -34,6 +34,24 @@ object Flagship {
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq("bucketed_orderkey_layout" -> ((s, d) => bucketedOrderkeyLayout(s, d)))
 
+  /** Q21's oracle — shared with the bucketed-layout variant, whose results
+    * must be identical (bucketing is a pure reorganization). */
+  private val q21Oracle =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY)
+      |SELECT s.l_suppkey AS suppkey, COUNT(*) AS numwait
+      |FROM late s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = s.l_orderkey
+      |                AND l2.l_suppkey <> s.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late t
+      |                  WHERE t.l_orderkey = s.l_orderkey
+      |                    AND t.l_suppkey <> s.l_suppkey)
+      |GROUP BY s.l_suppkey
+      |ORDER BY numwait DESC, suppkey ASC LIMIT 10""".stripMargin
+
   /** Q18's oracle — shared with the bucketed-layout variant, whose results
     * must be identical (bucketing is a pure reorganization). */
   private val q18Oracle =
@@ -586,20 +604,35 @@ object Flagship {
           .orderBy(col("numwait").desc, col("suppkey").asc)
           .limit(10)
       },
-      Some("""WITH late AS (
-             |  SELECT DISTINCT l_orderkey, l_suppkey
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |  WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY)
-             |SELECT s.l_suppkey AS suppkey, COUNT(*) AS numwait
-             |FROM late s
-             |WHERE EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = s.l_orderkey
-             |                AND l2.l_suppkey <> s.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM late t
-             |                  WHERE t.l_orderkey = s.l_orderkey
-             |                    AND t.l_suppkey <> s.l_suppkey)
-             |GROUP BY s.l_suppkey
-             |ORDER BY numwait DESC, suppkey ASC LIMIT 10""".stripMargin)),
+      Some(q21Oracle)),
+
+    // Q21 over the bucketed-by-orderkey layout: every join, DISTINCT and
+    // semi/anti probe in this shape keys on the orderkey, so all of them
+    // inherit the bucket distribution — the whole chain collapses from 7
+    // hash exchanges to the ONE the final suppkey aggregate genuinely
+    // needs (plan-pinned). Same results, same oracle as the plain shape.
+    Q("tpch_q21_bucketed",
+      (s, dir) => {
+        bucketedOrderkeyLayout(s, dir)
+        val l = s.table("graft_b_lineitem")
+        val o = s.table("graft_b_orders")
+        val late = l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 120 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+          .distinct()
+        val lateOther = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .hint("merge").join(pairs, col("ok2") === col("l_orderkey") &&
+            col("sk2") =!= col("l_suppkey"), "left_semi")
+          .hint("merge").join(lateOther, col("ok3") === col("l_orderkey") &&
+            col("sk3") =!= col("l_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey").asc)
+          .limit(10)
+      },
+      Some(q21Oracle)),
 
     // Q13-shape: distribution of per-customer urgent-order counts — a LEFT
     // OUTER join whose extra condition lives in the JOIN clause (not WHERE,

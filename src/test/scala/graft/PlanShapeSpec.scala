@@ -235,6 +235,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed q21 needs only the final suppkey aggregate's exchange") {
+    val p = plan(SparkEntry.queries("tpch_q21_bucketed")(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("persisted trained-quantizer IVF probe also prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     import graft.ops.{KMeans, Similarity}
