@@ -27,7 +27,15 @@ object Bucketing {
   /** Write `df` as a bucketed, per-bucket-sorted external table, replacing any
     * previous incarnation. Files land under `path`; metadata (bucket spec) in
     * the session catalog — readers get the hash-distribution guarantee from
-    * the catalog, which is what lets the planner drop the Exchange. */
+    * the catalog, which is what lets the planner drop the Exchange.
+    *
+    * The pre-write `repartition(numBuckets, bucketCol)` uses the same
+    * murmur3 pmod as the bucket-id assignment, so each write task owns
+    * exactly one bucket → ONE file per bucket. That single-file invariant is
+    * what lets the scan ALSO report the per-bucket sort order (Spark drops
+    * the sort metadata when a bucket spans files, since concatenated sorted
+    * files aren't sorted) — downstream SortMergeJoins then skip their Sort
+    * entirely instead of re-sorting the fact table per join. */
   def writeBucketed(
       spark: SparkSession,
       df: DataFrame,
@@ -35,8 +43,10 @@ object Bucketing {
       path: String,
       numBuckets: Int,
       bucketCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write
+    df.repartition(numBuckets, col(bucketCol))
+      .write
       .mode("overwrite")
       .option("path", path)
       .bucketBy(numBuckets, bucketCol)

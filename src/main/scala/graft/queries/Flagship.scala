@@ -24,10 +24,16 @@ object Flagship {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     bucketedLayoutCache.getOrElseUpdate(s, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bfl").toString
+      // Bucket count matches the session's parallelism (32 here): with
+      // fewer buckets than cores, every exchange-free join runs
+      // under-parallelized — measured at the 100× replica, 8 buckets left
+      // q21 no faster than the plain shape. At 100 TB the same rule says
+      // thousands of buckets (one task's worth of fact table each).
+      val n = s.sparkContext.defaultParallelism
       graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "orders"),
-        "graft_b_orders", s"$tmp/orders", 8, "o_orderkey")
+        "graft_b_orders", s"$tmp/orders", n, "o_orderkey")
       graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "lineitem"),
-        "graft_b_lineitem", s"$tmp/lineitem", 8, "l_orderkey")
+        "graft_b_lineitem", s"$tmp/lineitem", n, "l_orderkey")
     }
 
   /** Named builder for bench attribution (see DedupQ.pipelines). */
