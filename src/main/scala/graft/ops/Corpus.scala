@@ -28,9 +28,10 @@ object Corpus {
     // Hashed shingle sets (two-level token-hash fold — see
     // [[Dedup.hashedShingleSets]]), persisted because BOTH the benchmark and
     // the train branch scan them — without the persist the
-    // tokenize+hash pipeline runs twice per query.
-    val sh = Dedup.hashedShingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokenize+hash pipeline runs twice per query. Tracked for session
+    // release ([[CacheRegistry]] — lazy persist, consumer-owned lifetime).
+    val sh = CacheRegistry.track(Dedup.hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bench = sh.filter(benchmarkPred)
       .select(explode(col("s")).as("h")).distinct()
       .withColumn("_hit", lit(1L))

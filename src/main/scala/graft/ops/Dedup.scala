@@ -74,10 +74,11 @@ object Dedup {
     // of the verify join); persist so tokenize+shingle+hash runs once. The
     // repartition matters: downstream joins are all broadcasts (no exchange),
     // so without it the verify stage would inherit the file-scan partitioning
-    // — possibly one task for a small-file corpus.
-    val sh = hashedShingleSets(docs, idCol, textCol, n)
+    // — possibly one task for a small-file corpus. Tracked (lazy persist, the
+    // op can't know when its consumer is done) — see [[CacheRegistry]].
+    val sh = CacheRegistry.track(hashedShingleSets(docs, idCol, textCol, n)
       .repartition(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = Skew.capBuckets(
       minhashBandSignatures(sh, idCol),
@@ -263,10 +264,10 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     // Three plan branches (bucket keys + both verify sides) → persist; the
     // repartition spreads the broadcast-join-only verify stage across cores
-    // (see minhashLshPairs).
-    val sh = hashedShingleSets(docs, idCol, textCol, n)
+    // (see minhashLshPairs). Tracked for session release ([[CacheRegistry]]).
+    val sh = CacheRegistry.track(hashedShingleSets(docs, idCol, textCol, n)
       .repartition(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val withB0 = sh
       .select(col(idCol), size(col("s")).as("n"),
         expr(s"CAST(floor(size(s) / $bucketWidth) AS BIGINT)").as("b"))
@@ -370,9 +371,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val inv = hashedShingleSets(docs, idCol, textCol, n)
+    val inv = CacheRegistry.track(hashedShingleSets(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("s")).as("h"))
-      .persist(MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK))
     val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
     val kept = inv.join(dfc, "h")
       .observe("containment_df_drop",
@@ -381,6 +382,7 @@ object Dedup {
       .filter(col("dfh") <= maxDf)
       .select(col(idCol), col("h"))
       .persist(MEMORY_AND_DISK)
+    CacheRegistry.track(kept)
     val ns = kept.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
     val pairs = kept.as("l")
       .join(kept.as("r"),
@@ -413,9 +415,9 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Within-doc-distinct span hashes; both the inventory and the scoring
     // pass scan them, so the tokenize+hash pipeline materializes once.
-    val sp = hashedShingleSets(docs, idCol, textCol, w)
+    val sp = CacheRegistry.track(hashedShingleSets(docs, idCol, textCol, w)
       .select(col(idCol), size(col("s")).as("n_spans"), explode(col("s")).as("h"))
-      .persist(MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK))
     val dupDict = sp.groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs")) // hashes are per-doc distinct → count = doc count
       .filter(col("n_docs") >= 2)

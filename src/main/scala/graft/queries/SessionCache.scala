@@ -25,11 +25,17 @@ final class SessionCache[V](release: V => Unit) {
       entries.get(key) match {
         case Some(v) => v
         case None =>
+          var evicted = false
           entries.filterInPlace { case (k, v) =>
             val keep = k == key
-            if (!keep) release(v)
+            if (!keep) { release(v); evicted = true }
             keep
           }
+          // A dir change also invalidates the composable ops' internal
+          // lazy persists (pair-miner shingle sets etc.) — they are
+          // per-plan-deduped but session-lived otherwise. Releasing is
+          // always safe: a late consumer recomputes, never sees stale data.
+          if (evicted) graft.ops.CacheRegistry.releaseAll()
           val v = build
           entries.put(key, v)
           v
