@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // One file per bucket is guaranteed by Bucketing.writeBucketed, so
+      // bucketed scans may report their sortBy order (see GraftSession).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

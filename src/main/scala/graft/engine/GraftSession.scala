@@ -34,6 +34,12 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // Report the per-bucket sortBy order from bucketed scans so merge
+      // joins over them skip their Sort. Off by default (SPARK-28595)
+      // because a bucket spanning files would need a slow sort-merge read;
+      // [[graft.ops.Bucketing.writeBucketed]] guarantees ONE file per
+      // bucket, which is exactly the case the flag exists for.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -242,6 +242,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("bucketed scans report sortBy order — merge joins skip the scan Sort") {
+    // One file per bucket (Bucketing.writeBucketed) + the outputOrdering
+    // flag (GraftSession) let every SortMergeJoin stream the bucketed scan
+    // directly; the only Sorts left sit over DERIVED inputs (aggregates).
+    // Without this, each merge join re-sorts the fact table per join.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    def scansUnsorted(df: DataFrame): Unit = {
+      def bucketedScanBelow(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.bucketedScan
+        case other if other.children.size == 1 => bucketedScanBelow(other.children.head)
+        case _ => false
+      }
+      val offending = df.queryExecution.executedPlan.collect {
+        case s: SortExec if bucketedScanBelow(s.child) => s
+      }
+      assert(offending.isEmpty,
+        s"Sort over bucketed scan:\n${offending.mkString("\n")}")
+    }
+    scansUnsorted(SparkEntry.queries("tpch_q18_bucketed")(spark, dir))
+    scansUnsorted(SparkEntry.queries("tpch_q21_bucketed")(spark, dir))
+  }
+
   test("persisted trained-quantizer IVF probe also prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     import graft.ops.{KMeans, Similarity}
