@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: local-mode Spark holds scan buffers,
+  // shuffle, session caches AND statically-planned broadcast builds in one
+  // heap; 8g flaked on q21's ~GB deserialized hash relations at the 100x
+  // replica. Override with SPARK_DRIVER_MEM (scale sweeps use 24g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -14,6 +14,11 @@ import graft.engine.Catalog
   * the next plan audit. Sub-linear ratios are expected for queries dominated
   * by fixed costs (codegen, microbatch commits) at 1×.
   *
+  * Memory: run ≥100× sweeps with `SPARK_DRIVER_MEM=24g` (build.sbt's -Xmx
+  * hook) — the single local JVM holds the session-scoped pipeline caches
+  * AND the dimension broadcasts at replica scale; the 8g default OOMs on
+  * broadcast build ("Not enough memory to build and broadcast").
+  *
   * Replication: 10 copies with every KEY-domain column offset by k·10⁹ per
   * clone k — orderkey offsets match between orders and lineitem, custkey
   * between customer and orders, etc., so join cardinalities scale exactly
@@ -55,7 +60,8 @@ object ScaleSweep {
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
     "tpch_q9_profit_proxy", "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier", "w2_running_sum")
+    "tpch_q18_bucketed", "tpch_q21_waiting_supplier",
+    "tpch_q21_bucketed", "w2_running_sum")
 
   /** The ≥100× sweep set: only queries whose WORK and OUTPUT scale
     * linearly in the inputs. Clone replication makes every pair relation
@@ -74,8 +80,16 @@ object ScaleSweep {
     "text_quality", "text_token_count", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q9_profit_proxy",
-    "tpch_q18_large_orders", "tpch_q21_waiting_supplier",
+    "tpch_q18_large_orders", "tpch_q18_bucketed",
+    "tpch_q21_waiting_supplier", "tpch_q21_bucketed",
     "ts_ohlc_hourly", "w2_running_sum", "w5_trailing_hour_range")
+
+  /** Pipelines whose WORK scales linearly — safe to time at any factor.
+    * The LSH pair/component builds are excluded past 10× for the same
+    * quadratic-output reason as the pair-mining queries. */
+  private val linearPipelines = Set(
+    "bucketed_orderkey_layout", "minhash_dedup_index", "lloyd_kmeans",
+    "kmeans_ivf_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -84,24 +98,30 @@ object ScaleSweep {
     val spark = graft.engine.GraftSession.local("graft-scale-sweep")
     spark.sparkContext.setLogLevel("WARN")
 
-    val dst = java.nio.file.Files.createTempDirectory(s"graft_${factor}x").toString
-    Catalog.tableNames.foreach { t =>
-      // Raw read (no ts normalization) so the replica round-trips bytes;
-      // events.ts arrives as plain INT64 nanos either way and
-      // Catalog.normalizeEventTs handles both layouts on load.
-      val src = spark.read.parquet(Catalog.path(sfDir, t))
-      val out = keyCols.get(t) match {
-        case None => src
-        case Some(keys) =>
-          // One plan branch for any factor: cross the replica index in and
-          // offset every key domain by k·Off.
-          val crossed = src.crossJoin(
-            spark.range(factor).withColumnRenamed("id", "_k"))
-          keys.foldLeft(crossed)((d, c) =>
-            d.withColumn(c, col(c) + col("_k") * lit(Off))).drop("_k")
+    // SPARK_GRAFT_REPLICA_DIR reuses a replica built by a previous sweep at
+    // the SAME (sfDir, factor) — the replication is deterministic, so the
+    // bytes are identical and the (expensive) rebuild can be skipped.
+    val dst = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR", {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_${factor}x").toString
+      Catalog.tableNames.foreach { t =>
+        // Raw read (no ts normalization) so the replica round-trips bytes;
+        // events.ts arrives as plain INT64 nanos either way and
+        // Catalog.normalizeEventTs handles both layouts on load.
+        val src = spark.read.parquet(Catalog.path(sfDir, t))
+        val out = keyCols.get(t) match {
+          case None => src
+          case Some(keys) =>
+            // One plan branch for any factor: cross the replica index in and
+            // offset every key domain by k·Off.
+            val crossed = src.crossJoin(
+              spark.range(factor).withColumnRenamed("id", "_k"))
+            keys.foldLeft(crossed)((d, c) =>
+              d.withColumn(c, col(c) + col("_k") * lit(Off))).drop("_k")
+        }
+        out.write.mode("overwrite").parquet(Catalog.path(d, t))
       }
-      out.write.mode("overwrite").parquet(Catalog.path(dst, t))
-    }
+      d
+    })
     println(s"[sweep] ${factor}x replica at $dst")
 
     // Pair-mining and |Q|-scaling shapes are only meaningful at 10× (their
@@ -111,14 +131,16 @@ object ScaleSweep {
 
     def runAll(dir: String): Seq[(String, Double)] = {
       val pipelines =
-        if (factor <= 10)
-          SparkEntry.pipelines.map { case (name, build) =>
+        SparkEntry.pipelines
+          .filter { case (name, _) => factor <= 10 || linearPipelines(name) }
+          .map { case (name, build) =>
+            println(s"[sweep] running pipeline:$name @ $dir")
             val t0 = System.nanoTime()
             build(spark, dir)
             s"pipeline:$name" -> (System.nanoTime() - t0) / 1e9
           }
-        else Seq.empty
       val queries = names.map { name =>
+        println(s"[sweep] running $name @ $dir")
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         name -> (System.nanoTime() - t0) / 1e9

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // AQE runtime conversions judge by compressed shuffle bytes — cap
+      // them conservatively (see GraftSession for the q21-at-100x OOM).
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
       // One file per bucket is guaranteed by Bucketing.writeBucketed, so
       // bucketed scans may report their sortBy order (see GraftSession).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")

@@ -32,6 +32,14 @@ object GraftSession {
       // Dimension/doc-set tables up to 64 MB broadcast instead of shuffling
       // big probe sides (10 MB default is conservative for modern executors).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // AQE's RUNTIME broadcast conversions judge by COMPRESSED shuffle
+      // bytes, which undercount the deserialized hash relation ~5-10×; at
+      // the 100× replica a "60 MB" stage is a multi-hundred-MB build, and
+      // two materializing concurrently OOM'd the driver ("Not enough
+      // memory to build and broadcast", seen on plain q21). Static
+      // planning keeps 64m (file-size estimates are honest); adaptive
+      // conversions get a deliberately conservative cap.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       // Report the per-bucket sortBy order from bucketed scans so merge

@@ -184,7 +184,13 @@ object Pipeline {
     * population variance. The money-typed value goes through integer cents,
     * so the test (x·n − S)² > zSq·(n·Q − S²) is exact 64-bit arithmetic —
     * no sqrt, no float accumulation, bit-identical on any engine or
-    * partitioning. One Exchange + one Sort on the key. */
+    * partitioning. One Exchange + one Sort on the key.
+    *
+    * Domain bound (cf. the sub-2^53 split rule in stats_regression_exact):
+    * unlike the UNBOUNDED-n regression moments, every term here is capped
+    * by the window — the largest is zSq·n·Q ≤ zSq·lookback²·max|cents|²,
+    * so with lookback=20, zSq=9 the BIGINTs are exact up to
+    * |value| ≈ $0.5M per event. Beyond that, widen cents to DECIMAL. */
   def rollingAnomaly(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valueCol: String, lookback: Int, minPrev: Int, zSq: Int): DataFrame = {

@@ -13,6 +13,10 @@ class AqeSkewSpec extends SparkSpec {
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val tuned = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      // The session pins the ADAPTIVE threshold separately (GraftSession's
+      // conservative 8m cap), so the static -1 alone no longer disables
+      // AQE's runtime broadcast conversion — pin both to keep the SMJ.
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
