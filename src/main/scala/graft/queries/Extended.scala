@@ -551,6 +551,37 @@ object Extended {
              |SELECT user_id, first_id, last_id, streak_len
              |FROM g WHERE streak_len >= 3 ORDER BY user_id, first_id""".stripMargin)),
 
+    // median + deterministic mode aggregates. median interpolates the two
+    // middle order statistics ((a+b)/2 in both engines — identical doubles
+    // for identical inputs); mode(col, true) is Spark 4's deterministic
+    // variant (greatest frequency, ties -> smallest value), which the
+    // oracle reproduces as an explicit count-desc/value-asc rank so the
+    // tie-break contract is pinned, not assumed. One grouped pass on the
+    // Spark side; both aggregates partial-merge (no single-reducer funnel).
+    Q("agg_median_mode",
+      (s, dir) =>
+        Catalog.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("median(l_quantity)").as("med_qty"),
+            expr("median(l_extendedprice)").as("med_price"),
+            expr("mode(l_linestatus, true)").as("mode_status"))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    median(l_quantity) AS med_qty,
+             |    median(l_extendedprice) AS med_price
+             |  FROM lineitem GROUP BY l_returnflag),
+             |c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+             |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+             |r AS (SELECT l_returnflag, l_linestatus,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY n DESC, l_linestatus ASC) AS rn
+             |  FROM c)
+             |SELECT m.l_returnflag, m.med_qty, m.med_price,
+             |       r.l_linestatus AS mode_status
+             |FROM m JOIN r ON m.l_returnflag = r.l_returnflag AND r.rn = 1
+             |ORDER BY m.l_returnflag""".stripMargin)),
+
     // Boolean / bitwise aggregate surface: count_if, bool_and/bool_or,
     // bit_or/bit_and/bit_xor — one grouped pass.
     Q("agg_bool_bit_surface",

@@ -463,6 +463,82 @@ object Parity {
              |       hh >= 9 AND hh < 17 AS in_business_hours
              |FROM x ORDER BY event_id""".stripMargin)),
 
+    // LATERAL correlated subquery through the SQL front (top-2 orders per
+    // customer). Catalyst decorrelates this into ONE equi-join against a
+    // per-customer ranked slice, with WindowGroupLimit pushing the k=2 cut
+    // BELOW the rank shuffle (each map task keeps its local top-2 per key
+    // before exchanging) — no per-customer subquery execution anywhere, so
+    // the shape survives a 1000-executor fan-out unchanged.
+    Q("sql_lateral_topk",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+            |FROM customer c,
+            |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+            |         WHERE o_custkey = c.c_custkey
+            |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+            |ORDER BY c_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    // SQL-defined scalar function (CREATE TEMPORARY FUNCTION ... RETURN
+    // expr): the declarative-UDF path — the body is inlined into the plan
+    // as a plain Catalyst expression at resolution time, so unlike a Scala/
+    // Python UDF it stays inside whole-stage codegen and the oracle can
+    // evaluate the identical arithmetic. DuckDB has CREATE MACRO but the
+    // driver runs one statement per oracle, so the body is inlined there —
+    // same expression tree, same IEEE evaluation order.
+    Q("sql_udf_front",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+                |RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
+        s.sql(
+          """SELECT l_orderkey, l_linenumber,
+            |       disc_price(l_extendedprice, l_discount) AS disc
+            |FROM lineitem
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS disc
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // VARIANT semi-structured ingestion (Spark 4): parse_json once into the
+    // binary VARIANT encoding, then typed variant_get extraction — the
+    // shredded-JSON path a 100 TB event store wants (parse cost paid once
+    // per row, extraction is a codegen'd byte-offset read, no per-access
+    // re-tokenizing). Aggregates stay in exact BIGINT. DuckDB oracle
+    // extracts the same path with ->> and casts.
+    Q("sql_variant_extract",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """WITH v AS (
+            |  SELECT event_type,
+            |         variant_get(parse_json(props), '$.k', 'bigint') AS k
+            |  FROM events)
+            |SELECT event_type,
+            |       sum(k) AS sum_k,
+            |       count(CASE WHEN k > 50 THEN 1 END) AS n_big,
+            |       count(k) AS n_present
+            |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type,
+             |       CAST(sum(k) AS BIGINT) AS sum_k,
+             |       count(CASE WHEN k > 50 THEN 1 END) AS n_big,
+             |       count(k) AS n_present
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)

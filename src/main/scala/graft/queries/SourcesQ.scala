@@ -170,6 +170,28 @@ object SourcesQ {
     // Line-oriented text sink + source round trip, gzip-compressed — the
     // corpus interchange format (one record per line, splittable at the
     // file level). Fields re-parsed from the tab-joined line.
+    // Native XML source round trip (Spark 4 ships the former spark-xml as
+    // a built-in format): write one <row> element per record, read back
+    // with schema inference (long/string/double land typed), cast
+    // explicitly so the contract is the declared schema, not inference
+    // luck. XML escaping (priority strings contain '-') is the format's
+    // job; the oracle reads the same rows straight from parquet.
+    Q("src_xml_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString + "/x"
+        Catalog.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.option("rowTag", "row").format("xml").save(tmp)
+        s.read.option("rowTag", "row").format("xml").load(tmp)
+          .select(
+            col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("o_orderpriority").cast("string").as("o_orderpriority"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("src_text_gzip_roundtrip",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString + "/t"

@@ -309,4 +309,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("LATERAL top-k decorrelates: WindowGroupLimit below one equi-join") {
+    // Correctness alone would allow executing the subquery per outer row;
+    // the scale contract is full decorrelation — a single join against a
+    // ranked slice, with the k=2 cut pushed below the rank's exchange so
+    // map tasks keep local top-2 per key before shuffling.
+    val df = SparkEntry.queries("sql_lateral_topk")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"), opt)
+    assert(opt.contains("Join Inner"), opt)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
