@@ -539,6 +539,47 @@ object Parity {
              |       count(k) AS n_present
              |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Array unnesting with ordinality through the SQL front (LATERAL VIEW
+    // posexplode): one generator per row, no join — the streaming-friendly
+    // explode shape (generator output is pipelined, never materialized per
+    // row). DuckDB has no WITH ORDINALITY; the oracle indexes the split
+    // list through a LATERAL generate_series, which is the same relation.
+    Q("sql_unnest_posexplode",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT doc_id, pos, word
+            |FROM documents
+            |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+            |WHERE pos < 5
+            |ORDER BY doc_id, pos""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(unnest(generate_series(1, least(5, len(parts)))) - 1 AS INT) AS pos,
+             |  unnest(list_slice(parts, 1, 5)) AS word
+             |FROM (SELECT doc_id, string_split(text, ' ') AS parts
+             |      FROM documents)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // GROUP BY ALL dialect sugar (every non-aggregate select item becomes
+    // a key) — same clause in both engines; sums ride the exact-DECIMAL
+    // path as everywhere.
+    Q("sql_group_by_all",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            |FROM lineitem
+            |GROUP BY ALL
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ALL
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)

@@ -60,6 +60,33 @@ object SimilarityQ {
              |  CAST(len(list_slice(embedding, 1, 8)) AS INT) AS head_n
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // Higher-order array lambdas (transform / filter / exists / forall /
+    // aggregate-fold) — the codegen'd per-row loop surface that replaces
+    // row-explode + regroup for array work (no shuffle, no UDF). Floats are
+    // quantized to integer thousandths INSIDE the lambda so the left-fold
+    // sum is exact in both engines (a raw float fold would be order-
+    // sensitive only across engines' summation, not here — both fold left —
+    // but integers make the contract unconditional). DuckDB spells the
+    // quantifiers via list_filter lengths and the fold via list_aggregate.
+    Q("scalar_lambda_funcs",
+      (s, dir) =>
+        Catalog.load(s, dir, "embeddings").selectExpr(
+            "vec_id",
+            "aggregate(transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)), " +
+              "0L, (a, x) -> a + x) AS sum_milli",
+            "size(filter(embedding, x -> x > 0)) AS n_pos",
+            "exists(embedding, x -> x > 0.95) AS has_big",
+            "forall(embedding, x -> x > -1.1) AS all_gt")
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(list_aggregate(
+             |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)),
+             |    'sum') AS BIGINT) AS sum_milli,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+             |  len(list_filter(embedding, x -> x > 0.95)) > 0 AS has_big,
+             |  len(list_filter(embedding, x -> NOT (x > -1.1))) = 0 AS all_gt
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // SRP-LSH (hyperplane) near-dup pairs — label-free angular bucketing:
     // 16 sign-of-projection bits in 2 bands, equi-join per band, exact
     // cosine verify. The plane literals are generated from shared constants
