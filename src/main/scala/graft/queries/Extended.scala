@@ -58,6 +58,33 @@ object Extended {
              |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Multiset set ops: INTERSECT ALL keeps min(m,n) copies per value,
+    // EXCEPT ALL keeps m−n — bag semantics the distinct-set rows above
+    // can't see. Output is the per-key multiplicity so the contract is
+    // pinned exactly and the result stays compact.
+    Q("set_ops_all",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.filter(col("l_quantity") <= 25).select("l_partkey")
+        val b = li.filter(col("l_discount") > 0.05).select("l_partkey")
+        a.intersectAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+          .union(a.exceptAll(b).groupBy("l_partkey")
+            .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+          .select("op", "l_partkey", "n")
+          .orderBy("op", "l_partkey")
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity <= 25),
+             |b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.05),
+             |ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b),
+             |ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+             |SELECT 'intersect_all' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+             |FROM ia GROUP BY l_partkey
+             |UNION ALL
+             |SELECT 'except_all' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+             |FROM ea GROUP BY l_partkey
+             |ORDER BY op, l_partkey""".stripMargin)),
+
     // -------------------------------------------------- outer / semi / anti
     Q("join_left_outer",
       (s, dir) => {
@@ -581,6 +608,30 @@ object Extended {
              |       r.l_linestatus AS mode_status
              |FROM m JOIN r ON m.l_returnflag = r.l_returnflag AND r.rn = 1
              |ORDER BY m.l_returnflag""".stripMargin)),
+
+    // Ordered string concatenation (Spark 4 listagg WITHIN GROUP ≍ DuckDB
+    // string_agg ORDER BY): each aggregate sorts by ITS OWN value — the
+    // synthetic lineitem has duplicate linenumbers within an order, so any
+    // other sort key would leave ties and the concat order of tied rows is
+    // partition-order, never oracle-checkable. Same ordered-fold shape as
+    // RAG context assembly (`rag_assemble_context`).
+    Q("agg_listagg_ordered",
+      (s, dir) => {
+        Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT l_orderkey,
+            |  listagg(CAST(l_linenumber AS STRING), ',')
+            |    WITHIN GROUP (ORDER BY l_linenumber) AS line_list,
+            |  listagg(l_linestatus, '')
+            |    WITHIN GROUP (ORDER BY l_linestatus) AS status_seq
+            |FROM lineitem WHERE l_orderkey < 1000
+            |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+      },
+      Some("""SELECT l_orderkey,
+             |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_list,
+             |  string_agg(l_linestatus, '' ORDER BY l_linestatus) AS status_seq
+             |FROM lineitem WHERE l_orderkey < 1000
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
     // Boolean / bitwise aggregate surface: count_if, bool_and/bool_or,
     // bit_or/bit_and/bit_xor — one grouped pass.

@@ -176,9 +176,7 @@ object Streams {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
       .withWatermark("p_ts", "1 hour")
 
-    val joined = purchases.join(clicks,
-        expr("user_id = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"))
-      .select(col("p_id"), col("click_id"))
+    val joined = joinPurchasesToClicks(purchases, clicks, "inner")
 
     val name = s"graft_ssjoin_${sinkId.incrementAndGet()}"
     withStatePartitions(spark) {
@@ -188,6 +186,20 @@ object Streams {
     }
     spark.table(name).orderBy("p_id", "click_id")
   }
+
+  /** The time-bounded purchase⋈click shape shared by the inner query and
+    * the outer-join semantics spec. Both inputs must already carry
+    * watermarks; the condition bounds event time on BOTH sides, so join
+    * state is evictable whatever the join type. For `left_outer`, an
+    * unmatched purchase emits its null-padded row only once the watermark
+    * passes its match window — i.e. when the engine can PROVE no future
+    * click can match — never speculatively (pinned in `StreamingSpec`). */
+  def joinPurchasesToClicks(
+      purchases: DataFrame, clicks: DataFrame, joinType: String): DataFrame =
+    purchases.join(clicks,
+        expr("user_id = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"),
+        joinType)
+      .select(col("p_id"), col("click_id"))
 
   /** Session state machine shared by the batch and streaming variants: split
     * a user's time-ordered event micros into sessions at gaps > the session

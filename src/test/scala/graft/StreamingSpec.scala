@@ -287,6 +287,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join pads an unmatched purchase after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000 // one minute in µs
+    val t0 = 120000L * m
+    val clicksMem = MemoryStream[(Long, Long, Long)]
+    val purchMem = MemoryStream[(Long, Long, Long)]
+    val clicks = clicksMem.toDF()
+      .select(col("_1").as("user_id"), timestamp_micros(col("_2")).as("c_ts"),
+        col("_3").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = purchMem.toDF()
+      .select(col("_1").as("p_user"), timestamp_micros(col("_2")).as("p_ts"),
+        col("_3").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val out = graft.streaming.Streams.joinPurchasesToClicks(
+      purchases, clicks, "left_outer")
+    val q = out.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: purchase 900 (user 1) has click 100 in-window; purchase
+      // 901 (user 2) has NO click — its null row must wait for eviction.
+      clicksMem.addData((1L, t0 - 5 * m, 100L))
+      purchMem.addData((1L, t0, 900L), (2L, t0, 901L))
+      q.processAllAvailable()
+      val eager = spark.table("ssj_outer").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // inner match emits eagerly; the unmatched purchase must NOT have
+      // been padded yet — no future-click proof exists at this watermark
+      assert(eager.contains((900L, 100L)), eager)
+      assert(!eager.exists(_._1 == 901L), eager)
+      // batches 2+3: advance BOTH watermarks far past t0 (+30min window
+      // +10min delay), then one more batch so eviction fires post-advance.
+      clicksMem.addData((9L, t0 + 120 * m, 101L))
+      purchMem.addData((9L, t0 + 120 * m, 902L))
+      q.processAllAvailable()
+      clicksMem.addData((9L, t0 + 300 * m, 102L))
+      purchMem.addData((9L, t0 + 300 * m, 903L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((901L, -1L)), rows) // null-padded after expiry
+      assert(rows.contains((900L, 100L)), rows)
+      assert(!rows.contains((901L, 100L)), rows)
+    } finally q.stop()
+  }
+
   test("quarantine sink splits batches losslessly and replays idempotently") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
