@@ -166,13 +166,13 @@ object Dedup {
   def writeDedupIndex(history: DataFrame, idCol: String, textCol: String,
       n: Int, path: String, maxBucket: Int = LshMaxBucket): Unit = {
     val sh = hashedShingleSets(history, idCol, textCol, n)
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/shingles")
     // Derive the band table from the WRITTEN shingles: the artifacts stay
     // mutually consistent and the text pipeline runs exactly once.
     val shBack = history.sparkSession.read.parquet(s"$path/shingles")
     Skew.capBuckets(minhashBandSignatures(shBack, idCol),
         Seq("band", "sig"), idCol, maxBucket, "lsh_index_cap")
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/bands")
   }
 
   /** [[incrementalMinhashDedup]] against a [[writeDedupIndex]] artifact —

@@ -192,11 +192,11 @@ object Similarity {
   def writeIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, path: String): Unit = {
     vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col(labelCol))
-      .write.mode("overwrite").partitionBy(labelCol).parquet(s"$path/cells")
+      .write.mode("overwrite").option("compression", "zstd").partitionBy(labelCol).parquet(s"$path/cells")
     val wRep = Window.partitionBy(labelCol).orderBy(col(idCol).asc)
     vecs.withColumn("_rn", row_number().over(wRep)).filter(col("_rn") === 1)
       .select(col(labelCol).as("rep_label"), col(vecCol).as("rep_emb"))
-      .write.mode("overwrite").parquet(s"$path/reps")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/reps")
   }
 
   /** Persist a TRAINED-quantizer IVF index: cell members written PARTITIONED
@@ -209,9 +209,9 @@ object Similarity {
       idCol: String, vecCol: String, path: String): Unit = {
     assigned
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+      .write.mode("overwrite").option("compression", "zstd").partitionBy("cluster").parquet(s"$path/cells")
     cents.select(col("cluster"), col("cent"))
-      .write.mode("overwrite").parquet(s"$path/cents")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/cents")
   }
 
   /** Probe a [[writeKmeansIvfIndex]] index from disk: the k centroids

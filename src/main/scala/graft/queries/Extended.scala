@@ -914,6 +914,46 @@ object Extended {
              |    [event_type, CAST(user_id AS VARCHAR)]))), ',') AS keys_csv
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Map-typed higher-order lambdas (map_filter / transform_values /
+    // map_keys projection): both engines preserve literal entry order, so
+    // joined-CSV projections of keys/values compare exactly. DuckDB has no
+    // map lambdas — its oracle lowers every operation onto
+    // map_entries + list_filter/list_transform, which is the same relation.
+    // Values are integered (cents via round) before the lambdas so the
+    // arithmetic inside is exact in both engines.
+    Q("scalar_map_lambdas",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .selectExpr("event_id",
+            "map('uid', user_id, 'cents', CAST(round(value * 100) AS BIGINT)," +
+              " 'tlen', CAST(length(event_type) AS BIGINT)) AS m")
+          .selectExpr(
+            "event_id",
+            "array_join(map_keys(map_filter(m, (k, v) -> v > 20)), ',') AS keys_big",
+            "CAST(size(map_filter(m, (k, v) -> v % 2 = 0)) AS INT) AS n_even",
+            "array_join(transform(map_values(" +
+              "transform_values(m, (k, v) -> v + length(k))), " +
+              "x -> CAST(x AS STRING)), ',') AS shifted_vals")
+          .orderBy("event_id"),
+      Some("""WITH m0 AS (SELECT event_id,
+             |    MAP(['uid','cents','tlen'],
+             |        [user_id,
+             |         CAST(round(value * 100) AS BIGINT),
+             |         CAST(length(event_type) AS BIGINT)]) AS m
+             |  FROM events)
+             |SELECT event_id,
+             |  -- array_to_string over an empty list yields NULL in DuckDB
+             |  -- where Spark's array_join yields '' — normalize to ''.
+             |  COALESCE(array_to_string(list_transform(
+             |    list_filter(map_entries(m), x -> x.value > 20),
+             |    x -> x.key), ','), '') AS keys_big,
+             |  CAST(len(list_filter(map_entries(m), x -> x.value % 2 = 0))
+             |    AS INT) AS n_even,
+             |  array_to_string(list_transform(map_entries(m),
+             |    x -> CAST(x.value + length(x.key) AS VARCHAR)), ',')
+             |    AS shifted_vals
+             |FROM m0 ORDER BY event_id""".stripMargin)),
+
     // Scalar math surface: IEEE-exact functions only (abs/floor/ceil/sqrt/
     // mod) — transcendentals (ln, exp) are libm-dependent and would not be
     // bit-stable across engines, so they stay out of hashed conformance.

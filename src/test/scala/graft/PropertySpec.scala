@@ -30,6 +30,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intersectAll/exceptAll partition the left bag on random multisets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.chooseNum(0, 20))
+    for (seed <- 1 to 5) {
+      val xs = sample(gen, seed.toLong)
+      val ys = sample(gen, seed.toLong + 1000)
+      val a = xs.toDF("k")
+      val b = ys.toDF("k")
+      def bag(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+        df.groupBy("k").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ia = bag(a.intersectAll(b))
+      val ea = bag(a.exceptAll(b))
+      val bagA = bag(a)
+      val bagB = bag(b)
+      // INTERSECT ALL keeps min(m,n); EXCEPT ALL keeps m−n; together they
+      // partition A's multiset exactly, key by key.
+      for (k <- bagA.keys) {
+        val m = bagA(k); val n = bagB.getOrElse(k, 0L)
+        assert(ia.getOrElse(k, 0L) === math.min(m, n), s"seed=$seed k=$k ia")
+        assert(ea.getOrElse(k, 0L) === math.max(m - n, 0L), s"seed=$seed k=$k ea")
+        assert(ia.getOrElse(k, 0L) + ea.getOrElse(k, 0L) === m, s"seed=$seed k=$k sum")
+      }
+    }
+  }
+
   test("WindowFold.compute equals the naive fold on random token-hash arrays") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val P = graft.functions.Hashing.P
