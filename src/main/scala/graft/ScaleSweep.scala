@@ -57,6 +57,7 @@ object ScaleSweep {
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "rfm_segmentation", "sample_bottomk", "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
+    "sql_lateral_topk", "sql_variant_extract",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
     "tpch_q9_profit_proxy", "tpch_q18_large_orders",
@@ -75,7 +76,8 @@ object ScaleSweep {
     "dedup_exact", "embed_l2_normalize", "events_user_features",
     "feature_quantile_bin", "funnel_conversion", "islands_error_streaks",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
-    "scd2_user_state", "sessionize_events", "stats_percentiles_distributed",
+    "scd2_user_state", "sessionize_events", "sql_lateral_topk",
+    "sql_variant_extract", "stats_percentiles_distributed",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "text_quality", "text_token_count", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",

@@ -323,12 +323,15 @@ object Dedup {
     // capped out of block k but co-kept in block k' is still rejected by the
     // first-match filter when their block-k values agree) — the drop is
     // deliberately concentrated on the degenerate family.
-    val keyed = Skew.capBuckets(
+    // Persisted: both join sides reference it, and the measured broadcast
+    // below needs its true cached size (tracked — [[CacheRegistry]]).
+    val keyed = CacheRegistry.track(Skew.capBuckets(
       sim.select(col(idCol), col("sh"),
         explode(expr(s"transform(sequence(0, ${nBlocks - 1}), " +
           s"k -> named_struct('k', k, 'blk', shiftright(sh, k*$bits) & $mask))")).as("kb"))
         .select(col(idCol), col("sh"), col("kb.k").as("k"), col("kb.blk").as("blk")),
       Seq("k", "blk"), idCol, maxBucket, "lsh_simhash_cap")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // A pair matching on several blocks would be emitted once per block;
     // keeping only the FIRST matching block (all earlier blocks differ)
@@ -342,7 +345,7 @@ object Dedup {
     })
 
     keyed.as("l")
-      .join(keyed.as("r"),
+      .join(Skew.broadcastIfBounded(keyed.as("r")),
         col("l.k") === col("r.k") && col("l.blk") === col("r.blk") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .filter(firstMatch)
@@ -665,15 +668,24 @@ object Dedup {
     val keyed0 = blockOn(col("_t")).zipWithIndex.foldLeft(base) {
       case (d, (c, i)) => d.withColumn(s"_bk$i", c)
     }
-    val keyed =
+    val keyed1 =
       if (maxBlock == Int.MaxValue) keyed0
       else Skew.capBuckets(keyed0,
         keyed0.columns.filter(_.startsWith("_bk")).toSeq, "_id", maxBlock,
         "lev_block_cap")
+    // Persist + id-repartition: blocking keys are LOW-ENTROPY by design
+    // (first word, length bucket), so a shuffle join on them funnels whole
+    // blocks into single reducers and serializes the Levenshtein verify
+    // behind one task. Broadcasting the measured-small side keeps the
+    // stream side id-partitioned — verify runs at full parallelism
+    // ([[Skew.broadcastIfBounded]]); past the bound, the shuffle plan
+    // stands and `maxBlock` is the skew defense.
+    val keyed = CacheRegistry.track(keyed1.repartition(col("_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keys = keyed.columns.filter(_.startsWith("_bk")).toSeq
     val a = keyed.select(col("_id").as("d1") +: col("_t").as("t1") +: keys.map(col): _*)
     val b = keyed.select(col("_id").as("d2") +: col("_t").as("t2") +: keys.map(col): _*)
-    a.join(b, keys)
+    a.join(Skew.broadcastIfBounded(b), keys)
       .filter(col("d1") < col("d2"))
       .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
       .withColumn("dist",
@@ -688,8 +700,15 @@ object Dedup {
   private def verifyJaccard(
       cand: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
     import graft.expressions.IntersectSize.intersectSize
-    val s1 = sh.select(col(idCol).as("d1"), col("s").as("s1"))
-    val s2 = sh.select(col(idCol).as("d2"), col("s").as("s2"))
+    // Measured broadcast of the (persisted) shingle sets: the candidate
+    // relation is the quadratic side and must stream with its own
+    // partitioning, never reshuffle on doc ids ([[Skew.broadcastIfBounded]]
+    // — the capped adaptive threshold can no longer make this call, and at
+    // corpus sizes past the bound the shuffle plan is the correct one).
+    val s1 = Skew.broadcastIfBounded(
+      sh.select(col(idCol).as("d1"), col("s").as("s1")))
+    val s2 = Skew.broadcastIfBounded(
+      sh.select(col(idCol).as("d2"), col("s").as("s2")))
     cand.join(s1, "d1").join(s2, "d2")
       .withColumn("ni", intersectSize(col("s1"), col("s2")))
       .withColumn("jacc", expr("CAST(ni AS DOUBLE) / (size(s1) + size(s2) - ni)"))

@@ -17,6 +17,32 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Skew {
 
+  /** Measured broadcast: materialize the (already-persisted) `df`, read its
+    * ACTUAL in-memory size from the cached relation, and mark it broadcast
+    * iff it fits `maxBytes` — else hand it back untouched for the planner's
+    * shuffle path.
+    *
+    * Why not leave this to AQE: the adaptive threshold judges a stage by
+    * COMPRESSED shuffle bytes (undercounting the hash relation 5–10×, the
+    * q21-at-100× OOM — see GraftSession), so the session caps it at 8m.
+    * That cap also stops AQE from rescuing candidate-verify joins whose
+    * build side is a modest cached table but whose SHUFFLE KEYS are
+    * low-entropy blocking keys — hash-partitioning those sends whole blocks
+    * to single reducers and serializes the expensive verify expression
+    * behind one task (measured: editDistancePairs 10× went 15 s → 100 s on
+    * the capped session). The op, unlike AQE, can decide from the true
+    * deserialized size: under the bound it broadcasts (verify runs at the
+    * probe side's full parallelism, no key-skew exposure); over it — the
+    * 100 TB case — the shuffle plan stands and the bucket caps bound skew.
+    *
+    * The caller must have persisted `df`; the count here is the one
+    * materialization its consumers would pay anyway. */
+  def broadcastIfBounded(df: DataFrame, maxBytes: Long = 512L << 20): DataFrame = {
+    df.count()
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= maxBytes) broadcast(df) else df
+  }
+
   /** Hot-bucket defense for LSH/blocking candidate self-joins: keep at most
     * `cap` members per bucket key (smallest `idCol` first — deterministic),
     * drop the rest. A web-scale corpus has boilerplate families — thousands
