@@ -52,8 +52,10 @@ object ScaleSweep {
     "anomaly_rolling_z", "bpe_pair_counts", "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_spans", "er_resolve_entities", "export_training_shards",
-    "feature_quantile_bin", "funnel_conversion", "graph_label_propagation",
+    "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
+    "export_training_shards",
+    "feature_quantile_bin", "funnel_conversion", "graph_bfs_distance",
+    "graph_label_propagation",
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "rfm_segmentation", "sample_bottomk", "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
@@ -84,6 +86,7 @@ object ScaleSweep {
     "tpch_q6_forecast_revenue", "tpch_q9_profit_proxy",
     "tpch_q18_large_orders", "tpch_q18_bucketed",
     "tpch_q21_waiting_supplier", "tpch_q21_bucketed",
+    "ts_ewma_current", "ts_interpolate_linear",
     "ts_ohlc_hourly", "w2_running_sum", "w5_trailing_hour_range")
 
   /** Pipelines whose WORK scales linearly — safe to time at any factor.
@@ -128,8 +131,11 @@ object ScaleSweep {
 
     // Pair-mining and |Q|-scaling shapes are only meaningful at 10× (their
     // OUTPUT is quadratic under replication); past that, sweep the
-    // linear-work subset.
-    val names = if (factor <= 10) sweep else sweepLinear
+    // linear-work subset. Dev aid (mirrors Bench): SPARK_GRAFT_ONLY=<regex>
+    // sweeps a subset; pipelines still front the run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val names = (if (factor <= 10) sweep else sweepLinear)
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
 
     def runAll(dir: String): Seq[(String, Double)] = {
       val pipelines =

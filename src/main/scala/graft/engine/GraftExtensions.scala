@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BoundedLevenshtein, DotProduct, IntersectSize, PolyHash, ZOrderValue}
+import graft.expressions.{BoundedLevenshtein, DotProduct, IntersectSize, JaroWinkler, PolyHash, ZOrderValue}
 
 /** Registers the graft native expressions with the SQL front, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works like any built-in:
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_zorder",
       { case Seq(a, b) => ZOrderValue(a, b) },
       "graft_zorder(x, y) - Morton-interleaved z-order value of two ints (bigint)."))
+    ext.injectFunction(fn("graft_jaro_winkler",
+      { case Seq(a, b) => JaroWinkler(a, b) },
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity over UTF-8 bytes " +
+        "(DuckDB-bit-compatible)."))
     ext.injectFunction(fn("graft_lev_bounded",
       { case Seq(a, b, k) =>
         BoundedLevenshtein(a, b,

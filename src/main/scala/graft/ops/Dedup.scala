@@ -577,6 +577,56 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label"), col("seeded"))
   }
 
+  /** Multi-source BFS hop distance over the symmetric near-dup graph:
+    * `dist` = hops to the nearest seed (0 at seeds, NULL when unreachable
+    * within `maxHops`) — proximity-to-known-set labeling (how many dedup
+    * edges from a benchmark/flagged document).
+    *
+    * Frontier form: round h joins ONLY the previous frontier (dist = h−1)
+    * against the edges, so per-round shuffle is bounded by the frontier's
+    * edge incidence, never the whole graph — the property that keeps round
+    * cost falling as the search saturates. First assignment wins
+    * (coalesce), which IS min-hop by BFS construction; no min-agg over
+    * history needed. Same checkpoint cadence as [[labelPropagation]].
+    * Output: idCol, dist (BIGINT, NULL = beyond maxHops), reached. */
+  def bfsDistance(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      seeds: DataFrame, maxHops: Int, checkpointEvery: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    sym.count()
+    var dist = nodes.select(col(idCol).as("id"))
+      .join(seeds.select(col(idCol).as("id"), lit(0L).as("dist")).distinct(),
+        Seq("id"), "left")
+    var pending = List.empty[DataFrame]
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1)).select(col("id"))
+      val nbr = sym.join(frontier, col("dst") === col("id"))
+        .select(col("src").as("id")).distinct()
+        .withColumn("nd", lit(h.toLong))
+      val next = dist.join(nbr, Seq("id"), "left")
+        .withColumn("dist", coalesce(col("dist"), col("nd")))
+        .select("id", "dist")
+      dist =
+        if (h % checkpointEvery == 0 || h == maxHops) {
+          val ck = next.localCheckpoint() // eager: materialize + cut lineage
+          pending.foreach(_.unpersist()); pending = Nil
+          ck
+        } else {
+          // Lazy persist: dedupes this round's two references (frontier +
+          // carry-forward) when the next checkpoint job evaluates them.
+          val p = next.persist(MEMORY_AND_DISK)
+          pending ::= p
+          p
+        }
+    }
+    sym.unpersist()
+    dist.select(col("id").as(idCol), col("dist"),
+      col("dist").isNotNull.as("reached"))
+  }
+
   /** Fixed-iteration PageRank over the symmetric near-dup graph — ranks
     * concentrate on hub documents of boilerplate families (prune-first
     * candidates). Damping 0.85, rank0 = 1.

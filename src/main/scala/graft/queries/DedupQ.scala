@@ -561,6 +561,34 @@ object DedupQ {
              |SELECT a AS doc_id, MIN(b) AS entity, a = MIN(b) AS canonical
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
+    // Fuzzy-name matching with Jaro-Winkler — the ER comparator where edit
+    // distance over-penalizes suffix noise. First-token blocking bounds the
+    // candidate set (same low-entropy-key caveat as editDistancePairs);
+    // scoring runs in the codegen'd graft_jaro_winkler native, pinned
+    // bit-compatible with DuckDB's builtin over UTF-8 bytes, so the 0.9
+    // threshold and the raw DOUBLE survive hashed conformance unrounded.
+    Q("er_jaro_winkler",
+      (s, dir) => {
+        import graft.expressions.JaroWinkler.jaroWinkler
+        val named = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("nm"))
+          .withColumn("b0", split(col("nm"), " ").getItem(0))
+        named.as("l")
+          .join(named.as("r"),
+            col("l.b0") === col("r.b0") && col("l.doc_id") < col("r.doc_id"))
+          .withColumn("jw", jaroWinkler(col("l.nm"), col("r.nm")))
+          .filter(col("jw") >= 0.9)
+          .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"), col("jw"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 30) AS nm FROM documents),
+             |k AS (SELECT doc_id, nm, split_part(nm, ' ', 1) AS b0 FROM p),
+             |j AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |        jaro_winkler_similarity(a.nm, b.nm) AS jw
+             |      FROM k a JOIN k b ON a.b0 = b.b0 AND a.doc_id < b.doc_id)
+             |SELECT d1, d2, jw FROM j WHERE jw >= 0.9
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Leakage-safe train/test split: the gate hashes the near-dup CLUSTER
     // id, not the doc id, so a document and its near-duplicates always land
     // on the same side — the split analog of benchmark decontamination
@@ -690,6 +718,50 @@ object DedupQ {
            |       FROM documents),
            |$roundCtes
            |SELECT id AS doc_id, label, seeded FROM l3 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Multi-source BFS hop distance over the near-dup graph: every 25th doc
+    // is a seed (e.g. a flagged/benchmark set); dist = LSH-edge hops to the
+    // nearest seed, NULL past 3 hops. Frontier-bounded rounds — each round
+    // joins only the previous frontier against the edge set, so round cost
+    // falls as the search saturates. Completes the graph family
+    // (components, PageRank, LPA, triangles) with shortest-path labeling.
+    Q("graph_bfs_distance",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.bfsDistance(docs.select("doc_id"), lshPairs(s, dir),
+            "doc_id", docs.filter(col("doc_id") % 25 === 0).select("doc_id"),
+            maxHops = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        val hopCtes = (1 to 3).map { h =>
+          s"""f$h AS (SELECT DISTINCT s.a AS id FROM sym s
+             |       JOIN d${h - 1} d ON s.b = d.id AND d.dist = ${h - 1}),
+             |d$h AS (SELECT d.id,
+             |         COALESCE(d.dist, CASE WHEN f.id IS NOT NULL
+             |                               THEN CAST($h AS BIGINT) END) AS dist
+             |       FROM d${h - 1} d LEFT JOIN f$h f ON d.id = f.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |d0 AS (SELECT doc_id AS id,
+           |         CASE WHEN doc_id % 25 = 0 THEN CAST(0 AS BIGINT) END AS dist
+           |       FROM documents),
+           |$hopCtes
+           |SELECT id AS doc_id, dist, dist IS NOT NULL AS reached
+           |FROM d3 ORDER BY doc_id""".stripMargin
       }),
 
     // Corpus-refinery capstone: the full cleaning decision per document —

@@ -270,6 +270,93 @@ object StreamQ {
              |  observed
              |FROM j ORDER BY user_id, h""".stripMargin)),
 
+    // Linear interpolation over the same hourly grid — gap points take the
+    // straight line between bracketing observations (sensor/metric series
+    // where carry-forward biases downstream features). No commutative float
+    // folds anywhere: bracket lookup is order-pinned last/first IGNORE
+    // NULLS, and both engines evaluate the interpolation in the identical
+    // IEEE op order, so the DOUBLEs hash-match unrounded.
+    Q("ts_interpolate_linear",
+      (s, dir) => {
+        val hourly = Catalog.load(s, dir, "events")
+          .filter(col("user_id") < 5)
+          .groupBy(col("user_id"),
+            unix_micros(date_trunc("hour", col("ts"))).as("h"))
+          .agg(graft.ops.Relational.sumExact(col("value")).as("v"))
+        graft.ops.TimeSeries.linearInterpolate(hourly, "user_id", "h", "v",
+            3600000000L)
+          .select("user_id", "h", "v", "observed")
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 3600000000, 3600000000)) AS h
+             |         FROM bounds),
+             |j AS (SELECT g.user_id, g.h, hourly.v, hourly.v IS NOT NULL AS observed
+             |      FROM grid g LEFT JOIN hourly USING (user_id, h)),
+             |b AS (SELECT user_id, h, v, observed,
+             |  last_value(CASE WHEN observed THEN h END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             |  last_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |  first_value(CASE WHEN observed THEN h END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+             |  first_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+             |  FROM j)
+             |SELECT user_id, h,
+             |  CASE WHEN observed THEN v
+             |       ELSE pv + (nv - pv) * (CAST(h - pt AS DOUBLE) /
+             |                              CAST(nt - pt AS DOUBLE)) END AS v,
+             |  observed
+             |FROM b ORDER BY user_id, h""".stripMargin)),
+
+    // Current EWMA per entity (α = 1/2): the serving-side smoothed metric.
+    // The recurrence runs in fixed-point integer cents with floor division
+    // — floor((acc + x) / 2), spelled shiftright in Spark and // in DuckDB
+    // (identical at all signs, where Spark's `div` would truncate) — folded
+    // over the time-ordered hourly series, so any engine reproduces it
+    // bit-for-bit (the PageRank discipline; a DOUBLE EWMA dies on
+    // cross-engine summation order). The fold is an in-row array aggregate
+    // after one hash shuffle per key; the fits-per-key assumption is the
+    // same one sessionization makes.
+    Q("ts_ewma_current",
+      (s, dir) =>
+        Catalog.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"),
+            unix_micros(date_trunc("hour", col("ts"))).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            collect_list(struct(col("h"), col("c"))).as("_arr"))
+          .withColumn("_cs", expr("transform(sort_array(_arr), e -> e.c)"))
+          .withColumn("ewma_c",
+            expr("aggregate(slice(_cs, 2, size(_cs) - 1), element_at(_cs, 1), " +
+              "(acc, x) -> shiftright(acc + x, 1))"))
+          .withColumn("ewma", expr("CAST(ewma_c AS DOUBLE) / 100.0"))
+          .select("user_id", "n_points", "ewma_c", "ewma")
+          .orderBy("user_id"),
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h,
+             |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+             |        list(c ORDER BY h) AS cs
+             |      FROM hourly GROUP BY user_id)
+             |SELECT user_id, n_points,
+             |  list_reduce(cs, (acc, x) -> (acc + x) // 2) AS ewma_c,
+             |  CAST(list_reduce(cs, (acc, x) -> (acc + x) // 2) AS DOUBLE)
+             |    / 100.0 AS ewma
+             |FROM s ORDER BY user_id""".stripMargin)),
+
     // MERGE/upsert + compaction round trip: seed a table, upsert a mix of
     // updated and brand-new rows, compact, read back. Oracle recomputes the
     // merge over the sources.

@@ -137,6 +137,37 @@ class DedupSkewSpec extends SparkSpec {
     assert(n <= bound, s"$n pairs exceed 2*C(cap,2) = $bound")
   }
 
+  test("broadcastIfBounded: broadcasts under the bound, shuffle plan above it") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val small = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probe = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "id")
+    // Under the bound: the measured size marks the side broadcast (the
+    // hint is in the analyzed plan, independent of the planner's own
+    // threshold choices).
+    assert(probe.join(Skew.broadcastIfBounded(small), "k")
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // Bound of 0 bytes: handed back UNTOUCHED (reference-equal) — the
+    // planner keeps whatever path it would pick anyway (the honest
+    // over-bound/100 TB case adds no hint).
+    assert(Skew.broadcastIfBounded(small, maxBytes = 0L) eq small)
+    small.unpersist()
+  }
+
+  test("editDistancePairs verify join runs broadcast at measured-small scale") {
+    // The fix this pins: blocking keys are low-entropy, so the capped-AQE
+    // session would otherwise shuffle the verify join on them and serialize
+    // whole blocks behind single reducers (measured 6x at the 10x replica).
+    val titles = boiler.limit(200)
+    val pairs = Dedup.editDistancePairs(titles, "doc_id", "text", maxDist = 8,
+      blockOn = t => Seq(split(t, " ").getItem(0),
+        floor(length(t) / lit(8)).cast("long")))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("blocked Levenshtein: block cap bounds a clone family's pair count") {
     val cap = 16
     val titles = boiler.select(col("doc_id"),

@@ -163,4 +163,19 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === 7L)  // seed immutable
     assert(out(99L) === -1L) // isolated node stays unlabeled
   }
+
+  test("bfsDistance: min hops to nearest seed, NULL past maxHops") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 with seed 1; 6-7 unreached pair; 8 isolated.
+    // node 4 also adjacent to seed 9 → dist 1 (nearest seed wins).
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L),
+      (9L, 4L)).toDF("d1", "d2")
+    val seeds = Seq(1L, 9L).toDF("id")
+    val out = graft.ops.Dedup.bfsDistance(nodes, edges, "id", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L,
+      6L -> -1L, 7L -> -1L, 8L -> -1L, 9L -> 0L))
+  }
 }

@@ -95,16 +95,41 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("JaroWinkler: textbook values, empty semantics, null-safety") {
+    import spark.implicits._
+    import graft.expressions.JaroWinkler.jaroWinkler
+    val got = Seq(
+      ("martha", "marhta"),  // classic: jaro 0.9444..., prefix 3 → 0.9611...
+      ("dixon", "dicksonx"),
+      ("abc", "abc"),        // identical → 1.0
+      ("", "abc"),           // either-empty → 0.0 (DuckDB semantics)
+      ("", ""),              // both-empty → 0.0 (DuckDB, NOT the 1.0 convention)
+      ("abc", "xyz"))        // no matches → 0.0
+      .toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) === (0.9444444444444445 + 3 * 0.1 * (1.0 - 0.9444444444444445)))
+    assert(got(1) > 0.78 && got(1) < 0.82) // 0.8133... (prefix 2)
+    assert(got(2) === 1.0)
+    assert(got(3) === 0.0)
+    assert(got(4) === 0.0)
+    assert(got(5) === 0.0)
+    val nulls = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    assert(nulls.select(jaroWinkler(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("extensions expose the functions to SQL") {
     import spark.implicits._
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
     val r = spark.sql(
       "SELECT graft_dot(a, b) AS d, graft_polyhash('hello') AS h, " +
         "graft_zorder(3, 5) AS z, " +
-        "graft_lev_bounded('kitten', 'sitting', 2) AS lev FROM vecs").collect()(0)
+        "graft_lev_bounded('kitten', 'sitting', 2) AS lev, " +
+        "graft_jaro_winkler('martha', 'marhta') AS jw FROM vecs").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 99162322L)
     assert(r.getLong(2) === graft.expressions.ZOrderValue.interleave(3, 5))
     assert(r.getInt(3) === 3) // true distance 3 saturates at k+1
+    assert(r.getDouble(4) > 0.96 && r.getDouble(4) < 0.962)
   }
 }

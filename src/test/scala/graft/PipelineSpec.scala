@@ -189,4 +189,19 @@ class PipelineSpec extends SparkSpec {
     assert(got.length === 5000)
     assert(got.forall { case (pos, d) => d == math.min(pos + 1, 100L) })
   }
+
+  test("linearInterpolate fills gaps on the line, keeps observations exact") {
+    import spark.implicits._
+    // key 1: observations at t=0 (v=10) and t=30 (v=40), step 10 → the two
+    // gap points sit at 20 and 30; key 2: single point → no gaps.
+    val obs = Seq((1L, 0L, 10.0), (1L, 30L, 40.0), (2L, 5L, 7.0))
+      .toDF("k", "t", "v")
+    val got = graft.ops.TimeSeries.linearInterpolate(obs, "k", "t", "v", 10L)
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 10.0, true), (1L, 10L, 20.0, false), (1L, 20L, 30.0, false),
+      (1L, 30L, 40.0, true), (2L, 5L, 7.0, true)))
+  }
 }
