@@ -80,7 +80,8 @@ object Bench {
       "dedup_containment", "dedup_spans", "dedup_incremental",
       "sample_bottomk", "bpe_pair_counts", "corpus_refinery",
       "funnel_conversion", "anomaly_rolling_z",
-      "stats_percentiles_distributed", "graph_label_propagation")
+      "stats_percentiles_distributed", "graph_label_propagation",
+      "graph_bfs_distance", "er_jaro_winkler")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }

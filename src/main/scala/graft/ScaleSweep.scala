@@ -64,7 +64,8 @@ object ScaleSweep {
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
     "tpch_q9_profit_proxy", "tpch_q18_large_orders",
     "tpch_q18_bucketed", "tpch_q21_waiting_supplier",
-    "tpch_q21_bucketed", "w2_running_sum")
+    "tpch_q21_bucketed", "ts_ewma_current", "ts_interpolate_linear",
+    "w2_running_sum")
 
   /** The ≥100× sweep set: only queries whose WORK and OUTPUT scale
     * linearly in the inputs. Clone replication makes every pair relation

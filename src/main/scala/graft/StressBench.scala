@@ -89,6 +89,13 @@ object StressBench {
         maxBlock = 64).count()
     }
     println(s"[stress] levenshtein pairs capped=$nLev")
+    val (nJw, _) = timed("jaro-winkler pairs, block cap=64") {
+      val titles = big.select(col("doc_id"), substring(col("text"), 1, 30).as("t"))
+      Dedup.jaroWinklerPairs(titles, "doc_id", "t", threshold = 0.9,
+        blockOn = t => Seq(split(t, " ").getItem(0)),
+        maxBlock = 64).count()
+    }
+    println(s"[stress] jaro-winkler pairs capped=$nJw")
 
     // Incremental dedup: last replica block = the daily batch (10% of the
     // corpus), first nine = the accumulated history it probes.

@@ -713,7 +713,47 @@ object Dedup {
     * upstream exact dedup can't. Default UNCAPPED — exact semantics. */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
-      blockOn: Column => Seq[Column], maxBlock: Int = Int.MaxValue): DataFrame = {
+      blockOn: Column => Seq[Column], maxBlock: Int = Int.MaxValue): DataFrame =
+    blockedStringCandidates(df, idCol, strCol, blockOn, maxBlock,
+        "lev_block_cap")
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
+      .withColumn("dist",
+        graft.expressions.BoundedLevenshtein.boundedLev(
+          col("t1"), col("t2"), maxDist))
+      .filter(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+
+  /** Jaro-Winkler fuzzy-match pairs over the same blocked-candidate
+    * skeleton as [[editDistancePairs]] — the ER comparator where edit
+    * distance over-penalizes suffix noise. The verify is the codegen'd
+    * [[graft.expressions.JaroWinkler]] native; like every pair miner here
+    * the TRUE pair relation is quadratic in clone-family size, so
+    * `maxBlock` is the boundedness knob (default UNCAPPED — exact). */
+  def jaroWinklerPairs(
+      df: DataFrame, idCol: String, strCol: String, threshold: Double,
+      blockOn: Column => Seq[Column], maxBlock: Int = Int.MaxValue): DataFrame =
+    blockedStringCandidates(df, idCol, strCol, blockOn, maxBlock,
+        "jw_block_cap")
+      .withColumn("jw",
+        graft.expressions.JaroWinkler.jaroWinkler(col("t1"), col("t2")))
+      .filter(col("jw") >= threshold)
+      .select("d1", "d2", "jw")
+
+  /** Shared pair-miner skeleton: block on caller-chosen keys, cap
+    * degenerate blocks ([[Skew.capBuckets]], observed drops), and emit
+    * within-block candidates (d1, t1, d2, t2), d1 < d2.
+    *
+    * Persist + id-repartition: blocking keys are LOW-ENTROPY by design
+    * (first token, length bucket), so a shuffle join on them funnels whole
+    * blocks into single reducers and serializes the expensive verify
+    * expression behind one task. Broadcasting the measured-small side
+    * keeps the stream side id-partitioned — verify runs at full
+    * parallelism ([[Skew.broadcastIfBounded]]); past the bound, the
+    * shuffle plan stands and `maxBlock` is the skew defense. */
+  private def blockedStringCandidates(
+      df: DataFrame, idCol: String, strCol: String,
+      blockOn: Column => Seq[Column], maxBlock: Int,
+      capLabel: String): DataFrame = {
     val base = df.select(col(idCol).as("_id"), col(strCol).as("_t"))
     val keyed0 = blockOn(col("_t")).zipWithIndex.foldLeft(base) {
       case (d, (c, i)) => d.withColumn(s"_bk$i", c)
@@ -722,14 +762,7 @@ object Dedup {
       if (maxBlock == Int.MaxValue) keyed0
       else Skew.capBuckets(keyed0,
         keyed0.columns.filter(_.startsWith("_bk")).toSeq, "_id", maxBlock,
-        "lev_block_cap")
-    // Persist + id-repartition: blocking keys are LOW-ENTROPY by design
-    // (first word, length bucket), so a shuffle join on them funnels whole
-    // blocks into single reducers and serializes the Levenshtein verify
-    // behind one task. Broadcasting the measured-small side keeps the
-    // stream side id-partitioned — verify runs at full parallelism
-    // ([[Skew.broadcastIfBounded]]); past the bound, the shuffle plan
-    // stands and `maxBlock` is the skew defense.
+        capLabel)
     val keyed = CacheRegistry.track(keyed1.repartition(col("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keys = keyed.columns.filter(_.startsWith("_bk")).toSeq
@@ -737,12 +770,6 @@ object Dedup {
     val b = keyed.select(col("_id").as("d2") +: col("_t").as("t2") +: keys.map(col): _*)
     a.join(Skew.broadcastIfBounded(b), keys)
       .filter(col("d1") < col("d2"))
-      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
-      .withColumn("dist",
-        graft.expressions.BoundedLevenshtein.boundedLev(
-          col("t1"), col("t2"), maxDist))
-      .filter(col("dist") <= maxDist)
-      .select("d1", "d2", "dist")
   }
 
   /** Exact Jaccard over candidate pairs (d1, d2) against sorted hashed

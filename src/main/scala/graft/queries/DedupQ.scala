@@ -562,25 +562,19 @@ object DedupQ {
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
     // Fuzzy-name matching with Jaro-Winkler — the ER comparator where edit
-    // distance over-penalizes suffix noise. First-token blocking bounds the
-    // candidate set (same low-entropy-key caveat as editDistancePairs);
-    // scoring runs in the codegen'd graft_jaro_winkler native, pinned
-    // bit-compatible with DuckDB's builtin over UTF-8 bytes, so the 0.9
-    // threshold and the raw DOUBLE survive hashed conformance unrounded.
+    // distance over-penalizes suffix noise. Runs on the shared pair-miner
+    // skeleton (first-token blocking, measured-broadcast verify at full
+    // parallelism); scoring is the codegen'd graft_jaro_winkler native,
+    // pinned bit-compatible with DuckDB's builtin over UTF-8 bytes, so the
+    // 0.9 threshold and the raw DOUBLE survive hashed conformance unrounded.
     Q("er_jaro_winkler",
-      (s, dir) => {
-        import graft.expressions.JaroWinkler.jaroWinkler
-        val named = Catalog.load(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 30).as("nm"))
-          .withColumn("b0", split(col("nm"), " ").getItem(0))
-        named.as("l")
-          .join(named.as("r"),
-            col("l.b0") === col("r.b0") && col("l.doc_id") < col("r.doc_id"))
-          .withColumn("jw", jaroWinkler(col("l.nm"), col("r.nm")))
-          .filter(col("jw") >= 0.9)
-          .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"), col("jw"))
-          .orderBy("d1", "d2")
-      },
+      (s, dir) =>
+        Dedup.jaroWinklerPairs(
+            Catalog.load(s, dir, "documents")
+              .select(col("doc_id"), substring(col("text"), 1, 30).as("nm")),
+            "doc_id", "nm", threshold = 0.9,
+            blockOn = t => Seq(split(t, " ").getItem(0)))
+          .orderBy("d1", "d2"),
       Some("""WITH p AS (SELECT doc_id, substr(text, 1, 30) AS nm FROM documents),
              |k AS (SELECT doc_id, nm, split_part(nm, ' ', 1) AS b0 FROM p),
              |j AS (SELECT a.doc_id AS d1, b.doc_id AS d2,

@@ -180,4 +180,16 @@ class DedupSkewSpec extends SparkSpec {
     assert(n > 0, "capped lev must still find pairs inside the kept block")
     assert(n <= bound, s"$n pairs exceed C(cap,2) = $bound")
   }
+
+  test("jaroWinklerPairs: block cap bounds a clone family's pair count") {
+    val cap = 16
+    val titles = boiler.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("t")) // identical 40-char prefixes
+    val n = Dedup.jaroWinklerPairs(titles, "doc_id", "t", threshold = 0.9,
+      blockOn = t => Seq(split(t, " ").getItem(0)),
+      maxBlock = cap).count()
+    val bound = cap.toLong * (cap - 1) / 2 // one first-token block
+    assert(n > 0, "capped jw must still find pairs inside the kept block")
+    assert(n <= bound, s"$n pairs exceed C(cap,2) = $bound")
+  }
 }

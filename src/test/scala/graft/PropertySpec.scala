@@ -326,4 +326,87 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(2) === r.getString(1), s"not idempotent: ${r.getString(0)}")
     }
   }
+
+  test("bfsDistance equals brute-force multi-source BFS on random graphs") {
+    import spark.implicits._
+    val n = 30
+    val gen = for {
+      nEdges <- Gen.chooseNum(10, 60)
+      edges <- Gen.listOfN(nEdges, Gen.zip(
+        Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+      seeds <- Gen.nonEmptyListOf(Gen.chooseNum(0L, n - 1L))
+    } yield (edges.filter(e => e._1 != e._2), seeds.distinct)
+    for (seed <- 1 to 3) {
+      val (edges, sources) = sample(gen, seed.toLong)
+      val maxHops = 3
+      // Reference: plain BFS over the adjacency list.
+      val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expect = scala.collection.mutable.Map[Long, Long]()
+      sources.foreach(s => expect(s) = 0L)
+      var frontier = sources.toSet
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty[Long]))
+          .filterNot(expect.contains)
+        frontier.foreach(v => expect(v) = h.toLong)
+      }
+      val got = graft.ops.Dedup.bfsDistance(
+          (0L until n.toLong).toDF("id"), edges.toDF("d1", "d2"), "id",
+          sources.toDF("id"), maxHops)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      for (v <- 0L until n.toLong)
+        assert(got(v) === expect.get(v), s"seed=$seed node=$v")
+    }
+  }
+
+  test("JaroWinkler.compute equals the textbook reference on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Independent reference: direct Winkler-1990 definition over chars
+    // (ASCII inputs keep bytes == chars, matching the byte-based native).
+    def refJaro(s: String, t: String): Double = {
+      if (s.isEmpty || t.isEmpty) return 0.0
+      val w = math.max(math.max(s.length, t.length) / 2 - 1, 0)
+      val ms = Array.fill(s.length)(false)
+      val mt = Array.fill(t.length)(false)
+      var m = 0
+      for (i <- s.indices) {
+        val js = (math.max(0, i - w) until math.min(t.length, i + w + 1))
+          .find(j => !mt(j) && s(i) == t(j))
+        js.foreach { j => ms(i) = true; mt(j) = true; m += 1 }
+      }
+      if (m == 0) return 0.0
+      val sm = s.indices.filter(ms).map(s(_))
+      val tm = t.indices.filter(mt).map(t(_))
+      val trans = sm.zip(tm).count { case (a, b) => a != b } / 2
+      (m.toDouble / s.length + m.toDouble / t.length +
+        (m - trans).toDouble / m) / 3.0
+    }
+    def refJw(s: String, t: String): Double = {
+      val j = refJaro(s, t)
+      if (j > 0.7) {
+        val p = s.zip(t).take(4).takeWhile { case (a, b) => a == b }.size
+        j + p * 0.1 * (1.0 - j)
+      } else j
+    }
+    val gen = for {
+      l1 <- Gen.chooseNum(0, 20)
+      l2 <- Gen.chooseNum(0, 20)
+      a <- Gen.listOfN(l1, Gen.alphaLowerChar).map(_.mkString)
+      b <- Gen.listOfN(l2, Gen.alphaLowerChar).map(_.mkString)
+    } yield (a, b)
+    for (seed <- 1 to 500) {
+      val (a, b) = sample(gen, seed.toLong)
+      val got = graft.expressions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got === refJw(a, b), s"a=$a b=$b")
+      // symmetry + range
+      assert(got === graft.expressions.JaroWinkler.compute(
+        UTF8String.fromString(b), UTF8String.fromString(a)), s"sym a=$a b=$b")
+      assert(got >= 0.0 && got <= 1.0)
+      if (a.nonEmpty)
+        assert(graft.expressions.JaroWinkler.compute(
+          UTF8String.fromString(a), UTF8String.fromString(a)) === 1.0)
+    }
+  }
 }
