@@ -55,7 +55,7 @@ object ScaleSweep {
     "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
     "export_training_shards",
     "feature_quantile_bin", "funnel_conversion", "graph_bfs_distance",
-    "graph_label_propagation",
+    "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "rfm_segmentation", "sample_bottomk", "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",

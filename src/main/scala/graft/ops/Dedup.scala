@@ -627,6 +627,56 @@ object Dedup {
       col("dist").isNotNull.as("reached"))
   }
 
+  /** Bounded-round Bellman-Ford: weighted shortest distance from the seed
+    * set using at most `maxRounds` edges ([[bfsDistance]] is the w≡1
+    * special case; integer weights keep every relaxation exact and
+    * engine-portable). Unlike BFS, a labeled node can improve in a later
+    * round, so each round relaxes ALL labeled nodes — one equi-join + one
+    * min-aggregate on the cached symmetric edge list per round, the
+    * [[connectedComponents]] shuffle discipline. Distances only decrease
+    * monotonically; maxRounds bounds the plan regardless of graph diameter
+    * (the 100 TB contract: k rounds = k bounded shuffles, no convergence
+    * loop on a pathological chain). Output: idCol, dist (BIGINT, NULL =
+    * unreachable within maxRounds edges), reached. */
+  def weightedDistance(
+      nodes: DataFrame, edges: DataFrame, idCol: String, weightCol: String,
+      seeds: DataFrame, maxRounds: Int, checkpointEvery: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"),
+        col(weightCol).as("w"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst"),
+        col(weightCol).as("w")))
+      .persist(MEMORY_AND_DISK)
+    sym.count()
+    var dist = nodes.select(col(idCol).as("id"))
+      .join(seeds.select(col(idCol).as("id"), lit(0L).as("dist")).distinct(),
+        Seq("id"), "left")
+    var pending = List.empty[DataFrame]
+    for (r <- 1 to maxRounds) {
+      val relax = sym.join(dist.filter(col("dist").isNotNull),
+          col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("dist") + col("w")).as("nd"))
+        .select(col("src").as("id"), col("nd"))
+      val next = dist.join(relax, Seq("id"), "left")
+        .withColumn("dist", least(col("dist"), col("nd")))
+        .select("id", "dist")
+      dist =
+        if (r % checkpointEvery == 0 || r == maxRounds) {
+          val ck = next.localCheckpoint() // eager: materialize + cut lineage
+          pending.foreach(_.unpersist()); pending = Nil
+          ck
+        } else {
+          val p = next.persist(MEMORY_AND_DISK)
+          pending ::= p
+          p
+        }
+    }
+    sym.unpersist()
+    dist.select(col("id").as(idCol), col("dist"),
+      col("dist").isNotNull.as("reached"))
+  }
+
   /** Fixed-iteration PageRank over the symmetric near-dup graph — ranks
     * concentrate on hub documents of boilerplate families (prune-first
     * candidates). Damping 0.85, rank0 = 1.

@@ -758,6 +758,56 @@ object DedupQ {
            |FROM d3 ORDER BY doc_id""".stripMargin
       }),
 
+    // Bounded-round Bellman-Ford over the near-dup graph: edge weight =
+    // 1000 − round(jacc·1000) (closer duplicates are cheaper), distance =
+    // cheapest ≤3-edge path from the seed set. Integer weights keep every
+    // relaxation exact; maxRounds bounds the plan (k rounds = k shuffles)
+    // regardless of graph diameter — the weighted sibling of
+    // graph_bfs_distance.
+    Q("graph_weighted_distance",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        val edges = lshPairs(s, dir)
+          .withColumn("w", lit(1000L) - round(col("jacc") * 1000).cast("long"))
+        Dedup.weightedDistance(docs.select("doc_id"), edges, "doc_id", "w",
+            docs.filter(col("doc_id") % 25 === 0).select("doc_id"),
+            maxRounds = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        val roundCtes = (1 to 3).map { r =>
+          s"""n$r AS (SELECT s.a AS id, MIN(d.dist + s.w) AS nd
+             |       FROM sym s JOIN d${r - 1} d ON s.b = d.id
+             |       WHERE d.dist IS NOT NULL GROUP BY s.a),
+             |d$r AS (SELECT d.id,
+             |         CASE WHEN d.dist IS NULL THEN n.nd
+             |              WHEN n.nd IS NULL THEN d.dist
+             |              ELSE least(d.dist, n.nd) END AS dist
+             |       FROM d${r - 1} d LEFT JOIN n$r n ON d.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |we AS (SELECT d1, d2,
+           |         1000 - CAST(ROUND(jacc * 1000) AS BIGINT) AS w
+           |       FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b, w FROM we
+           |        UNION ALL SELECT d2, d1, w FROM we),
+           |d0 AS (SELECT doc_id AS id,
+           |         CASE WHEN doc_id % 25 = 0 THEN CAST(0 AS BIGINT) END AS dist
+           |       FROM documents),
+           |$roundCtes
+           |SELECT id AS doc_id, dist, dist IS NOT NULL AS reached
+           |FROM d3 ORDER BY doc_id""".stripMargin
+      }),
+
     // Corpus-refinery capstone: the full cleaning decision per document —
     // near-dup clusters (shared LSH edge set) keep only their best-quality
     // member, benchmark docs are fenced off, train docs sharing 5-gram

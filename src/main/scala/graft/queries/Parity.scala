@@ -422,11 +422,13 @@ object Parity {
         Catalog.registerAll(s, dir)
         s.sql("""SELECT doc_id,
                 |  graft_polyhash(text) AS h,
-                |  graft_lev_bounded(substr(text, 1, 12), lang, 6) AS lev
+                |  graft_lev_bounded(substr(text, 1, 12), lang, 6) AS lev,
+                |  graft_jaro_winkler(substr(text, 1, 12), lang) AS jw
                 |FROM documents ORDER BY doc_id""".stripMargin)
       },
       Some(s"""SELECT doc_id, ${graft.functions.Hashing.polyHashDuck("text")} AS h,
-              |  CAST(least(levenshtein(substr(text, 1, 12), lang), 7) AS INT) AS lev
+              |  CAST(least(levenshtein(substr(text, 1, 12), lang), 7) AS INT) AS lev,
+              |  jaro_winkler_similarity(substr(text, 1, 12), lang) AS jw
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // §1.2 TIME type conformance — the one reference type with no Spark

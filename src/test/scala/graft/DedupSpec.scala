@@ -178,4 +178,21 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L,
       6L -> -1L, 7L -> -1L, 8L -> -1L, 9L -> 0L))
   }
+
+  test("weightedDistance: later rounds improve already-labeled nodes") {
+    import spark.implicits._
+    // seed 1; direct edge 1-3 costs 100 but the 2-edge path via 2 costs 20
+    // — round 1 labels 3 with 100, round 2 must RELAX it to 20 (the
+    // semantic BFS first-assignment-wins cannot express). Node 4 hangs off
+    // 3 (w=1) and lands at 21 in round 3; node 5 is unreachable.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L),
+      (3L, 4L, 1L)).toDF("d1", "d2", "w")
+    val seeds = Seq(1L).toDF("id")
+    val out = graft.ops.Dedup.weightedDistance(nodes, edges, "id", "w",
+        seeds, maxRounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L, 5L -> -1L))
+  }
 }
