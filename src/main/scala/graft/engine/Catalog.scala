@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog loader — the Spark-native replacement for the reference's
   * `catalogue.xml` + `Catalogue.loadCatalogue`
@@ -33,16 +33,24 @@ object Catalog {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[GraftSession]]), so the column arrives as LongType nanoseconds;
-    * normalize to a microsecond TimestampType column. Queries over events
-    * compare at ≥second granularity, so the ns→µs truncation is lossless for
-    * every conformance check. */
+  /** Normalize `events.ts` to a session-TZ TimestampType column, whatever
+    * the driver wrote to Parquet this round:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) so
+    *    it arrives as LongType nanoseconds → truncate to µs. Queries compare
+    *    at ≥second granularity, so the truncation is lossless.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark ≥3.4 infers
+    *    TIMESTAMP_NTZ → cast to TimestampType. Sessions run in UTC, so the
+    *    wall-clock field values (what DuckDB's naive TIMESTAMP oracle sees)
+    *    map to the identical micros-since-epoch instant. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Register every table as a temp view, enabling the SQL front
     * (the reference's dialect is a strict subset of Spark SQL). */
