@@ -52,18 +52,39 @@ object Bench {
     // phantom 5× on whichever flagship ran first. Sorted order pins the
     // warm-up bias to the same queries every round, making per-query
     // numbers comparable across rounds.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    //
+    // MEDIANS-OF-N (round 6): single-shot timings proved untrustworthy —
+    // BENCH_r05's driver run read 8-10× the builder's clean re-measurements
+    // on the heavy queries while trivial ones moved only +10-25%, a profile
+    // nobody could split into contamination vs regression. Each query now
+    // runs `reps` back-to-back; the reported number is the MEDIAN (rep 1
+    // absorbs codegen/JIT + cold page cache; the median measures warm
+    // serve, the stable round-over-round comparable), and the relative
+    // spread (max−min)/median is emitted per query so a contended box is
+    // visible IN the artifact instead of arguing with it after the fact.
+    // Pipelines stay single-shot: they are once-per-session materializations
+    // by design (SessionCache makes a second call a no-op), and tripling the
+    // heaviest builds would blow the driver's time budget — their trust
+    // signal is the query-side spread measured in the same session.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val results: Map[String, (Double, Double)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val med = times(times.size / 2)
+        val spread = if (med > 0) (times.last - times.head) / med else 0.0
+        name -> (med, spread)
+      }.toMap
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
     }
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      println(f"BENCH_DETAIL $k ${v}%.3f")
+    results.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread)) =>
+      println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the one JSON line it finds there. 130+ query timings overflow
@@ -82,14 +103,21 @@ object Bench {
       "funnel_conversion", "anomaly_rolling_z",
       "stats_percentiles_distributed", "graph_label_propagation",
       "graph_bfs_distance", "er_jaro_winkler")
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v._1)}"))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
-    // total = pipeline builds + all queries (the whole session's work, so
-    // it stays comparable with rounds 1-4 where builds hid inside queries).
-    val total = results.values.sum + pipelineTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    // Spread aggregates: the artifact-embedded contention signal. A clean
+    // box shows median relative spread of a few percent; a contended one
+    // shows large spreads exactly on the queries whose medians moved.
+    val spreads = results.values.map(_._2).toSeq.sorted
+    val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    val spreadMax = if (spreads.isEmpty) 0.0 else spreads.last
+    // total = pipeline builds + all query MEDIANS (the whole session's
+    // work, so it stays comparable with rounds 1-5 where builds hid inside
+    // queries / queries were single-shot).
+    val total = results.values.map(_._1).sum + pipelineTimes.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,11 @@ object Catalog {
   /** The small dimension tables — always broadcast-join candidates. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
+  /** Per-application memo for the INT64-nanos magnitude check in
+    * [[normalizeEventTs]] — one sampled-row job per JVM, not per load. */
+  private val nanosChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   /** Columnar scan; Catalyst pushes projection + filters into the Parquet
@@ -38,16 +43,45 @@ object Catalog {
     *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions set
     *    `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) so
     *    it arrives as LongType nanoseconds → truncate to µs. Queries compare
-    *    at ≥second granularity, so the truncation is lossless.
+    *    at ≥second granularity, so the truncation is lossless. A LongType
+    *    `ts` is ONLY correct under that encoding contract — a plain-int64
+    *    micros/millis column would be misscaled — so the branch asserts the
+    *    value magnitude is in the nanosecond range for plausible event dates
+    *    (≥ 2000-01-01 in nanos ≈ 9.5e17; micros for any date < 2286 stay
+    *    < 1e16) and fails loudly otherwise.
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark ≥3.4 infers
-    *    TIMESTAMP_NTZ → cast to TimestampType. Sessions run in UTC, so the
-    *    wall-clock field values (what DuckDB's naive TIMESTAMP oracle sees)
-    *    map to the identical micros-since-epoch instant. */
+    *    TIMESTAMP_NTZ → cast to TimestampType. The cast reinterprets the
+    *    wall-clock fields in the SESSION time zone, so it maps to the same
+    *    micros-since-epoch instant DuckDB's naive TIMESTAMP oracle sees only
+    *    when the session runs in UTC — asserted here so a future non-UTC
+    *    caller fails loudly instead of silently shifting every instant. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
+        // Contract check: one sampled value must sit in the nanos range.
+        // head() reads a single row group; memoized per application (the
+        // driver writes ONE encoding per round) so repeated loads pay no
+        // extra job.
+        nanosChecked.computeIfAbsent(
+          df.sparkSession.sparkContext.applicationId,
+          _ => {
+            df.select("ts").head(1).foreach { r =>
+              val v = math.abs(r.getLong(0))
+              require(v == 0L || v >= (1L << 59), // ~5.7e17: nanos for dates >= 1988
+                s"events.ts is INT64 but |$v| is below the nanosecond range; " +
+                  "normalizeEventTs only handles TIMESTAMP(NANOS) read under " +
+                  "spark.sql.legacy.parquet.nanosAsLong=true — a plain micros/" +
+                  "millis int64 column needs an explicit conversion")
+            }
+            java.lang.Boolean.TRUE
+          })
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"normalizeEventTs requires spark.sql.session.timeZone=UTC (got " +
+            s"'$tz'): the NTZ->TimestampType cast reinterprets wall-clock " +
+            "fields in the session zone and would shift instants otherwise")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

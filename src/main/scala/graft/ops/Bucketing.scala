@@ -24,6 +24,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** One [[graft.queries.SessionCache]] per named layout: two layouts over
+    * the same (session, dir) must not collide on the cache key, and each
+    * must rebuild when the data dir changes (the ScaleSweep case). */
+  private val layoutCaches = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.queries.SessionCache[Unit]]()
+
+  /** Session-scoped bucketed layout: build the named bucketed tables ONCE
+    * per (session, data dir) and let every later query serve from the
+    * catalog with zero Exchange. This is THE entry point for layout builds —
+    * both house rules live here, not at call sites:
+    *
+    *  - **bucket count = the session's default parallelism.** With fewer
+    *    buckets than cores every exchange-free join runs under-parallelized;
+    *    measured on the 100× replica, 8 buckets left bucketed q21 no faster
+    *    than the plain shape. At 100 TB the same rule says thousands of
+    *    buckets (one task's worth of fact table each).
+    *  - **one file per bucket** (via [[writeBucketed]]'s pre-write
+    *    repartition), which is what lets the scan report its per-bucket sort
+    *    order so downstream SortMergeJoins skip their Sort.
+    *
+    * `tables` lists (catalogTable, sourceTable, bucketKey); files land under
+    * a fresh temp dir. Idempotent per (session, dir): bench pipelines build
+    * eagerly for honest attribution, query bodies call it again as a no-op
+    * (so standalone Verify/subset runs still work). */
+  def sessionLayout(
+      spark: SparkSession, dir: String, layout: String,
+      tables: Seq[(String, String, String)]): Unit = {
+    val cache = layoutCaches.computeIfAbsent(
+      layout, _ => new graft.queries.SessionCache[Unit](_ => ()))
+    cache.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$layout").toString
+      val n = spark.sparkContext.defaultParallelism
+      tables.foreach { case (table, source, key) =>
+        writeBucketed(spark, graft.engine.Catalog.load(spark, dir, source),
+          table, s"$tmp/$source", n, key)
+      }
+    }
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted external table, replacing any
     * previous incarnation. Files land under `path`; metadata (bucket spec) in
     * the session catalog — readers get the hash-distribution guarantee from

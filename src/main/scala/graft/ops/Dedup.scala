@@ -253,15 +253,20 @@ object Dedup {
     * relation is itself quadratic in duplicate-family size — a family of B
     * mutual near-dups IS B(B−1)/2 true pairs, so no plan can emit it in less
     * than quadratic output. Production pipelines run exact/content-hash
-    * dedup BEFORE near-dup mining precisely to collapse clone families; for
-    * corpora where that's not enough, `maxBucket` applies the same capped
-    * candidate generation as the LSH family ([[Skew.capBuckets]], observed
-    * drops under `ngram_bucket_cap`) at the documented recall trade. The
-    * default is UNCAPPED — exact semantics. */
+    * dedup BEFORE near-dup mining precisely to collapse clone families; when
+    * that's not enough, `maxBucket` applies the same capped candidate
+    * generation as the LSH family ([[Skew.capBuckets]], observed drops under
+    * `ngram_bucket_cap`) at the documented recall trade. The default is
+    * CAPPED at [[LshMaxBucket]] — at 100 TB an uncapped exact miner over a
+    * boilerplate family is a scale-killer, so boundedness is the default and
+    * exactness the opt-in (`maxBucket = Int.MaxValue`; the conformance suite
+    * carries both rows, `dedup_ngram_jaccard` / `dedup_ngram_jaccard_exact`).
+    * The cap is deterministic (smallest ids kept per bucket), so capped
+    * results remain oracle-checkable. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bucketWidth: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     // Three plan branches (bucket keys + both verify sides) → persist; the
     // repartition spreads the broadcast-join-only verify stage across cores
     // (see minhashLshPairs). Tracked for session release ([[CacheRegistry]]).

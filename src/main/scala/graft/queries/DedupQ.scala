@@ -263,11 +263,39 @@ object DedupQ {
            |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.5 ORDER BY d1, d2""".stripMargin
       }),
 
-    // Exact n-gram (bigram) Jaccard with token-count bucket blocking.
+    // n-gram (bigram) Jaccard with token-count bucket blocking — the op's
+    // DEFAULT, which caps block membership at Dedup.LshMaxBucket (smallest
+    // ids kept, deterministic, drops observed): boundedness is the default
+    // at 100 TB, exactness the opt-in (next row). The oracle mirrors the cap
+    // with a row_number window so the row stays faithful at ANY scale
+    // factor, though at the sf0.01 gate no length bucket nears 4096.
     Q("dedup_ngram_jaccard",
       (s, dir) =>
         Dedup.ngramJaccardPairs(Catalog.load(s, dir, "documents"),
             "doc_id", "text", n = 2, threshold = 0.6, bucketWidth = 16)
+          .orderBy("d1", "d2"),
+      Some(s"""WITH ${shingleCte(2)},
+              |wb0 AS (SELECT doc_id, len(s) AS n, CAST(floor(len(s)/16) AS BIGINT) AS b,
+              |              unnest([CAST(floor(len(s)/16) AS BIGINT),
+              |                      CAST(floor(len(s)/16) AS BIGINT) + 1]) AS bk FROM sh),
+              |wb AS (SELECT * FROM wb0
+              |       QUALIFY row_number() OVER (PARTITION BY bk ORDER BY doc_id)
+              |               <= ${Dedup.LshMaxBucket}),
+              |cand AS (SELECT l.doc_id AS d1, r.doc_id AS d2
+              |         FROM wb l JOIN wb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+              |           AND l.bk = greatest(l.b, r.b)
+              |           AND CAST(least(l.n, r.n) AS DOUBLE) >= 0.6 * greatest(l.n, r.n)),
+              |$jaccCtes
+              |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.6 ORDER BY d1, d2""".stripMargin)),
+
+    // Uncapped EXACT variant: the full quadratic-in-family pair relation
+    // (a B-clone family IS C(B,2) true pairs — no plan can emit less).
+    // Kept as the exactness oracle beside the capped default.
+    Q("dedup_ngram_jaccard_exact",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 2, threshold = 0.6, bucketWidth = 16,
+            maxBucket = Int.MaxValue)
           .orderBy("d1", "d2"),
       Some(s"""WITH ${shingleCte(2)},
               |wb AS (SELECT doc_id, len(s) AS n, CAST(floor(len(s)/16) AS BIGINT) AS b,

@@ -13,28 +13,16 @@ import graft.ops.Relational.{avgExact, sumExact, sumExactScaled}
 object Flagship {
 
   /** Session-scoped bucketed layout of the two fact tables, hash-clustered
-    * by the orderkey into matching bucket counts ([[graft.ops.Bucketing]]):
-    * the layout shuffle is paid ONCE here, and every orderkey
-    * join/aggregation over these tables then plans with zero hash Exchange.
-    * The 100× ScaleSweep measured q18/q21 paying 3 and 7 exchanges at
-    * sf10 — this is the workload-level answer. */
-  private val bucketedLayoutCache = new SessionCache[Unit](_ => ())
-
+    * by the orderkey ([[graft.ops.Bucketing.sessionLayout]] — bucket-count
+    * and one-file-per-bucket rules live there): the layout shuffle is paid
+    * ONCE, and every orderkey join/aggregation over these tables then plans
+    * with zero hash Exchange. The 100× ScaleSweep measured q18/q21 paying 3
+    * and 7 exchanges at sf10 — this is the workload-level answer. */
   private def bucketedOrderkeyLayout(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    bucketedLayoutCache.getOrElseUpdate(s, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bfl").toString
-      // Bucket count matches the session's parallelism (32 here): with
-      // fewer buckets than cores, every exchange-free join runs
-      // under-parallelized — measured at the 100× replica, 8 buckets left
-      // q21 no faster than the plain shape. At 100 TB the same rule says
-      // thousands of buckets (one task's worth of fact table each).
-      val n = s.sparkContext.defaultParallelism
-      graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "orders"),
-        "graft_b_orders", s"$tmp/orders", n, "o_orderkey")
-      graft.ops.Bucketing.writeBucketed(s, Catalog.load(s, dir, "lineitem"),
-        "graft_b_lineitem", s"$tmp/lineitem", n, "l_orderkey")
-    }
+    graft.ops.Bucketing.sessionLayout(s, dir, "orderkey", Seq(
+      ("graft_b_orders", "orders", "o_orderkey"),
+      ("graft_b_lineitem", "lineitem", "l_orderkey")))
 
   /** Named builder for bench attribution (see DedupQ.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =

@@ -127,14 +127,36 @@ class DedupSkewSpec extends SparkSpec {
     // The exact pair relation over a B-clone family IS C(B,2) rows — the 10×
     // ScaleSweep measured exactly this (256 → 250,600 true pairs under 10×
     // replication). maxBucket applies the LSH family's capped candidate
-    // generation when upstream exact dedup can't collapse the family first.
+    // generation when upstream exact dedup can't collapse the family first;
+    // since round 6 the cap IS the op's default (boundedness default,
+    // exactness opt-in). Dropped volume must surface through the observed
+    // `ngram_bucket_cap` metric — silent truncation is the one sin worse
+    // than truncation.
     val cap = 16
-    val n = Dedup.ngramJaccardPairs(boiler, "doc_id", "text",
-      n = 2, threshold = 0.5, bucketWidth = 16, maxBucket = cap).count()
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("ngram_bucket_cap").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val n =
+      try {
+        val c = Dedup.ngramJaccardPairs(boiler, "doc_id", "text",
+          n = 2, threshold = 0.5, bucketWidth = 16, maxBucket = cap).count()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        c
+      } finally spark.listenerManager.unregister(listener)
     // each doc emits 2 bucket keys {b, b+1} → ≤ 2 kept buckets of `cap`
     val bound = 2L * cap * (cap - 1) / 2
     assert(n > 0, "capped ngram must still find pairs inside kept buckets")
     assert(n <= bound, s"$n pairs exceed 2*C(cap,2) = $bound")
+    val m = seen.getOrElse(fail("ngram_bucket_cap metrics never delivered"))
+    assert(m.getAs[Long]("dropped_rows") > 0L,
+      s"a 1200-doc clone family over cap=$cap must observe drops: $m")
   }
 
   test("broadcastIfBounded: broadcasts under the bound, shuffle plan above it") {

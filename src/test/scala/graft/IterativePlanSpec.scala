@@ -53,6 +53,38 @@ class IterativePlanSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bfsDistance: bounded plan at 15 hops, truncation value-neutral") {
+    import spark.implicits._
+    val seeds = Seq(0L).toDF("id")
+    val bfs = Dedup.bfsDistance(pathNodes, pathEdges, "id", seeds, maxHops = 15)
+    assert(planSize(bfs) <= 6, s"plan grew with hops:\n${bfs.queryExecution.optimizedPlan}")
+    // hop distance along the path IS the node index
+    val got = bfs.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L to 15L).map(i => (i, i)))
+    val a = Dedup.bfsDistance(pathNodes, pathEdges, "id", seeds,
+      maxHops = 6, checkpointEvery = 2).orderBy("id").collect().toSeq
+    val b = Dedup.bfsDistance(pathNodes, pathEdges, "id", seeds,
+      maxHops = 6, checkpointEvery = 100).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("weightedDistance: bounded plan at 15 rounds, truncation value-neutral") {
+    import spark.implicits._
+    val seeds = Seq(0L).toDF("id")
+    val wEdges = pathEdges.withColumn("w", col("d2") * 10L) // edge i→i+1 weighs 10(i+1)
+    val bf = Dedup.weightedDistance(pathNodes, wEdges, "id", "w", seeds,
+      maxRounds = 15)
+    assert(planSize(bf) <= 6, s"plan grew with rounds:\n${bf.queryExecution.optimizedPlan}")
+    // distance to node k = 10 * (1 + 2 + … + k)
+    val got = bf.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L to 15L).map(i => (i, 10L * i * (i + 1) / 2)))
+    val a = Dedup.weightedDistance(pathNodes, wEdges, "id", "w", seeds,
+      maxRounds = 6, checkpointEvery = 2).orderBy("id").collect().toSeq
+    val b = Dedup.weightedDistance(pathNodes, wEdges, "id", "w", seeds,
+      maxRounds = 6, checkpointEvery = 100).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("pageRank: bounded plan at 9 iterations, truncation value-neutral") {
     val pr9 = Dedup.pageRank(pathNodes, pathEdges, "id", iters = 9)
     assert(planSize(pr9) <= 6, s"plan grew with iters:\n${pr9.queryExecution.optimizedPlan}")
