@@ -122,30 +122,36 @@ object KMeans {
 
   /** The full training loop as DuckDB CTEs over table `tbl(idCol, vecCol)`.
     * Defines: `seed`, and per round t: `a{t}` (vec_id, cluster) and `c{t}`
-    * (cluster, n, cent). The caller appends its final SELECT. */
+    * (cluster, n, cent). The caller appends its final SELECT.
+    *
+    * `prefix` namespaces every generated CTE (`{p}s0`, `{p}seed`, `{p}a{t}`,
+    * `{p}c{t}s`, `{p}c{t}`) so several independent trainings can coexist in
+    * ONE oracle query — the product-quantizer oracle trains one codebook per
+    * subspace ([[PQ]]). Default empty keeps the original names. */
   def oracleCtes(
       tbl: String, idCol: String, vecCol: String,
-      k: Int, iters: Int, dims: Int): String = {
+      k: Int, iters: Int, dims: Int, prefix: String = ""): String = {
+    val p = prefix
     val sb = new StringBuilder
-    sb ++= s"""s0 AS (SELECT $idCol, $vecCol, ${seedHash(idCol)} AS h FROM $tbl),
-              |seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, $idCol) - 1 AS INT) AS cluster,
+    sb ++= s"""${p}s0 AS (SELECT $idCol, $vecCol, ${seedHash(idCol)} AS h FROM $tbl),
+              |${p}seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, $idCol) - 1 AS INT) AS cluster,
               |                list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cent
-              |         FROM (SELECT * FROM s0 ORDER BY h, $idCol LIMIT $k)),
+              |         FROM (SELECT * FROM ${p}s0 ORDER BY h, $idCol LIMIT $k)),
               |""".stripMargin
     (1 to iters).foreach { t =>
-      val prev = if (t == 1) "seed" else s"c${t - 1}"
-      sb ++= s"""a$t AS (SELECT $idCol, $vecCol, cluster FROM (
+      val prev = if (t == 1) s"${p}seed" else s"${p}c${t - 1}"
+      sb ++= s"""${p}a$t AS (SELECT $idCol, $vecCol, cluster FROM (
                 |  SELECT v.$idCol, v.$vecCol, c.cluster,
                 |         ROW_NUMBER() OVER (PARTITION BY v.$idCol
                 |             ORDER BY ${distDuck(s"v.$vecCol", "c.cent", dims)} ASC, c.cluster ASC) AS rn
                 |  FROM $tbl v, $prev c) x WHERE rn = 1),
-                |c${t}s AS (SELECT cluster, i,
+                |${p}c${t}s AS (SELECT cluster, i,
                 |         CAST(SUM(CAST(FLOOR(CAST($vecCol[i] AS DOUBLE) * $Scale) AS BIGINT)) AS BIGINT) AS s,
                 |         COUNT(*) AS n
-                |       FROM a$t, range(1, ${dims + 1}) t(i) GROUP BY cluster, i),
-                |c$t AS (SELECT cluster, MIN(n) AS n,
+                |       FROM ${p}a$t, range(1, ${dims + 1}) t(i) GROUP BY cluster, i),
+                |${p}c$t AS (SELECT cluster, MIN(n) AS n,
                 |         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST($Scale AS DOUBLE)) ORDER BY i) AS cent
-                |       FROM c${t}s GROUP BY cluster)""".stripMargin
+                |       FROM ${p}c${t}s GROUP BY cluster)""".stripMargin
       sb ++= (if (t < iters) ",\n" else "\n")
     }
     sb.result()

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest-neighbor search — the
+  * memory-compression half of the production IVF-PQ layout (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+  * reference engine has no vector surface — north-star territory).
+  *
+  * The embedding space is split into `m` contiguous subspaces of `dims/m`
+  * coordinates; each subspace gets its own small codebook trained with the
+  * engine-portable fixed-point Lloyd of [[KMeans]]. A vector is then stored
+  * as `m` small codes (here ints; bytes at production scale) — a 64-dim
+  * float32 vector compresses 32× with m=4, k=256. Search is asymmetric
+  * distance computation (ADC): the query builds one `k`-entry lookup table
+  * per subspace (exact subvector distances to every centroid), and each
+  * corpus vector's approximate distance is `m` table lookups + a sum —
+  * O(m) per candidate instead of O(dims).
+  *
+  * Scale shape:
+  *   - TRAIN touches only a sample in production; codebooks are O(m·k·dims/m)
+  *     = O(k·dims) scalars — the same legitimate driver-side budget as the
+  *     [[KMeans]] centroid broadcast.
+  *   - ENCODE is map-side only (codegen'd nearest-centroid expressions over
+  *     literal codebooks) — one linear pass, no shuffle.
+  *   - ADC SEARCH scans the ENCODED table (m ints per row, not dims floats):
+  *     the scan that had to read 100 TB of float32 reads ~3 TB of codes.
+  *     Combined with the IVF cell layout ([[Similarity.writeKmeansIvfIndex]])
+  *     the scan is further restricted to probed cells; the composition is
+  *     exactly the production IVF-PQ index. Lookup tables are per-query
+  *     columns (arrays), so the candidate join stays a codegen'd projection.
+  *
+  * Exactness discipline: centroids are bit-identical cross-engine (fixed
+  * point, [[KMeans]]); distance folds are fixed-order IEEE sequences
+  * ([[KMeans.distSpark]]/[[KMeans.distDuck]]); the ADC sum adds the `m`
+  * lookups left-to-right. Every double the operator emits therefore
+  * hash-matches the DuckDB oracle.
+  */
+object PQ {
+
+  /** Spark SQL slice of subspace `j` (0-based): 1-based `slice(vec, lo, len)`. */
+  def subSpark(vecCol: String, j: Int, sub: Int): String =
+    s"slice($vecCol, ${j * sub + 1}, $sub)"
+
+  /** DuckDB slice of subspace `j` (0-based): 1-based inclusive `vec[lo:hi]`. */
+  def subDuck(vecCol: String, j: Int, sub: Int): String =
+    s"$vecCol[${j * sub + 1}:${(j + 1) * sub}]"
+
+  /** Train one codebook per subspace with the exact fixed-point Lloyd.
+    * Returns `m` codebooks, each `(code, centroid)` with `sub = dims/m`
+    * coordinates. O(m · iters) tiny jobs; O(k · dims) driver scalars. */
+  def train(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dims: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map { j =>
+      val sv = vecs.select(col(idCol), expr(subSpark(vecCol, j, sub)).as("_sub"))
+      val (_, cents) = KMeans.lloyd(sv, idCol, "_sub", k, iters, sub)
+      KMeans.collectCents(cents.select(col("cluster"), col("cent")))
+    }
+  }
+
+  /** Encode every vector as `m` codes (columns `code0..code{m-1}`): nearest
+    * codebook centroid per subspace, squared L2, ties to the smaller code —
+    * pure map-side codegen'd expressions over literal codebooks. */
+  def encode(
+      vecs: DataFrame, vecCol: String,
+      books: Seq[Seq[(Int, Seq[Double])]], sub: Int): DataFrame =
+    books.zipWithIndex.foldLeft(vecs) { case (d, (cents, j)) =>
+      val structs = cents.sortBy(_._1).map { case (c, arr) =>
+        s"named_struct('d', ${KMeans.distSpark(subSpark(vecCol, j, sub), arr)}, 'c', $c)"
+      }
+      d.withColumn(s"code$j",
+        expr(s"array_min(array(${structs.mkString(", ")})).c"))
+    }
+
+  /** ADC top-k: per query, one exact `|codebook|`-entry distance table per
+    * subspace (array column), then approximate distance to each encoded
+    * corpus vector = sum of `m` table lookups; rank by (adist, neighbor).
+    * `queries` must carry (idCol, vecCol); self-pairs are excluded.
+    * Output: q_vec, rank, neighbor, adist. */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[(Int, Seq[Double])]], dims: Int, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.size
+    val sub = dims / m
+    val enc = encode(corpus, vecCol, books, sub)
+      .select(col(idCol).as("neighbor") +:
+        (0 until m).map(j => col(s"code$j")): _*)
+    val qt = books.zipWithIndex.foldLeft(
+      queries.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))) {
+      case (d, (cents, j)) =>
+        val lits = cents.sortBy(_._1)
+          .map { case (_, arr) => KMeans.distSpark(subSpark("_qv", j, sub), arr) }
+        d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+    }
+    // Queries-side tables are tiny (|Q| rows); broadcast them across the
+    // encoded-corpus scan so ADC is one shuffle-free projection + the final
+    // per-query top-k.
+    val scored = enc.join(broadcast(qt), col("q_vec") =!= col("neighbor"))
+      .withColumn("adist",
+        (0 until m).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+          .reduce(_ + _))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("adist").asc, col("neighbor").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
+  }
+
+  // ------------------------------------------------------- DuckDB oracle --
+
+  /** Training + encoding CTEs for all `m` subspaces over `tbl(idCol, vecCol)`.
+    * Defines per subspace j: `pq{j}v` (id, sub), the prefixed Lloyd CTEs
+    * (final centroids `p{j}c{iters}`), and `e{j}` (id, code{j}); plus `enc`
+    * joining all code columns. */
+  def oracleCtes(
+      tbl: String, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dims: Int): String = {
+    val sub = dims / m
+    val sb = new StringBuilder
+    (0 until m).foreach { j =>
+      sb ++= s"""pq${j}v AS (SELECT $idCol, ${subDuck(vecCol, j, sub)} AS sub FROM $tbl),
+                |${KMeans.oracleCtes(s"pq${j}v", idCol, "sub", k, iters, sub, s"p$j")},
+                |e$j AS (SELECT $idCol, cluster AS code$j FROM (
+                |  SELECT v.$idCol, c.cluster,
+                |         ROW_NUMBER() OVER (PARTITION BY v.$idCol
+                |             ORDER BY ${KMeans.distDuck("v.sub", "c.cent", sub)} ASC, c.cluster ASC) AS rn
+                |  FROM pq${j}v v, p${j}c$iters c) x WHERE rn = 1),
+                |""".stripMargin
+    }
+    sb ++= s"""enc AS (SELECT e0.$idCol${(0 until m).map(j => s", code$j").mkString}
+              |        FROM e0 ${(1 until m).map(j => s"JOIN e$j ON e$j.$idCol = e0.$idCol").mkString(" ")})""".stripMargin
+    sb.result()
+  }
+}

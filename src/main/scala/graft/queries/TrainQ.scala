@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Catalog
-import graft.ops.{KMeans, Similarity}
+import graft.ops.{KMeans, PQ, Similarity}
 
 /** Training-data-pipeline operators beyond the dedup/ANN/text families:
   * k-means coarse-quantizer training, int8 embedding quantization,
@@ -49,13 +49,33 @@ object TrainQ {
       tmp
     }
 
+  // Product-quantizer shape: 64 dims → 4 subspaces × 16 dims, 8 codes per
+  // subspace, 2 Lloyd rounds each (same exact fixed-point trainer as the
+  // coarse quantizer; small k keeps the 4×-training oracle SQL bounded).
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqSub = Dims / PqM
+
+  /** Session-scoped PQ codebooks — trained once, consumed by the encode and
+    * ADC-search queries (O(k·dims) driver scalars, the centroid budget). */
+  private val pqCache =
+    new SessionCache[Seq[Seq[(Int, Seq[Double])]]](_ => ())
+
+  private def pqBooks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pqCache.getOrElseUpdate(s, dir) {
+      PQ.train(Catalog.load(s, dir, "embeddings"), "vec_id", "embedding",
+        PqM, PqK, PqIters, Dims)
+    }
+
   /** Named shared-pipeline builders for explicit bench attribution (see
     * [[DedupQ.pipelines]]). Order matters: the index build consumes the
     * trained model. */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
-      "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }))
+      "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }),
+      "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }))
 
   /** Shared oracle for both trained-quantizer ANN paths — the persisted
     * serving query must return exactly what the in-session path returns. */
@@ -270,6 +290,57 @@ object TrainQ {
             "vec_id", "embedding", nprobe = 2, k = 10)
           .orderBy("q_vec", "rank"),
       Some(annIvfKmeansOracle)),
+
+    // Product-quantization encode: every vector as 4 small codes (nearest
+    // per-subspace codebook centroid) — the 16-32× corpus compression that
+    // makes 100 TB ANN scans read TBs of codes instead of floats. Map-side
+    // codegen'd expressions over literal codebooks; no shuffle.
+    Q("ann_pq_codes",
+      (s, dir) =>
+        PQ.encode(Catalog.load(s, dir, "embeddings"), "embedding",
+            pqBooks(s, dir), PqSub)
+          .select(col("vec_id") +: (0 until PqM).map(j => col(s"code$j")): _*)
+          .orderBy("vec_id"),
+      Some(s"""WITH ${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)}
+              |SELECT vec_id${(0 until PqM).map(j => s", code$j").mkString}
+              |FROM enc ORDER BY vec_id""".stripMargin)),
+
+    // PQ asymmetric-distance (ADC) top-k: per query one exact 8-entry
+    // distance table per subspace, approximate distance = 4 table lookups +
+    // a fixed-order sum — O(m) per candidate instead of O(dims). Both
+    // engines train bit-identical codebooks (fixed-point Lloyd), so the
+    // approximate distances hash-match exactly.
+    Q("ann_pq_adc_topk",
+      (s, dir) =>
+        PQ.adcTopK(Catalog.load(s, dir, "embeddings"),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", pqBooks(s, dir), Dims, kTop = 10)
+          .orderBy("q_vec", "rank"),
+      Some {
+        val tCtes = (0 until PqM).map { j =>
+          s"""qs$j AS (SELECT q_vec, ${PQ.subDuck("embedding", j, PqSub)} AS sub FROM q),
+             |t$j AS (SELECT q_vec, c.cluster AS code,
+             |               ${KMeans.distDuck("v.sub", "c.cent", PqSub)} AS dd
+             |        FROM qs$j v, p${j}c$PqIters c)""".stripMargin
+        }.mkString(",\n")
+        val tJoins = (0 until PqM)
+          .map(j => s"JOIN t$j ON t$j.q_vec = q.q_vec AND t$j.code = enc.code$j")
+          .mkString("\n           ")
+        s"""WITH ${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
+           |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
+           |      WHERE vec_id % 100 = 0),
+           |$tCtes,
+           |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
+           |                  ${(0 until PqM).map(j => s"t$j.dd").mkString(" + ")} AS adist
+           |           FROM q JOIN enc ON enc.vec_id <> q.q_vec
+           |           $tJoins),
+           |r AS (SELECT q_vec, neighbor, adist,
+           |             ROW_NUMBER() OVER (PARTITION BY q_vec
+           |                                ORDER BY adist ASC, neighbor ASC) AS rank
+           |      FROM scored)
+           |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+           |ORDER BY q_vec, rank""".stripMargin
+      }),
 
     // Bigram language-model score — the deterministic analog of a
     // perplexity filter: corpus-level bigram counts (multiplicity kept),

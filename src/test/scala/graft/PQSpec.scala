@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PQ
+
+/** Product-quantization properties the DuckDB-oracle rows can't pin:
+  * structural code bounds, clone behavior (identical vectors must share
+  * codes and read ADC distance 0 to each other), and the map-side-only
+  * encode plan (no Exchange — the contract that makes PQ encoding a single
+  * linear pass at 100 TB). */
+class PQSpec extends SparkSpec {
+
+  private val M = 2
+  private val K = 4
+  private val Dims = 8
+
+  // 40 vectors of 8 dims; ids 7 and 27 are exact clones.
+  private def vecs = {
+    import spark.implicits._
+    (0L until 40L).map { i =>
+      val base = if (i == 27L) 7L else i
+      (i, (0 until Dims).map(d => ((base * 31 + d * 17) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def books = PQ.train(vecs, "vec_id", "embedding", M, K, iters = 2, Dims)
+
+  test("codes are in [0, k) and the encode plan has no Exchange") {
+    val b = books
+    val enc = PQ.encode(vecs, "embedding", b, Dims / M)
+    val rows = enc.select("vec_id", "code0", "code1").collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      (1 to M).foreach { j =>
+        val c = r.getInt(j)
+        assert(c >= 0 && c < K, s"code out of range: $r")
+      }
+    }
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be map-side only:\n$plan")
+  }
+
+  test("exact clones share all codes and achieve the minimal ADC distance") {
+    val b = books
+    val enc = PQ.encode(vecs, "embedding", b, Dims / M)
+      .select("vec_id", "code0", "code1").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(enc(7L) === enc(27L), "identical vectors must encode identically")
+    // ADC adist(v) = Σ_j table[code_j(v)] where table[c] = dist(q_sub, cent_c):
+    // a clone of the query picks argmin per subspace, so its adist IS the
+    // global minimum (other vectors may tie by sharing codes, never beat it).
+    // All adists are sums of squared distances — non-negative.
+    val all = PQ.adcTopK(vecs, vecs.filter(col("vec_id") === 7L),
+        "vec_id", "embedding", b, Dims, kTop = 40)
+      .select("neighbor", "adist").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(all.forall(_._2 >= 0.0), "ADC distances must be non-negative")
+    val minA = all.map(_._2).min
+    val cloneA = all.toMap.apply(27L)
+    assert(cloneA === minA,
+      s"clone adist $cloneA must equal the global minimum $minA")
+  }
+
+  test("train is deterministic across invocations") {
+    assert(books === books)
+  }
+}
