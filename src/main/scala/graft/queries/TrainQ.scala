@@ -68,6 +68,23 @@ object TrainQ {
         PqM, PqK, PqIters, Dims)
     }
 
+  /** Oracle fragments shared by the PQ search rows: per-subspace query
+    * lookup-table CTEs over `q(q_vec, embedding)` and the code-matched
+    * joins that assemble the fixed-order ADC sum. */
+  private def pqTableCtes: String = (0 until PqM).map { j =>
+    s"""qs$j AS (SELECT q_vec, ${PQ.subDuck("embedding", j, PqSub)} AS sub FROM q),
+       |t$j AS (SELECT q_vec, c.cluster AS code,
+       |               ${KMeans.distDuck("v.sub", "c.cent", PqSub)} AS dd
+       |        FROM qs$j v, p${j}c$PqIters c)""".stripMargin
+  }.mkString(",\n")
+
+  private def pqTableJoins: String = (0 until PqM)
+    .map(j => s"JOIN t$j ON t$j.q_vec = q.q_vec AND t$j.code = enc.code$j")
+    .mkString("\n           ")
+
+  private def pqAdistSql: String =
+    (0 until PqM).map(j => s"t$j.dd").mkString(" + ")
+
   /** Named shared-pipeline builders for explicit bench attribution (see
     * [[DedupQ.pipelines]]). Order matters: the index build consumes the
     * trained model. */
@@ -316,31 +333,95 @@ object TrainQ {
             Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
             "vec_id", "embedding", pqBooks(s, dir), Dims, kTop = 10)
           .orderBy("q_vec", "rank"),
-      Some {
-        val tCtes = (0 until PqM).map { j =>
-          s"""qs$j AS (SELECT q_vec, ${PQ.subDuck("embedding", j, PqSub)} AS sub FROM q),
-             |t$j AS (SELECT q_vec, c.cluster AS code,
-             |               ${KMeans.distDuck("v.sub", "c.cent", PqSub)} AS dd
-             |        FROM qs$j v, p${j}c$PqIters c)""".stripMargin
-        }.mkString(",\n")
-        val tJoins = (0 until PqM)
-          .map(j => s"JOIN t$j ON t$j.q_vec = q.q_vec AND t$j.code = enc.code$j")
-          .mkString("\n           ")
+      Some(
         s"""WITH ${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
            |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
            |      WHERE vec_id % 100 = 0),
-           |$tCtes,
+           |$pqTableCtes,
            |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
-           |                  ${(0 until PqM).map(j => s"t$j.dd").mkString(" + ")} AS adist
+           |                  $pqAdistSql AS adist
            |           FROM q JOIN enc ON enc.vec_id <> q.q_vec
-           |           $tJoins),
+           |           $pqTableJoins),
            |r AS (SELECT q_vec, neighbor, adist,
            |             ROW_NUMBER() OVER (PARTITION BY q_vec
            |                                ORDER BY adist ASC, neighbor ASC) AS rank
            |      FROM scored)
            |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
-           |ORDER BY q_vec, rank""".stripMargin
-      }),
+           |ORDER BY q_vec, rank""".stripMargin)),
+
+    // IVF-PQ composition — THE production ANN layout: the coarse quantizer
+    // prunes the scan to nprobe cells (here the in-session K=4 Lloyd cells;
+    // on disk the cluster-partitioned index directories), and ADC scores
+    // only the surviving candidates from their m-code encodings. The PQ
+    // codebooks here are trained on raw vectors (not per-cell residuals —
+    // the residual refinement is a quality knob, not a plan-shape change).
+    Q("ann_ivf_pq_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (assigned, cents) = trained(s, dir)
+        val books = pqBooks(s, dir)
+        val enc = PQ.encode(
+            assigned.select(col("vec_id"), col("cluster"), col("embedding")),
+            "embedding", books, PqSub)
+          .select(col("vec_id").as("neighbor") +: col("cluster") +:
+            (0 until PqM).map(j => col(s"code$j")): _*)
+        val q = Catalog.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_vec"), col("embedding").as("_qv"))
+        val wProbe = Window.partitionBy("q_vec")
+          .orderBy(col("d").asc, col("p_cluster").asc)
+        val probe = q.crossJoin(broadcast(
+            cents.select(col("cluster").as("p_cluster"), col("cent"))))
+          .withColumn("d", expr(
+            """aggregate(zip_with(_qv, cent, (x, y) ->
+              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select("q_vec", "_qv", "p_cluster")
+        val qt = books.zipWithIndex.foldLeft(probe) { case (d, (cs, j)) =>
+          val lits = cs.sortBy(_._1)
+            .map { case (_, arr) => KMeans.distSpark(PQ.subSpark("_qv", j, PqSub), arr) }
+          d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+        }
+        val scored = enc.join(broadcast(qt),
+            col("cluster") === col("p_cluster") && col("q_vec") =!= col("neighbor"))
+          .withColumn("adist",
+            (0 until PqM).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+              .reduce(_ + _))
+        val w = Window.partitionBy("q_vec")
+          .orderBy(col("adist").asc, col("neighbor").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_vec", "rank", "neighbor", "adist")
+          .orderBy("q_vec", "rank")
+      },
+      Some(
+        s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+           |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
+           |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
+           |      WHERE vec_id % 100 = 0),
+           |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
+           |    SELECT q.q_vec, c.cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+           |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+           |                        c.cluster ASC) AS pr
+           |    FROM q, c$Iters c) z WHERE pr <= 2),
+           |$pqTableCtes,
+           |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
+           |                  $pqAdistSql AS adist
+           |           FROM q
+           |           JOIN pp ON pp.q_vec = q.q_vec
+           |           JOIN a$Iters a ON a.cluster = pp.p_cluster
+           |                         AND a.vec_id <> q.q_vec
+           |           JOIN enc ON enc.vec_id = a.vec_id
+           |           $pqTableJoins),
+           |r AS (SELECT q_vec, neighbor, adist,
+           |             ROW_NUMBER() OVER (PARTITION BY q_vec
+           |                                ORDER BY adist ASC, neighbor ASC) AS rank
+           |      FROM scored)
+           |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+           |ORDER BY q_vec, rank""".stripMargin)),
 
     // Bigram language-model score — the deterministic analog of a
     // perplexity filter: corpus-level bigram counts (multiplicity kept),

@@ -65,4 +65,17 @@ class PQSpec extends SparkSpec {
   test("train is deterministic across invocations") {
     assert(books === books)
   }
+
+  test("ADC search shuffles only the final per-query top-k") {
+    // The scale contract: the encoded-corpus side reaches the scorer with
+    // NO shuffle (query tables broadcast across the scan); the single hash
+    // Exchange in the plan is the rank window on the scored candidates.
+    val top = PQ.adcTopK(vecs, vecs.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", books, Dims, kTop = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly the top-k window exchange:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"query tables must broadcast:\n$plan")
+  }
 }
