@@ -112,6 +112,87 @@ object PQ {
       .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
   }
 
+  /** Persist an IVF-PQ index — the train-once / serve-many artifact:
+    * encoded cells (id + m codes, PARTITIONED BY the coarse cell so a
+    * probe's cells are whole directories), the coarse centroids, and the
+    * codebooks as scalar rows. The cells table stores NO raw vectors —
+    * serving reads m small ints per candidate, the 16-32× scan shrink that
+    * is PQ's whole point at 100 TB. */
+  def writeIvfPqIndex(
+      assigned: DataFrame, cents: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], idCol: String, vecCol: String,
+      dims: Int, path: String): Unit = {
+    val m = books.size
+    encode(assigned.select(col(idCol), col("cluster"), col(vecCol)),
+        vecCol, books, dims / m)
+      .select(col(idCol) +: (0 until m).map(j => col(s"code$j")) :+ col("cluster"): _*)
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cluster").parquet(s"$path/cells")
+    cents.select(col("cluster"), col("cent"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/cents")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (cs, j) => cs.map { case (c, arr) => (j, c, arr) } }
+      .toDF("subspace", "code", "cent")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/books")
+  }
+
+  /** Load the codebooks of a [[writeIvfPqIndex]] index (O(m·k·sub) driver
+    * scalars — the centroid budget). */
+  def readBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.map(t => (t._2, t._3: Seq[Double])).sortBy(_._1).toSeq }
+  }
+
+  /** Serve ADC top-k from a persisted [[writeIvfPqIndex]] index: coarse
+    * centroids broadcast, each probe picks `nprobe` cells, and the cell
+    * join prunes the CODES scan to those partition directories (dynamic
+    * partition pruning) — the serving path never reads a raw vector. */
+  def knnIvfPqPersisted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nprobe: Int, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = readBooks(spark, path)
+    val m = books.size
+    val sub = dims / m
+    val cents = spark.read.parquet(s"$path/cents")
+    val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))
+    val wProbe = Window.partitionBy("q_vec")
+      .orderBy(col("d").asc, col("p_cluster").asc)
+    val probeParts = q.crossJoin(broadcast(
+        cents.select(col("cluster").as("p_cluster"), col("cent"))))
+      .withColumn("d", expr(
+        """aggregate(zip_with(_qv, cent, (x, y) ->
+          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_vec", "_qv", "p_cluster")
+    val qt = books.zipWithIndex.foldLeft(probeParts) { case (d, (cs, j)) =>
+      val lits = cs.sortBy(_._1)
+        .map { case (_, arr) => KMeans.distSpark(subSpark("_qv", j, sub), arr) }
+      d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+    }
+    val enc = spark.read.parquet(s"$path/cells")
+    val scored = enc.join(broadcast(qt),
+        col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
+      .withColumn("adist",
+        (0 until m).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+          .reduce(_ + _))
+    val w = Window.partitionBy("q_vec")
+      .orderBy(col("adist").asc, col("neighbor").asc)
+    scored
+      .withColumn("neighbor", col(idCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
+  }
+
   // ------------------------------------------------------- DuckDB oracle --
 
   /** Training + encoding CTEs for all `m` subspaces over `tbl(idCol, vecCol)`.

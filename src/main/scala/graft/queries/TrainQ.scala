@@ -88,11 +88,56 @@ object TrainQ {
   /** Named shared-pipeline builders for explicit bench attribution (see
     * [[DedupQ.pipelines]]). Order matters: the index build consumes the
     * trained model. */
+  /** Session-scoped persisted IVF-PQ index (cells = codes only, partitioned
+    * by the coarse cluster; codebooks + centroids beside them). Serving
+    * (`ann_ivf_pq_persisted`) reads ONLY this — never training, never a raw
+    * vector. */
+  private val ivfPqIndexCache = new SessionCache[String](_ => ())
+
+  private def ivfPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqIndexCache.getOrElseUpdate(s, dir) {
+      val (assigned, cents) = trained(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      PQ.writeIvfPqIndex(assigned, cents, pqBooks(s, dir),
+        "vec_id", "embedding", Dims, tmp)
+      tmp
+    }
+
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
       "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }),
-      "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }))
+      "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
+      "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }))
+
+  /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
+    * bucketed serving must return exactly what the in-session path does. */
+  private def ivfPqOracle: String =
+    s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+       |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
+       |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
+       |    SELECT q.q_vec, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+       |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS pr
+       |    FROM q, c$Iters c) z WHERE pr <= 2),
+       |$pqTableCtes,
+       |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
+       |                  $pqAdistSql AS adist
+       |           FROM q
+       |           JOIN pp ON pp.q_vec = q.q_vec
+       |           JOIN a$Iters a ON a.cluster = pp.p_cluster
+       |                         AND a.vec_id <> q.q_vec
+       |           JOIN enc ON enc.vec_id = a.vec_id
+       |           $pqTableJoins),
+       |r AS (SELECT q_vec, neighbor, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY q_vec
+       |                                ORDER BY adist ASC, neighbor ASC) AS rank
+       |      FROM scored)
+       |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+       |ORDER BY q_vec, rank""".stripMargin
 
   /** Shared oracle for both trained-quantizer ANN paths — the persisted
     * serving query must return exactly what the in-session path returns. */
@@ -396,32 +441,20 @@ object TrainQ {
           .select("q_vec", "rank", "neighbor", "adist")
           .orderBy("q_vec", "rank")
       },
-      Some(
-        s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
-           |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
-           |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
-           |      WHERE vec_id % 100 = 0),
-           |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
-           |    SELECT q.q_vec, c.cluster,
-           |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
-           |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
-           |                        c.cluster ASC) AS pr
-           |    FROM q, c$Iters c) z WHERE pr <= 2),
-           |$pqTableCtes,
-           |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
-           |                  $pqAdistSql AS adist
-           |           FROM q
-           |           JOIN pp ON pp.q_vec = q.q_vec
-           |           JOIN a$Iters a ON a.cluster = pp.p_cluster
-           |                         AND a.vec_id <> q.q_vec
-           |           JOIN enc ON enc.vec_id = a.vec_id
-           |           $pqTableJoins),
-           |r AS (SELECT q_vec, neighbor, adist,
-           |             ROW_NUMBER() OVER (PARTITION BY q_vec
-           |                                ORDER BY adist ASC, neighbor ASC) AS rank
-           |      FROM scored)
-           |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
-           |ORDER BY q_vec, rank""".stripMargin)),
+      Some(ivfPqOracle)),
+
+    // Persisted IVF-PQ serving: the query reads ONLY the on-disk index —
+    // coarse centroids (broadcast), codebooks (driver scalars), and the
+    // cluster-partitioned CODES table, pruned to the probed cells. No raw
+    // vector is touched at serve time; identical results to the in-session
+    // path, so the same oracle checks both.
+    Q("ann_ivf_pq_persisted",
+      (s, dir) =>
+        PQ.knnIvfPqPersisted(s, ivfPqIndex(s, dir),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
+          .orderBy("q_vec", "rank"),
+      Some(ivfPqOracle)),
 
     // Bigram language-model score — the deterministic analog of a
     // perplexity filter: corpus-level bigram counts (multiplicity kept),

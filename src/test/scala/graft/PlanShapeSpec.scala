@@ -278,6 +278,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("persisted IVF-PQ serving prunes cells and reads codes, not vectors") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{KMeans, PQ}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqpin").toString
+    val vecs = Catalog.load(spark, dir, "embeddings")
+    val (assigned, cents) = KMeans.lloyd(vecs, "vec_id", "embedding",
+      k = 4, iters = 1, dims = 64)
+    val books = PQ.train(vecs, "vec_id", "embedding", m = 4, k = 8,
+      iters = 1, dims = 64)
+    PQ.writeIvfPqIndex(assigned, cents, books, "vec_id", "embedding", 64, tmp)
+    val p = plan(PQ.knnIvfPqPersisted(spark, tmp,
+      vecs.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", 64, nprobe = 2, kTop = 10))
+    assert(p.contains("dynamicpruning"), p)
+    // the cells scan must project ONLY id + codes — no vector column
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("code0") && !l.contains("embedding")),
+      s"cells ReadSchema must carry codes only:\n${readSchemas.mkString("\n")}")
+  }
+
   test("scd2 is one exchange + one sort on the entity key") {
     import org.apache.spark.sql.functions.col
     val p = plan(graft.ops.Pipeline.scd2(
