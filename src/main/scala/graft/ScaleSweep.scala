@@ -49,6 +49,7 @@ object ScaleSweep {
     * scaling story is state-store-bound, covered by StressBench). */
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
+    "ann_pq_codes", "ann_ivf_pq_persisted",
     "anomaly_rolling_z", "bpe_pair_counts", "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
@@ -75,7 +76,7 @@ object ScaleSweep {
     * excluded here and their boundedness is pinned by the capped
     * StressBench runs instead. */
   private val sweepLinear: Seq[String] = Seq(
-    "anomaly_rolling_z", "bpe_pair_counts", "dedup_content_hash",
+    "ann_pq_codes", "anomaly_rolling_z", "bpe_pair_counts", "dedup_content_hash",
     "dedup_exact", "embed_l2_normalize", "events_user_features",
     "feature_quantile_bin", "funnel_conversion", "islands_error_streaks",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
@@ -94,8 +95,8 @@ object ScaleSweep {
     * The LSH pair/component builds are excluded past 10× for the same
     * quadratic-output reason as the pair-mining queries. */
   private val linearPipelines = Set(
-    "bucketed_orderkey_layout", "minhash_dedup_index", "lloyd_kmeans",
-    "kmeans_ivf_index")
+    "bucketed_orderkey_layout", "custkey_layout", "minhash_dedup_index",
+    "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
