@@ -109,7 +109,8 @@ object Bench {
       "sample_bottomk", "bpe_pair_counts", "corpus_refinery",
       "funnel_conversion", "anomaly_rolling_z",
       "stats_percentiles_distributed", "graph_label_propagation",
-      "graph_bfs_distance", "er_jaro_winkler")
+      "graph_bfs_distance", "er_jaro_winkler",
+      "ann_pq_adc_topk", "ann_ivf_pq_persisted")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v._1)}"))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }
