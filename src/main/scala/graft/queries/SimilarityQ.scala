@@ -68,11 +68,17 @@ object SimilarityQ {
     // sensitive only across engines' summation, not here — both fold left —
     // but integers make the contract unconditional). DuckDB spells the
     // quantifiers via list_filter lengths and the fold via list_aggregate.
+    // sum_milli widens each float to DOUBLE before the multiply: engines
+    // disagree on FLOAT*INT promotion (single- vs double-precision product),
+    // and a product landing on a .5 boundary in one precision but not the
+    // other shifts round() by 1 — caught by the sf0.1 sweep at vec 1879.
+    // With an explicit double multiply both run the identical IEEE sequence.
     Q("scalar_lambda_funcs",
       (s, dir) =>
         Catalog.load(s, dir, "embeddings").selectExpr(
             "vec_id",
-            "aggregate(transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)), " +
+            "aggregate(transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)), " +
               "0L, (a, x) -> a + x) AS sum_milli",
             "size(filter(embedding, x -> x > 0)) AS n_pos",
             "exists(embedding, x -> x > 0.95) AS has_big",
@@ -80,7 +86,8 @@ object SimilarityQ {
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(list_aggregate(
-             |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)),
+             |    list_transform(embedding, x ->
+             |      CAST(round(CAST(x AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)),
              |    'sum') AS BIGINT) AS sum_milli,
              |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
              |  len(list_filter(embedding, x -> x > 0.95)) > 0 AS has_big,
