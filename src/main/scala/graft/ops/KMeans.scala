@@ -105,11 +105,14 @@ object KMeans {
     (assigned, centroidAgg(assigned, vecCol, dims))
   }
 
-  /** (cluster, cent) rows → the literal seq [[assign]] wants. O(k·d) driver
-    * data — the standard centroid broadcast. */
+  /** (cluster, cent) rows → the literal seq [[assign]] wants, SORTED by
+    * cluster id: collect order follows partitioning, and a partitioning-
+    * dependent sequence would leak into any consumer that forgets to sort
+    * (PQSpec pins the invariance). O(k·d) driver data — the standard
+    * centroid broadcast. */
   def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
     df.collect().toSeq.map(r =>
-      r.getInt(0) -> r.getSeq[Double](r.fieldIndex("cent")))
+      r.getInt(0) -> r.getSeq[Double](r.fieldIndex("cent"))).sortBy(_._1)
 
   // ------------------------------------------------------- DuckDB oracle --
 

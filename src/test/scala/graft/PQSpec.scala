@@ -66,6 +66,21 @@ class PQSpec extends SparkSpec {
     assert(books === books)
   }
 
+  test("training and encoding are partitioning-invariant") {
+    // The distributed-correctness property: nothing in train (hash-order
+    // seeds, fixed-point sums) or encode (map-side expressions) may depend
+    // on how the input is split across partitions.
+    val b1 = PQ.train(vecs, "vec_id", "embedding", M, K, iters = 2, Dims)
+    val b2 = PQ.train(vecs.repartition(7), "vec_id", "embedding", M, K,
+      iters = 2, Dims)
+    assert(b1 === b2, "codebooks must not depend on partitioning")
+    val e1 = PQ.encode(vecs, "embedding", b1, Dims / M)
+      .select("vec_id", "code0", "code1").collect().sortBy(_.getLong(0)).toSeq
+    val e2 = PQ.encode(vecs.repartition(5), "embedding", b1, Dims / M)
+      .select("vec_id", "code0", "code1").collect().sortBy(_.getLong(0)).toSeq
+    assert(e1 === e2, "codes must not depend on partitioning")
+  }
+
   test("PQ ADC ranks true neighbors far above random on the test corpus") {
     // Quality pin on real data (500 vecs, 64 dims, sf0.001). The synthetic
     // corpus is near-isotropic noise (within-label distance ≈ global — no
