@@ -67,31 +67,40 @@ object Bench {
     // heaviest builds would blow the driver's time budget — their trust
     // signal is the query-side spread measured in the same session.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    val results: Map[String, (Double, Double)] =
+    // (median, warm spread, any-rep-failed). A rep that throws is recorded
+    // as a FAILURE, not timed as a success — time-to-exception flowing into
+    // the median made a consistently failing query look clean (round-6
+    // advice); failed rows report med = -1 and are excluded from totals.
+    val results: Map[String, (Double, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val raw = (1 to reps).map { _ =>
+        val raw: Seq[(Double, Boolean)] = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        val times = raw.sorted
-        val med = times(times.size / 2)
-        // Spread over the WARM reps only (chronological tail, rep 1
-        // dropped): rep 1 deterministically carries the query's one-time
-        // codegen/JIT + cold page cache, so including it would report
-        // warm-up as noise on every fast query. Warm reps disagreeing is
-        // the actual contention signal.
-        val warm = if (raw.size > 1) raw.tail else raw
-        val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
-        name -> (med, spread)
+        if (raw.exists(!_._2)) name -> (-1.0, 0.0, true)
+        else {
+          val times = raw.map(_._1).sorted
+          val med = times(times.size / 2)
+          // Spread over the WARM reps only (chronological tail, rep 1
+          // dropped): rep 1 deterministically carries the query's one-time
+          // codegen/JIT + cold page cache, so including it would report
+          // warm-up as noise on every fast query. Warm reps disagreeing is
+          // the actual contention signal.
+          val warm = if (raw.size > 1) raw.tail.map(_._1) else raw.map(_._1)
+          val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
+          name -> (med, spread, false)
+        }
       }.toMap
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
     }
-    results.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread)) =>
-      println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f")
+    results.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread, failed)) =>
+      if (failed) println(s"BENCH_DETAIL $k FAILED")
+      else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the one JSON line it finds there. 130+ query timings overflow
@@ -111,21 +120,31 @@ object Bench {
       "stats_percentiles_distributed", "graph_label_propagation",
       "graph_bfs_distance", "er_jaro_winkler",
       "ann_pq_adc_topk", "ann_ivf_pq_persisted")
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v._1)}"))
+    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+    // Headline entries are [median_s, warm_spread] PAIRS: the round-6
+    // driver artifact's BENCH_DETAIL tail truncated to the cheapest rows,
+    // so the heavy rows that anomalously moved (q18 12.3 s vs 1.04 clean)
+    // had no surviving contention signal. The headline map is size-bounded
+    // and always survives — carry the spread with every gating median.
+    val qs = headline.flatMap(k => results.get(k).map(v =>
+        s""""$k":[${r3(v._1)},${r2(v._2)}]"""))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, (_, _, true)) => s"\"$k\"" }
+      .toSeq.sorted.mkString("[", ",", "]")
     // Spread aggregates: the artifact-embedded contention signal. A clean
     // box shows median relative spread of a few percent; a contended one
     // shows large spreads exactly on the queries whose medians moved.
-    val spreads = results.values.map(_._2).toSeq.sorted
+    val ok = results.values.filter(!_._3)
+    val spreads = ok.map(_._2).toSeq.sorted
     val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     val spreadMax = if (spreads.isEmpty) 0.0 else spreads.last
     // total = pipeline builds + all query MEDIANS (the whole session's
     // work, so it stays comparable with rounds 1-5 where builds hid inside
-    // queries / queries were single-shot).
-    val total = results.values.map(_._1).sum + pipelineTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    // queries / queries were single-shot). Failed rows are excluded.
+    val total = ok.map(_._1).sum + pipelineTimes.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,8 +23,12 @@ object Catalog {
   /** The small dimension tables — always broadcast-join candidates. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  /** Per-application memo for the INT64-nanos magnitude check in
-    * [[normalizeEventTs]] — one sampled-row job per JVM, not per load. */
+  /** Memo for the INT64-nanos magnitude check in [[normalizeEventTs]] —
+    * one sampled-row job per (application, data directory), not per load.
+    * Keyed by the data dir too because one application can load several
+    * scale-factor dirs (ScaleSweep does); an application-only memo would
+    * check just the first and let a later dir's plain-micros int64 column
+    * pass silently. */
   private val nanosChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -59,11 +63,14 @@ object Catalog {
     df.schema("ts").dataType match {
       case LongType =>
         // Contract check: one sampled value must sit in the nanos range.
-        // head() reads a single row group; memoized per application (the
-        // driver writes ONE encoding per round) so repeated loads pay no
-        // extra job.
+        // head() reads a single row group; memoized per (application, data
+        // dir) so repeated loads of the same dir pay no extra job while a
+        // second scale-factor dir in the same JVM is still checked.
+        val dirKey = df.inputFiles.headOption
+          .map(f => f.substring(0, math.max(0, f.lastIndexOf('/'))))
+          .getOrElse("")
         nanosChecked.computeIfAbsent(
-          df.sparkSession.sparkContext.applicationId,
+          df.sparkSession.sparkContext.applicationId + "#" + dirKey,
           _ => {
             df.select("ts").head(1).foreach { r =>
               val v = math.abs(r.getLong(0))

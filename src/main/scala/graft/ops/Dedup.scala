@@ -606,7 +606,7 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, idCol: String,
       seeds: DataFrame, maxHops: Int, checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Lazy persist + cadence 3 — see labelPropagation's loop comment.
+    // Lazy persist + cadence 2 — see labelPropagation's loop comment.
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(MEMORY_AND_DISK)
@@ -655,7 +655,7 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, idCol: String, weightCol: String,
       seeds: DataFrame, maxRounds: Int, checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Lazy persist + cadence 3 — see labelPropagation's loop comment.
+    // Lazy persist + cadence 2 — see labelPropagation's loop comment.
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"),
         col(weightCol).as("w"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst"),

@@ -47,6 +47,24 @@ object PQ {
   def subDuck(vecCol: String, j: Int, sub: Int): String =
     s"$vecCol[${j * sub + 1}:${(j + 1) * sub}]"
 
+  /** Per-subspace ADC distance table as a MAP keyed by the ACTUAL code value
+    * (cluster id), `element_at(tab, code)`. Codebook cluster ids are NOT
+    * guaranteed dense 0..k-1 — [[KMeans.lloyd]] drops clusters that go empty
+    * — so a positional `array[code+1]` lookup would silently read the wrong
+    * centroid's distance for every code above a gap (and null for the top
+    * one). Keying by code value makes the lookup gap-proof; the DuckDB
+    * oracle already joins its tables on the code VALUE, so this is also the
+    * only Spark shape that matches it when a cluster empties. */
+  def distTable(
+      cents: Seq[(Int, Seq[Double])], qVecCol: String, j: Int, sub: Int): String = {
+    val sorted = cents.sortBy(_._1)
+    val keys = sorted.map(_._1).mkString(", ")
+    val dists = sorted
+      .map { case (_, arr) => KMeans.distSpark(subSpark(qVecCol, j, sub), arr) }
+      .mkString(", ")
+    s"map_from_arrays(array($keys), array($dists))"
+  }
+
   /** Train one codebook per subspace with the exact fixed-point Lloyd.
     * Returns `m` codebooks, each `(code, centroid)` with `sub = dims/m`
     * coordinates. O(m · iters) tiny jobs; O(k · dims) driver scalars. */
@@ -93,16 +111,14 @@ object PQ {
     val qt = books.zipWithIndex.foldLeft(
       queries.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))) {
       case (d, (cents, j)) =>
-        val lits = cents.sortBy(_._1)
-          .map { case (_, arr) => KMeans.distSpark(subSpark("_qv", j, sub), arr) }
-        d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+        d.withColumn(s"tab$j", expr(distTable(cents, "_qv", j, sub)))
     }
     // Queries-side tables are tiny (|Q| rows); broadcast them across the
     // encoded-corpus scan so ADC is one shuffle-free projection + the final
     // per-query top-k.
     val scored = enc.join(broadcast(qt), col("q_vec") =!= col("neighbor"))
       .withColumn("adist",
-        (0 until m).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+        (0 until m).map(j => expr(s"element_at(tab$j, code$j)"))
           .reduce(_ + _))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("adist").asc, col("neighbor").asc)
@@ -174,15 +190,13 @@ object PQ {
       .filter(col("pr") <= nprobe)
       .select("q_vec", "_qv", "p_cluster")
     val qt = books.zipWithIndex.foldLeft(probeParts) { case (d, (cs, j)) =>
-      val lits = cs.sortBy(_._1)
-        .map { case (_, arr) => KMeans.distSpark(subSpark("_qv", j, sub), arr) }
-      d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+      d.withColumn(s"tab$j", expr(distTable(cs, "_qv", j, sub)))
     }
     val enc = spark.read.parquet(s"$path/cells")
     val scored = enc.join(broadcast(qt),
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .withColumn("adist",
-        (0 until m).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+        (0 until m).map(j => expr(s"element_at(tab$j, code$j)"))
           .reduce(_ + _))
     val w = Window.partitionBy("q_vec")
       .orderBy(col("adist").asc, col("neighbor").asc)

@@ -425,14 +425,14 @@ object TrainQ {
           .filter(col("pr") <= 2)
           .select("q_vec", "_qv", "p_cluster")
         val qt = books.zipWithIndex.foldLeft(probe) { case (d, (cs, j)) =>
-          val lits = cs.sortBy(_._1)
-            .map { case (_, arr) => KMeans.distSpark(PQ.subSpark("_qv", j, PqSub), arr) }
-          d.withColumn(s"tab$j", expr(s"array(${lits.mkString(", ")})"))
+          // Map keyed by code VALUE, not positional array — see PQ.distTable
+          // (codebook ids can be non-dense when a Lloyd cluster empties).
+          d.withColumn(s"tab$j", expr(PQ.distTable(cs, "_qv", j, PqSub)))
         }
         val scored = enc.join(broadcast(qt),
             col("cluster") === col("p_cluster") && col("q_vec") =!= col("neighbor"))
           .withColumn("adist",
-            (0 until PqM).map(j => expr(s"element_at(tab$j, code$j + 1)"))
+            (0 until PqM).map(j => expr(s"element_at(tab$j, code$j)"))
               .reduce(_ + _))
         val w = Window.partitionBy("q_vec")
           .orderBy(col("adist").asc, col("neighbor").asc)

@@ -66,6 +66,47 @@ class PQSpec extends SparkSpec {
     assert(books === books)
   }
 
+  test("ADC is exact against a GAPPED codebook (empty-cluster dropout)") {
+    // KMeans.lloyd drops empty clusters, so codebook ids need not be dense
+    // 0..k-1. A positional array[code+1] lookup reads the wrong centroid's
+    // distance above the gap (and null for the top id); the map-keyed table
+    // must stay exact. Handcrafted books with ids {0,2,5} / {1,3,4}.
+    def cent(seed: Int) =
+      (0 until Dims / M).map(d => ((seed * 7 + d * 3) % 11).toDouble / 11.0)
+    val gapped: Seq[Seq[(Int, Seq[Double])]] = Seq(
+      Seq((0, cent(1)), (2, cent(2)), (5, cent(3))),
+      Seq((1, cent(4)), (3, cent(5)), (4, cent(6))))
+    val enc = PQ.encode(vecs, "embedding", gapped, Dims / M)
+      .select("vec_id", "code0", "code1").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(enc.values.forall { case (c0, c1) =>
+      Set(0, 2, 5)(c0) && Set(1, 3, 4)(c1) },
+      "codes must be the actual (non-dense) codebook ids")
+    val q = vecs.filter(col("vec_id") === 3L)
+    val got = PQ.adcTopK(vecs, q, "vec_id", "embedding", gapped, Dims, kTop = 40)
+      .select("neighbor", "adist").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.forall(_._2.isDefined), "no adist may be null (gap lookup)")
+    // Brute-force oracle: same fold order as KMeans.distSpark (left-to-right
+    // double sum of squared diffs over the subspace), table keyed by id.
+    val qv = vecs.filter(col("vec_id") === 3L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    def dist(sub: Seq[Float], c: Seq[Double]): Double =
+      sub.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+        a + (x.toDouble - y) * (x.toDouble - y) }
+    val expect = got.map { case (n, _) =>
+      val (c0, c1) = enc(n)
+      val s = Dims / M
+      val d0 = dist(qv.slice(0, s), gapped(0).toMap.apply(c0))
+      val d1 = dist(qv.slice(s, 2 * s), gapped(1).toMap.apply(c1))
+      n -> (d0 + d1)
+    }.toMap
+    got.foreach { case (n, Some(a)) =>
+      assert(a === expect(n), s"gapped-codebook adist mismatch for neighbor $n")
+    case _ => ()
+    }
+  }
+
   test("training and encoding are partitioning-invariant") {
     // The distributed-correctness property: nothing in train (hash-order
     // seeds, fixed-point sums) or encode (map-side expressions) may depend
