@@ -279,7 +279,21 @@ object Dedup {
       .select(col(idCol), col("n"), col("b"), explode(expr("array(b, b + 1)")).as("bk"))
     val withB =
       if (maxBucket == Int.MaxValue) withB0
-      else Skew.capBuckets(withB0, Seq("bk"), idCol, maxBucket, "ngram_bucket_cap")
+      else
+        // The cap window hash-partitions the key table on bk — a LOW-ENTROPY
+        // key (a handful of populated length buckets), unlike the LSH
+        // family's (band, sig). Left alone, the streamed side of the pair
+        // join inherits that partitioning, and the O(pairs) IntersectSize
+        // verify serializes behind the few hot-bucket tasks (measured at
+        // sf0.1: 9.9 s vs the uncapped plan's 0.9 s for IDENTICAL candidate
+        // sets — the cap doesn't even fire there). Spread the tiny capped
+        // key table back over the id BEFORE the quadratic explosion. The
+        // partition count must be EXPLICIT: a bare repartition(col) of a
+        // ~10k-row table is coalesced by AQE to ONE partition, which
+        // re-serializes everything downstream (measured 12.2 s).
+        Skew.capBuckets(withB0, Seq("bk"), idCol, maxBucket, "ngram_bucket_cap")
+          .repartition(docs.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt, col(idCol))
     // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|. Pairs in
     // the same base bucket would match on BOTH emitted keys; keeping only the
     // smallest shared key (= greatest base bucket) emits each pair exactly
