@@ -166,11 +166,42 @@ object ScaleSweep {
     val ratios = t1.map { case (name, a) =>
       val b = tN(name)
       val r = b / a
-      val flag = if (r > 1.2 * factor) "  <-- SUPER-LINEAR" else ""
+      val flag = if (r > 1.2 * factor) "  <-- flagged, re-measuring" else ""
       println(f"[sweep] $name%-34s $a%8.2f $b%8.2f $r%7.2f$flag")
       name -> r
     }
-    val worst = ratios.maxBy(_._2)
+    // MEDIANS MODE for flagged rows: a single-shot timing that trips the
+    // super-linear threshold is re-run medians-of-3 at BOTH scales before
+    // the verdict — round 6's q18_bucketed 18.9 s was a one-shot transient
+    // that cost a manual solo re-measure to clear. All 1× re-measures run
+    // before all N× so the SessionCache dir swap happens twice, not per
+    // query; the median discards the rep that carries any lazy rebuild.
+    val flaggedNames = ratios.filter(_._2 > 1.2 * factor).map(_._1)
+      .filterNot(_.startsWith("pipeline:"))
+    def median3(dir: String, name: String): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val med1 = flaggedNames.map(n => n -> median3(sfDir, n)).toMap
+    val medN = flaggedNames.map(n => n -> median3(dst, n)).toMap
+    val remeasured = flaggedNames.map { n =>
+      val r = medN(n) / med1(n)
+      println(f"[sweep] remeasured $n%-30s med1=${med1(n)}%.2f medN=${medN(n)}%.2f ratio=$r%.2f")
+      n -> r
+    }.toMap
+    // Final verdict: single-shot ratio for unflagged rows, median ratio for
+    // flagged ones (pipeline rows keep their single-shot number — they are
+    // once-per-session builds by design and medians would triple them).
+    val finalRatios = ratios.map { case (n, r) =>
+      n -> remeasured.getOrElse(n, r) }
+    val supersFinal = finalRatios.filter(_._2 > 1.2 * factor).map(_._1)
+    supersFinal.foreach(n =>
+      println(f"[sweep] SUPER-LINEAR (survives medians): $n ${finalRatios.toMap.apply(n)}%.2f"))
+    val worst = finalRatios.maxBy(_._2)
     println(f"[sweep] worst ratio: ${worst._1} ${worst._2}%.2f")
     // Driver-visible artifact (SPARK_GRAFT_SWEEP_OUT=<file>): per-query
     // 1×/N× seconds + ratio and the super-linear verdict, so the scale gate
@@ -180,10 +211,12 @@ object ScaleSweep {
       val rows = t1.map { case (name, a) =>
         s""""$name":{"t1":${r3(a)},"tN":${r3(tN(name))},"ratio":${r3(tN(name) / a)}}"""
       }.mkString(",")
-      val supers = ratios.filter(_._2 > 1.2 * factor).map(r => s""""${r._1}"""")
-        .mkString("[", ",", "]")
+      val remeas = flaggedNames.map { n =>
+        s""""$n":{"t1_med":${r3(med1(n))},"tN_med":${r3(medN(n))},"ratio":${r3(remeasured(n))}}"""
+      }.mkString("{", ",", "}")
+      val supers = supersFinal.map(n => s""""$n"""").mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"factor":$factor,"sf":"$sfDir","super_linear_threshold":${r3(1.2 * factor)},"super_linear":$supers,"worst":{"name":"${worst._1}","ratio":${r3(worst._2)}},"results":{$rows}}""")
+        s"""{"factor":$factor,"sf":"$sfDir","super_linear_threshold":${r3(1.2 * factor)},"super_linear":$supers,"remeasured":$remeas,"worst":{"name":"${worst._1}","ratio":${r3(worst._2)}},"results":{$rows}}""")
       println(s"[sweep] wrote $out")
     }
     spark.stop()
