@@ -116,7 +116,7 @@ object Bench {
       "w1_topk_per_group", "src_bucketed_join", "stream_stream_join",
       "dedup_containment", "dedup_spans", "dedup_incremental",
       "sample_bottomk", "bpe_pair_counts", "corpus_refinery",
-      "funnel_conversion", "anomaly_rolling_z",
+      "funnel_conversion", "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
       "stats_percentiles_distributed", "graph_label_propagation",
       "graph_bfs_distance", "er_jaro_winkler",
       "ann_pq_adc_topk", "ann_ivf_pq_persisted")

@@ -50,7 +50,8 @@ object ScaleSweep {
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted",
-    "anomaly_rolling_z", "bpe_pair_counts", "corpus_refinery",
+    "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
+    "bpe_pair_counts", "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
@@ -76,7 +77,8 @@ object ScaleSweep {
     * excluded here and their boundedness is pinned by the capped
     * StressBench runs instead. */
   private val sweepLinear: Seq[String] = Seq(
-    "ann_pq_codes", "anomaly_rolling_z", "bpe_pair_counts", "dedup_content_hash",
+    "ann_pq_codes", "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
+    "bpe_pair_counts", "dedup_content_hash",
     "dedup_exact", "embed_l2_normalize", "events_user_features",
     "feature_quantile_bin", "funnel_conversion", "islands_error_streaks",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
@@ -95,7 +97,8 @@ object ScaleSweep {
     * The LSH pair/component builds are excluded past 10× for the same
     * quadratic-output reason as the pair-mining queries. */
   private val linearPipelines = Set(
-    "bucketed_orderkey_layout", "custkey_layout", "minhash_dedup_index",
+    "bucketed_orderkey_layout", "custkey_layout", "userkey_layout",
+    "zorder_layout", "xml_export", "minhash_dedup_index",
     "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index")
 
   def main(args: Array[String]): Unit = {

@@ -33,5 +33,6 @@ object SparkEntry {
     * build cost isn't misattributed to whichever consumer runs first.
     * Ordered: later builders may consume earlier ones. */
   def pipelines: Seq[(String, (SparkSession, String) => Unit)] =
-    DedupQ.pipelines ++ TrainQ.pipelines ++ Flagship.pipelines ++ SourcesQ.pipelines
+    DedupQ.pipelines ++ TrainQ.pipelines ++ Flagship.pipelines ++
+      SourcesQ.pipelines ++ PipelineQ.pipelines
 }

@@ -50,7 +50,8 @@ object Bucketing {
     * (so standalone Verify/subset runs still work). */
   def sessionLayout(
       spark: SparkSession, dir: String, layout: String,
-      tables: Seq[(String, String, String)]): Unit = {
+      tables: Seq[(String, String, String)],
+      sortCols: Map[String, Seq[String]] = Map.empty): Unit = {
     val cache = layoutCaches.computeIfAbsent(
       layout, _ => new graft.queries.SessionCache[Unit](_ => ()))
     cache.getOrElseUpdate(spark, dir) {
@@ -58,7 +59,8 @@ object Bucketing {
       val n = spark.sparkContext.defaultParallelism
       tables.foreach { case (table, source, key) =>
         writeBucketed(spark, graft.engine.Catalog.load(spark, dir, source),
-          table, s"$tmp/$source", n, key)
+          table, s"$tmp/$source", n, key,
+          sortCols.getOrElse(table, Nil))
       }
     }
   }
@@ -87,16 +89,23 @@ object Bucketing {
       table: String,
       path: String,
       numBuckets: Int,
-      bucketCol: String): Unit = {
+      bucketCol: String,
+      extraSortCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // extraSortCols extends the per-bucket sort beyond the bucket key — a
+    // layout serving per-key WINDOW workloads (events bucketed by user,
+    // sorted by time within user) stores rows pre-ordered for the window
+    // frame, so serving pays neither the key Exchange (bucketing) nor a
+    // disk-order shuffle sort.
+    val sortTail = extraSortCols.filterNot(_ == bucketCol)
     df.repartition(numBuckets, col(bucketCol))
       .write
       .mode("overwrite")
       .option("path", path)
       .option("compression", "zstd")
       .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(bucketCol, sortTail: _*)
       .saveAsTable(table)
   }
 

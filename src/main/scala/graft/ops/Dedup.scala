@@ -262,7 +262,13 @@ object Dedup {
     * exactness the opt-in (`maxBucket = Int.MaxValue`; the conformance suite
     * carries both rows, `dedup_ngram_jaccard` / `dedup_ngram_jaccard_exact`).
     * The cap is deterministic (smallest ids kept per bucket), so capped
-    * results remain oracle-checkable. */
+    * results remain oracle-checkable.
+    *
+    * API note: the capped default is a BEHAVIORAL change from the original
+    * uncapped signature (recall loss above the cap, silent for callers that
+    * relied on exactness). Callers needing the exact relation must opt in
+    * explicitly with `maxBucket = Int.MaxValue` — the conformance suite
+    * carries both shapes, so neither can regress unnoticed. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bucketWidth: Int,

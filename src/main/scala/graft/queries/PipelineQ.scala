@@ -30,6 +30,45 @@ object PipelineQ {
       "'&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) || " +
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
+  /** Session-scoped user-bucketed events layout: every per-user window /
+    * aggregate family member (rolling anomaly, funnel, user features) pays
+    * exactly ONE exchange per query — the hash shuffle on user_id. For a
+    * serve-many event store that shuffle amortizes to zero the same way the
+    * custkey layout amortized the orders⋈customer exchange: bucket events by
+    * user_id once, sorted by (ts, event_id) within each user, and the window
+    * scan starts from the bucket distribution with NO Exchange. */
+  private def userkeyLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.ops.Bucketing.sessionLayout(s, dir, "userkey",
+      Seq(("graft_bkt_events", "events", "user_id")),
+      Map("graft_bkt_events" -> Seq("user_id", "ts", "event_id")))
+
+  /** Named builders for bench attribution (see SparkEntry.pipelines). */
+  def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("userkey_layout" -> ((s, d) => userkeyLayout(s, d)))
+
+  /** Shared by `anomaly_rolling_z` and its bucketed-layout variant — the
+    * layout must be a pure reorganization, so one oracle checks both. */
+  private val rollingZOracle =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |w AS (SELECT event_id, user_id, cents,
+      |        CAST(COUNT(cents) OVER fr AS BIGINT) AS n_prev,
+      |        CAST(SUM(cents) OVER fr AS BIGINT) AS s_prev,
+      |        CAST(SUM(cents * cents) OVER fr AS BIGINT) AS q_prev
+      |      FROM e
+      |      WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+      |                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, cents, n_prev,
+      |  (cents * n_prev - s_prev) * (cents * n_prev - s_prev) AS dev_sq,
+      |  9 * (n_prev * q_prev - s_prev * s_prev) AS bound
+      |FROM w
+      |WHERE n_prev >= 10
+      |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
+      |      > 9 * (n_prev * q_prev - s_prev * s_prev)
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Ordered view→click→purchase funnel: earliest stage-i time strictly
@@ -252,24 +291,24 @@ object PipelineQ {
           .filter(col("is_anomaly"))
           .select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
           .orderBy("event_id"),
-      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-             |                  CAST(ROUND(value * 100) AS BIGINT) AS cents
-             |           FROM events),
-             |w AS (SELECT event_id, user_id, cents,
-             |        CAST(COUNT(cents) OVER fr AS BIGINT) AS n_prev,
-             |        CAST(SUM(cents) OVER fr AS BIGINT) AS s_prev,
-             |        CAST(SUM(cents * cents) OVER fr AS BIGINT) AS q_prev
-             |      FROM e
-             |      WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
-             |                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-             |SELECT event_id, user_id, cents, n_prev,
-             |  (cents * n_prev - s_prev) * (cents * n_prev - s_prev) AS dev_sq,
-             |  9 * (n_prev * q_prev - s_prev * s_prev) AS bound
-             |FROM w
-             |WHERE n_prev >= 10
-             |  AND (cents * n_prev - s_prev) * (cents * n_prev - s_prev)
-             |      > 9 * (n_prev * q_prev - s_prev * s_prev)
-             |ORDER BY event_id""".stripMargin)),
+      Some(rollingZOracle)),
+
+    // The same rolling-z anomaly served from the user-bucketed layout
+    // (pipeline `userkey_layout`): the window's user_id distribution comes
+    // from the bucketed scan, so the per-user Exchange — the whole exchange
+    // budget of this family — disappears from the serve plan (pinned in
+    // PlanShapeSpec). Identical results; the layout is a reorganization.
+    Q("anomaly_rolling_z_bucketed",
+      (s, dir) => {
+        userkeyLayout(s, dir)
+        Pipeline.rollingAnomaly(s.table("graft_bkt_events"),
+            "user_id", "ts", "event_id", "value",
+            lookback = 20, minPrev = 10, zSq = 9)
+          .filter(col("is_anomaly"))
+          .select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
+          .orderBy("event_id")
+      },
+      Some(rollingZOracle)),
 
     // Feature-store build: one wide per-user feature row from the event log
     // in a single hash aggregate (conditional aggs, not a pivot shuffle) —

@@ -33,11 +33,14 @@ object SourcesQ {
     zorderCache.getOrElseUpdate(s, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_zlayout")
         .toString + "/lineitem_z"
+      // No int-narrowing on the dimensions: writeZOrdered quantizes via
+      // long min/max rank, and replicated key domains (ScaleSweep offsets
+      // keys by k·10⁹) overflow an INT cast under ANSI.
       Layout.writeZOrdered(
         Catalog.load(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "l_quantity"),
-        tmp, col("l_partkey").cast("int"), col("l_suppkey").cast("int"),
+        tmp, col("l_partkey"), col("l_suppkey"),
         numFiles = 8)
       tmp
     }

@@ -264,6 +264,17 @@ class PlanShapeSpec extends SparkSpec {
     scansUnsorted(SparkEntry.queries("tpch_q21_bucketed")(spark, dir))
   }
 
+  test("user-bucketed rolling-z window runs with ZERO hash exchange") {
+    // The events family's whole exchange budget is the per-user shuffle;
+    // served from the userkey layout the window takes its user_id
+    // distribution from the bucketed scan — no Exchange anywhere in the
+    // serve plan (the final orderBy is a range exchange, allowed).
+    val p = plan(SparkEntry.queries("anomaly_rolling_z_bucketed")(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 0, s"hash exchanges = $hashEx\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("persisted trained-quantizer IVF probe also prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     import graft.ops.{KMeans, Similarity}
