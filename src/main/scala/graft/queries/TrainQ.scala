@@ -103,12 +103,39 @@ object TrainQ {
       tmp
     }
 
+  /** Per-cell residual vectors (vec − assigned coarse centroid), DOUBLE
+    * arrays: the one IEEE subtraction per coordinate is identical in both
+    * engines, so everything downstream (fixed-point Lloyd, ADC) stays
+    * hash-exact. A cheap projection over the cached assignment — not
+    * cached itself. */
+  private def residuals(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (assigned, cents) = trained(s, dir)
+    assigned
+      .join(broadcast(cents.select(col("cluster"), col("cent"))), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(embedding, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
+  }
+
+  /** Session-scoped RESIDUAL PQ codebooks — the IVF-PQ quality refinement
+    * (Jégou et al. 2011 §IV): quantize what the coarse cell doesn't explain
+    * instead of the raw vector, so the codebook's 8 codes model the
+    * within-cell spread. Plan shape identical to [[pqBooks]]. */
+  private val pqResidCache =
+    new SessionCache[Seq[Seq[(Int, Seq[Double])]]](_ => ())
+
+  private def pqResidBooks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pqResidCache.getOrElseUpdate(s, dir) {
+      PQ.train(residuals(s, dir), "vec_id", "res", PqM, PqK, PqIters, Dims)
+    }
+
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
       "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }),
       "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
-      "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }))
+      "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }),
+      "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
@@ -138,6 +165,54 @@ object TrainQ {
        |      FROM scored)
        |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
        |ORDER BY q_vec, rank""".stripMargin
+
+  /** Oracle for the residual-refined IVF-PQ: the coarse Lloyd, residual
+    * vectors (one exact IEEE subtraction per coordinate — both engines
+    * identical), four residual-trained sub-Lloyds, and the per-(query, cell)
+    * residual ADC tables joined on the code VALUE (gap-proof, mirroring
+    * [[PQ.distTable]]). */
+  private def ivfPqResidualOracle: String = {
+    val tableCtes = (0 until PqM).map { j =>
+      s"""rqs$j AS (SELECT q_vec, p_cluster, ${PQ.subDuck("qres", j, PqSub)} AS sub FROM ppr),
+         |rt$j AS (SELECT q_vec, p_cluster, c.cluster AS code,
+         |                ${KMeans.distDuck("v.sub", "c.cent", PqSub)} AS dd
+         |         FROM rqs$j v, p${j}c$PqIters c)""".stripMargin
+    }.mkString(",\n")
+    val tableJoins = (0 until PqM)
+      .map(j => s"JOIN rt$j ON rt$j.q_vec = q.q_vec AND rt$j.p_cluster = pp.p_cluster AND rt$j.code = enc.code$j")
+      .mkString("\n           ")
+    val adist = (0 until PqM).map(j => s"rt$j.dd").mkString(" + ")
+    s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+       |resid AS (SELECT a.vec_id, a.cluster,
+       |                 list_transform(range(1, ${Dims + 1}), i -> CAST(a.embedding[i] AS DOUBLE) - c.cent[i]) AS res
+       |          FROM a$Iters a JOIN c$Iters c ON c.cluster = a.cluster),
+       |${PQ.oracleCtes("resid", "vec_id", "res", PqM, PqK, PqIters, Dims)},
+       |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |pp AS (SELECT q_vec, p_cluster FROM (
+       |    SELECT q.q_vec, c.cluster AS p_cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+       |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS pr
+       |    FROM q, c$Iters c) z WHERE pr <= 2),
+       |ppr AS (SELECT pp.q_vec, pp.p_cluster,
+       |               list_transform(range(1, ${Dims + 1}), i -> CAST(q.embedding[i] AS DOUBLE) - c.cent[i]) AS qres
+       |        FROM pp JOIN q ON q.q_vec = pp.q_vec
+       |                JOIN c$Iters c ON c.cluster = pp.p_cluster),
+       |$tableCtes,
+       |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor, $adist AS adist
+       |           FROM q
+       |           JOIN pp ON pp.q_vec = q.q_vec
+       |           JOIN a$Iters a ON a.cluster = pp.p_cluster AND a.vec_id <> q.q_vec
+       |           JOIN enc ON enc.vec_id = a.vec_id
+       |           $tableJoins),
+       |r AS (SELECT q_vec, neighbor, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY q_vec
+       |                                ORDER BY adist ASC, neighbor ASC) AS rank
+       |      FROM scored)
+       |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+       |ORDER BY q_vec, rank""".stripMargin
+  }
 
   /** Shared oracle for both trained-quantizer ANN paths — the persisted
     * serving query must return exactly what the in-session path returns. */
@@ -455,6 +530,57 @@ object TrainQ {
             "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
           .orderBy("q_vec", "rank"),
       Some(ivfPqOracle)),
+
+    // Residual-refined IVF-PQ (Jégou et al. 2011 §IV, the production
+    // layout): the PQ codebooks quantize the RESIDUAL vec − coarse-centroid
+    // instead of the raw vector, so the 8 codes per subspace model the
+    // within-cell spread rather than re-describing cell location. Query
+    // side: each probe builds its distance tables from the QUERY residual
+    // against the probed cell's centroid — per (query, cell), still a
+    // broadcast of |Q|·nprobe tiny table rows across the codes scan; plan
+    // shape identical to ann_ivf_pq_topk. Residuals are exact (one IEEE
+    // subtraction per coordinate both engines replicate), so the whole
+    // composition stays hash-checkable.
+    Q("ann_ivf_pq_residual",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (_, cents) = trained(s, dir)
+        val books = pqResidBooks(s, dir)
+        val enc = PQ.encode(residuals(s, dir), "res", books, PqSub)
+          .select(col("vec_id").as("neighbor") +: col("cluster") +:
+            (0 until PqM).map(j => col(s"code$j")): _*)
+        val q = Catalog.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_vec"), col("embedding").as("_qv"))
+        val wProbe = Window.partitionBy("q_vec")
+          .orderBy(col("d").asc, col("p_cluster").asc)
+        val probe = q.crossJoin(broadcast(
+            cents.select(col("cluster").as("p_cluster"), col("cent"))))
+          .withColumn("d", expr(
+            """aggregate(zip_with(_qv, cent, (x, y) ->
+              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .withColumn("qres",
+            expr("zip_with(_qv, cent, (x, y) -> CAST(x AS DOUBLE) - y)"))
+          .select("q_vec", "p_cluster", "qres")
+        val qt = books.zipWithIndex.foldLeft(probe) { case (d, (cs, j)) =>
+          d.withColumn(s"tab$j", expr(PQ.distTable(cs, "qres", j, PqSub)))
+        }
+        val scored = enc.join(broadcast(qt),
+            col("cluster") === col("p_cluster") && col("q_vec") =!= col("neighbor"))
+          .withColumn("adist",
+            (0 until PqM).map(j => expr(s"element_at(tab$j, code$j)"))
+              .reduce(_ + _))
+        val w = Window.partitionBy("q_vec")
+          .orderBy(col("adist").asc, col("neighbor").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_vec", "rank", "neighbor", "adist")
+          .orderBy("q_vec", "rank")
+      },
+      Some(ivfPqResidualOracle)),
 
     // Bigram language-model score — the deterministic analog of a
     // perplexity filter: corpus-level bigram counts (multiplicity kept),

@@ -165,6 +165,45 @@ class PQSpec extends SparkSpec {
       f"ADC ranking power collapsed: mean rank $mean%.1f vs random ${n / 2}")
   }
 
+  test("residual IVF-PQ matches raw IVF-PQ recall on the isotropic corpus") {
+    // Residual refinement quantizes vec − coarse-centroid (Jégou §IV). Both
+    // variants share the SAME coarse pruning, so recall@10 vs the exact
+    // in-probed-cell answer isolates CODEBOOK quality. On the synthetic
+    // near-isotropic corpus the within-cell spread ≈ global spread, so the
+    // refinement is expected to land within noise of raw — this test pins
+    // that it does NOT degrade (a regression pin + documentation of why the
+    // knob exists: real manifold-structured embeddings are where it wins).
+    val dir = "/root/testdata/sf0.001"
+    def top10(name: String): Map[(Long, Long), Int] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("q_vec", "neighbor", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val raw = top10("ann_ivf_pq_topk")
+    val res = top10("ann_ivf_pq_residual")
+    // exact L2 top-10 (global) as the reference answer set
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.engine.Catalog.load(spark, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val truth = vecs.select(col("vec_id").as("neighbor"), col("embedding").as("e"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_vec"),
+        col("embedding").as("q"))))
+      .filter(col("q_vec") =!= col("neighbor"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(q, e, (x, y) ->
+          |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_vec").orderBy(col("d2").asc, col("neighbor").asc)))
+      .filter(col("rank") <= 10)
+      .select("q_vec", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawHits = truth.count(raw.contains)
+    val resHits = truth.count(res.contains)
+    info(s"recall@10 hits of ${truth.size}: raw=$rawHits residual=$resHits")
+    assert(resHits >= rawHits - 3,
+      s"residual codebooks degraded recall: $resHits vs raw $rawHits")
+  }
+
   test("ADC search shuffles only the final per-query top-k") {
     // The scale contract: the encoded-corpus side reaches the scorer with
     // NO shuffle (query tables broadcast across the scan); the single hash
