@@ -56,7 +56,8 @@ object ScaleSweep {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
     "export_training_shards",
-    "feature_quantile_bin", "funnel_conversion", "graph_bfs_distance",
+    "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
+    "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "rfm_segmentation", "sample_bottomk", "scd2_user_state",
@@ -80,7 +81,9 @@ object ScaleSweep {
     "ann_pq_codes", "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
     "bpe_pair_counts", "dedup_content_hash",
     "dedup_exact", "embed_l2_normalize", "events_user_features",
-    "feature_quantile_bin", "funnel_conversion", "islands_error_streaks",
+    "events_user_features_bucketed",
+    "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
+    "islands_error_streaks",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",

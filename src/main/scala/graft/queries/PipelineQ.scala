@@ -47,6 +47,59 @@ object PipelineQ {
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq("userkey_layout" -> ((s, d) => userkeyLayout(s, d)))
 
+  /** Shared by `events_user_features` and its bucketed-layout variant. */
+  private def userFeatures(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        Relational.sumExact(when(col("event_type") === "purchase", col("value")))
+          .as("purchase_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .withColumn("active_span_us", col("last_us") - col("first_us"))
+      .orderBy("user_id")
+
+  private val userFeaturesOracle =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+      |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+      |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS active_span_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Shared by `funnel_conversion` and its bucketed-layout variant. */
+  private val funnelOracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
+      |           FROM events),
+      |v AS (SELECT user_id,
+      |        MIN(CASE WHEN t = 'view' THEN us END) AS t_view_us
+      |      FROM e GROUP BY user_id),
+      |c AS (SELECT e.user_id,
+      |        MIN(CASE WHEN t = 'click' AND us > t_view_us THEN us END)
+      |          AS t_click_us
+      |      FROM e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id),
+      |p AS (SELECT e.user_id,
+      |        MIN(CASE WHEN t = 'purchase' AND us > t_click_us THEN us END)
+      |          AS t_purchase_us
+      |      FROM e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id)
+      |SELECT v.user_id, t_view_us, t_click_us, t_purchase_us,
+      |  CAST(CASE WHEN t_purchase_us IS NOT NULL THEN 3
+      |            WHEN t_click_us IS NOT NULL THEN 2
+      |            WHEN t_view_us IS NOT NULL THEN 1
+      |            ELSE 0 END AS INT) AS stage_reached
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** Shared by `anomaly_rolling_z` and its bucketed-layout variant — the
     * layout must be a pure reorganization, so one oracle checks both. */
   private val rollingZOracle =
@@ -78,27 +131,19 @@ object PipelineQ {
         Pipeline.funnel(Catalog.load(s, dir, "events"),
             "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
           .orderBy("user_id"),
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
-             |           FROM events),
-             |v AS (SELECT user_id,
-             |        MIN(CASE WHEN t = 'view' THEN us END) AS t_view_us
-             |      FROM e GROUP BY user_id),
-             |c AS (SELECT e.user_id,
-             |        MIN(CASE WHEN t = 'click' AND us > t_view_us THEN us END)
-             |          AS t_click_us
-             |      FROM e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id),
-             |p AS (SELECT e.user_id,
-             |        MIN(CASE WHEN t = 'purchase' AND us > t_click_us THEN us END)
-             |          AS t_purchase_us
-             |      FROM e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id)
-             |SELECT v.user_id, t_view_us, t_click_us, t_purchase_us,
-             |  CAST(CASE WHEN t_purchase_us IS NOT NULL THEN 3
-             |            WHEN t_click_us IS NOT NULL THEN 2
-             |            WHEN t_view_us IS NOT NULL THEN 1
-             |            ELSE 0 END AS INT) AS stage_reached
-             |FROM v JOIN c ON v.user_id = c.user_id
-             |       JOIN p ON v.user_id = p.user_id
-             |ORDER BY v.user_id""".stripMargin)),
+      Some(funnelOracle)),
+
+    // Funnel served from the userkey layout: the stage windows take their
+    // user_id distribution from the bucketed scan — zero hash exchange
+    // (pinned in PlanShapeSpec alongside the rolling-z variant).
+    Q("funnel_conversion_bucketed",
+      (s, dir) => {
+        userkeyLayout(s, dir)
+        Pipeline.funnel(s.table("graft_bkt_events"),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      Some(funnelOracle)),
 
     // SCD2 snapshot from the event change log: per-user validity intervals
     // [ts, next ts), open-ended current row, event_id tiebreak.
@@ -314,30 +359,19 @@ object PipelineQ {
     // in a single hash aggregate (conditional aggs, not a pivot shuffle) —
     // per-type counts, exact purchase revenue, first/last activity span.
     Q("events_user_features",
-      (s, dir) =>
-        Catalog.load(s, dir, "events")
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"),
-            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
-            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
-            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
-            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
-            Relational.sumExact(when(col("event_type") === "purchase", col("value")))
-              .as("purchase_value"),
-            min(unix_micros(col("ts"))).as("first_us"),
-            max(unix_micros(col("ts"))).as("last_us"))
-          .withColumn("active_span_us", col("last_us") - col("first_us"))
-          .orderBy("user_id"),
-      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-             |  CAST(SUM(CASE WHEN event_type = 'purchase'
-             |           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
-             |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
-             |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS active_span_us
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+      (s, dir) => userFeatures(Catalog.load(s, dir, "events")),
+      Some(userFeaturesOracle)),
+
+    // The feature build served from the userkey layout: the aggregate's
+    // user_id distribution comes from the bucketed scan, so the wide
+    // feature row is computed with zero hash exchange — the aggregate
+    // analog of the rolling-z window case (pinned in PlanShapeSpec).
+    Q("events_user_features_bucketed",
+      (s, dir) => {
+        userkeyLayout(s, dir)
+        userFeatures(s.table("graft_bkt_events"))
+      },
+      Some(userFeaturesOracle)),
 
     // Power-of-2 histogram of document lengths: floor(log2(n_chars)) via
     // the binary-string length (no libm log — transcendentals are not

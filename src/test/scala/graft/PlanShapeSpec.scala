@@ -264,15 +264,21 @@ class PlanShapeSpec extends SparkSpec {
     scansUnsorted(SparkEntry.queries("tpch_q21_bucketed")(spark, dir))
   }
 
-  test("user-bucketed rolling-z window runs with ZERO hash exchange") {
+  test("user-bucketed events serves run with ZERO hash exchange") {
     // The events family's whole exchange budget is the per-user shuffle;
-    // served from the userkey layout the window takes its user_id
-    // distribution from the bucketed scan — no Exchange anywhere in the
-    // serve plan (the final orderBy is a range exchange, allowed).
-    val p = plan(SparkEntry.queries("anomaly_rolling_z_bucketed")(spark, dir))
-    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
-    assert(hashEx == 0, s"hash exchanges = $hashEx\n$p")
-    assert(p.contains("Window"), p)
+    // served from the userkey layout each shape takes its user_id
+    // distribution from the bucketed scan — no hash Exchange anywhere in
+    // the serve plan (the final orderBy is a range exchange, allowed).
+    // Three shapes: rolling window, stage-window funnel, wide aggregate.
+    def zeroHashEx(name: String): String = {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+      assert(hashEx == 0, s"$name hash exchanges = $hashEx\n$p")
+      p
+    }
+    assert(zeroHashEx("anomaly_rolling_z_bucketed").contains("Window"))
+    assert(zeroHashEx("funnel_conversion_bucketed").contains("Window"))
+    assert(zeroHashEx("events_user_features_bucketed").contains("HashAggregate"))
   }
 
   test("persisted trained-quantizer IVF probe also prunes cell partitions") {
