@@ -105,8 +105,9 @@ object Bench {
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the one JSON line it finds there. 130+ query timings overflow
     // that buffer (rounds 1 and 2 both landed "parsed": null), so the final
-    // line carries ONLY the headline subset, rounded — keep it well under
-    // 1500 chars.
+    // line carries ONLY the headline subset, rounded. With [median, spread]
+    // pairs the line measures ~1.5k chars at 30 rows — leave margin before
+    // adding rows; full tables belong in BENCH_DETAIL / BENCH_LOCAL_r*.
     val headline = Seq(
       "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
       "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
