@@ -49,7 +49,7 @@ object ScaleSweep {
     * scaling story is state-store-bound, covered by StressBench). */
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
-    "ann_pq_codes", "ann_ivf_pq_persisted",
+    "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
     "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
     "bpe_pair_counts", "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",

@@ -134,16 +134,28 @@ object PQ {
     * codebooks as scalar rows. The cells table stores NO raw vectors —
     * serving reads m small ints per candidate, the 16-32× scan shrink that
     * is PQ's whole point at 100 TB. */
-  def writeIvfPqIndex(
-      assigned: DataFrame, cents: DataFrame,
-      books: Seq[Seq[(Int, Seq[Double])]], idCol: String, vecCol: String,
-      dims: Int, path: String): Unit = {
+  /** Encode an ALREADY-ASSIGNED batch with EXISTING codebooks and write it
+    * as a cells table (id + m codes, partitioned by the coarse cell — the
+    * exact layout [[writeIvfPqIndex]] uses). This is the append-only index
+    * MAINTENANCE path: a daily ingest encodes only its own rows (map-side,
+    * no shuffle beyond the partitioned write) and lands as a delta cells
+    * directory beside the base index — no retraining, nothing rewritten. */
+  def writeCells(
+      assigned: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+      idCol: String, vecCol: String, dims: Int, path: String): Unit = {
     val m = books.size
     encode(assigned.select(col(idCol), col("cluster"), col(vecCol)),
         vecCol, books, dims / m)
       .select(col(idCol) +: (0 until m).map(j => col(s"code$j")) :+ col("cluster"): _*)
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("cluster").parquet(s"$path/cells")
+      .partitionBy("cluster").parquet(path)
+  }
+
+  def writeIvfPqIndex(
+      assigned: DataFrame, cents: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], idCol: String, vecCol: String,
+      dims: Int, path: String): Unit = {
+    writeCells(assigned, books, idCol, vecCol, dims, s"$path/cells")
     cents.select(col("cluster"), col("cent"))
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/cents")
     val spark = assigned.sparkSession
@@ -171,12 +183,21 @@ object PQ {
   def knnIvfPqPersisted(
       spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nprobe: Int, kTop: Int): DataFrame =
+    knnIvfPqCells(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/cents"), readBooks(spark, path),
+      probes, idCol, vecCol, dims, nprobe, kTop)
+
+  /** ADC top-k over an explicit cells relation — the serve core shared by
+    * [[knnIvfPqPersisted]] (one cells dir) and the append-maintenance path
+    * (base cells UNION delta cells from later ingests). */
+  def knnIvfPqCells(
+      enc: DataFrame, cents: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+      probes: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int, kTop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val books = readBooks(spark, path)
     val m = books.size
     val sub = dims / m
-    val cents = spark.read.parquet(s"$path/cents")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))
     val wProbe = Window.partitionBy("q_vec")
       .orderBy(col("d").asc, col("p_cluster").asc)
@@ -192,7 +213,6 @@ object PQ {
     val qt = books.zipWithIndex.foldLeft(probeParts) { case (d, (cs, j)) =>
       d.withColumn(s"tab$j", expr(distTable(cs, "_qv", j, sub)))
     }
-    val enc = spark.read.parquet(s"$path/cells")
     val scored = enc.join(broadcast(qt),
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .withColumn("adist",

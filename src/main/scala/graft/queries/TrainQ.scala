@@ -129,13 +129,37 @@ object TrainQ {
       PQ.train(residuals(s, dir), "vec_id", "res", PqM, PqK, PqIters, Dims)
     }
 
+  /** Session-scoped DELTA cells — the append-only index-maintenance path:
+    * a "daily batch" (re-identified clones of 10% of the corpus) is
+    * assigned to cells with the PERSISTED coarse centroids and encoded with
+    * the PERSISTED codebooks — no retraining, nothing rewritten; the delta
+    * lands as its own cells directory beside the base index. */
+  private val ivfPqDeltaCache = new SessionCache[String](_ => ())
+
+  private def ivfPqDelta(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqDeltaCache.getOrElseUpdate(s, dir) {
+      val base = ivfPqIndex(s, dir)
+      val books = PQ.readBooks(s, base)
+      val centSeq = KMeans.collectCents(
+        s.read.parquet(s"$base/cents").select(col("cluster"), col("cent")))
+      val batch = Catalog.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val delta = java.nio.file.Files.createTempDirectory("graft_ivfpq_delta")
+        .toString + "/cells"
+      PQ.writeCells(KMeans.assign(batch, "vec_id", "embedding", centSeq),
+        books, "vec_id", "embedding", Dims, delta)
+      delta
+    }
+
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
       "kmeans_ivf_index" -> ((s, d) => { kmeansIndex(s, d); () }),
       "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
       "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }),
-      "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }))
+      "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }),
+      "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
@@ -165,6 +189,65 @@ object TrainQ {
        |      FROM scored)
        |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
        |ORDER BY q_vec, rank""".stripMargin
+
+  /** Oracle for the append-maintenance path: coarse + PQ training on the
+    * ORIGINAL corpus only (the batch must not influence either), the batch
+    * assigned and encoded against those frozen artifacts, scoring over the
+    * union of original and batch encodings. */
+  private def ivfPqAppendOracle: String = {
+    val batchEncCtes = (0 until PqM).map { j =>
+      s"""bq$j AS (SELECT vec_id, ${PQ.subDuck("embedding", j, PqSub)} AS sub FROM b),
+         |be$j AS (SELECT vec_id, cluster AS code$j FROM (
+         |  SELECT v.vec_id, c.cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${KMeans.distDuck("v.sub", "c.cent", PqSub)} ASC, c.cluster ASC) AS rn
+         |  FROM bq$j v, p${j}c$PqIters c) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bencJoin = (1 until PqM)
+      .map(j => s"JOIN be$j ON be$j.vec_id = be0.vec_id").mkString(" ")
+    val codeCols = (0 until PqM).map(j => s"code$j").mkString(", ")
+    s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+       |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
+       |b AS (SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+       |      WHERE vec_id % 10 = 3),
+       |ab AS (SELECT vec_id, cluster FROM (
+       |    SELECT b.vec_id, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |               ORDER BY ${KMeans.distDuck("b.embedding", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS rn
+       |    FROM b, c$Iters c) x WHERE rn = 1),
+       |$batchEncCtes,
+       |benc AS (SELECT be0.vec_id, $codeCols FROM be0 $bencJoin),
+       |allc AS (SELECT e.vec_id, a.cluster, $codeCols
+       |         FROM enc e JOIN a$Iters a ON a.vec_id = e.vec_id
+       |         UNION ALL
+       |         SELECT be.vec_id, ab.cluster, $codeCols
+       |         FROM benc be JOIN ab ON ab.vec_id = be.vec_id),
+       |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
+       |    SELECT q.q_vec, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+       |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS pr
+       |    FROM q, c$Iters c) z WHERE pr <= 2),
+       |$pqTableCtes,
+       |scored AS (SELECT q.q_vec, allc.vec_id AS neighbor,
+       |                  $pqAdistSql AS adist
+       |           FROM q
+       |           JOIN pp ON pp.q_vec = q.q_vec
+       |           JOIN allc ON allc.cluster = pp.p_cluster
+       |                    AND allc.vec_id <> q.q_vec
+       |           ${(0 until PqM).map(j =>
+                      s"JOIN t$j ON t$j.q_vec = q.q_vec AND t$j.code = allc.code$j")
+                      .mkString("\n           ")}),
+       |r AS (SELECT q_vec, neighbor, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY q_vec
+       |                                ORDER BY adist ASC, neighbor ASC) AS rank
+       |      FROM scored)
+       |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+       |ORDER BY q_vec, rank""".stripMargin
+  }
 
   /** Oracle for the residual-refined IVF-PQ: the coarse Lloyd, residual
     * vectors (one exact IEEE subtraction per coordinate — both engines
@@ -530,6 +613,28 @@ object TrainQ {
             "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
           .orderBy("q_vec", "rank"),
       Some(ivfPqOracle)),
+
+    // Append-only IVF-PQ maintenance — the daily-ingest workflow at 100 TB:
+    // a new batch is assigned with the PERSISTED coarse centroids and
+    // encoded with the PERSISTED codebooks (map-side, only the batch is
+    // touched; no retraining, no rewrite of the base index), landing as a
+    // delta cells directory. Serving scores base ∪ delta through the same
+    // ADC core. The oracle replays it: codebooks/centroids trained on the
+    // ORIGINAL corpus only, batch encoded against them, results over the
+    // union — identical because assignment and encode are deterministic.
+    Q("ann_ivf_pq_append",
+      (s, dir) => {
+        val base = ivfPqIndex(s, dir)
+        val delta = ivfPqDelta(s, dir)
+        val books = PQ.readBooks(s, base)
+        val cells = s.read.parquet(s"$base/cells")
+          .unionByName(s.read.parquet(delta))
+        PQ.knnIvfPqCells(cells, s.read.parquet(s"$base/cents"), books,
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(ivfPqAppendOracle)),
 
     // Residual-refined IVF-PQ (Jégou et al. 2011 §IV, the production
     // layout): the PQ codebooks quantize the RESIDUAL vec − coarse-centroid
