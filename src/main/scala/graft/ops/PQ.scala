@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *     Combined with the IVF cell layout ([[Similarity.writeKmeansIvfIndex]])
   *     the scan is further restricted to probed cells; the composition is
   *     exactly the production IVF-PQ index. Lookup tables are per-query
-  *     columns (arrays), so the candidate join stays a codegen'd projection.
+  *     columns (maps keyed by code VALUE — see [[distTable]] for why not
+  *     positional arrays), so the candidate join stays a codegen'd
+  *     projection.
   *
   * Exactness discipline: centroids are bit-identical cross-engine (fixed
   * point, [[KMeans]]); distance folds are fixed-order IEEE sequences
