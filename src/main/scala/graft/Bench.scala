@@ -93,14 +93,42 @@ object Bench {
           name -> (med, spread, false)
         }
       }.toMap
+    // SELF-HEAL noisy rows (the bench analog of ScaleSweep's medians mode):
+    // a row whose warm reps disagreed by more than half its median was hit
+    // by box contention mid-run — round 7 caught q18 at 3.76 s / spread
+    // 0.92 in one full pass vs 1.02 s / 0.01 in the next. Re-measure such
+    // rows with 5 fresh back-to-back reps and report THAT median; the row
+    // names land in the headline's "healed" list so the event is recorded,
+    // not hidden. Tiny rows are exempt (relative spread on a 50 ms row is
+    // scheduler noise, not contention).
+    val healNames = results.collect {
+      case (name, (med, spread, false)) if spread > 0.5 && med > 0.3 => name
+    }.toSeq.sorted
+    val healed: Map[String, (Double, Double, Boolean)] = healNames.map { name =>
+      val raw = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { selected(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      if (raw.exists(!_._2)) name -> (-1.0, 0.0, true)
+      else {
+        val times = raw.map(_._1).sorted
+        val med = times(times.size / 2)
+        val warm = raw.tail.map(_._1)
+        name -> (med, if (med > 0) (warm.max - warm.min) / med else 0.0, false)
+      }
+    }.toMap
+    val finalResults = results ++ healed
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
     }
-    results.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread, failed)) =>
+    finalResults.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread, failed)) =>
+      val tag = if (healed.contains(k)) " healed" else ""
       if (failed) println(s"BENCH_DETAIL $k FAILED")
-      else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f")
+      else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f$tag")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the one JSON line it finds there. 130+ query timings overflow
@@ -127,17 +155,18 @@ object Bench {
     // so the heavy rows that anomalously moved (q18 12.3 s vs 1.04 clean)
     // had no surviving contention signal. The headline map is size-bounded
     // and always survives — carry the spread with every gating median.
-    val qs = headline.flatMap(k => results.get(k).map(v =>
+    val qs = headline.flatMap(k => finalResults.get(k).map(v =>
         s""""$k":[${r3(v._1)},${r2(v._2)}]"""))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, (_, _, true)) => s"\"$k\"" }
+    val failedNames = finalResults.collect { case (k, (_, _, true)) => s"\"$k\"" }
       .toSeq.sorted.mkString("[", ",", "]")
+    val healedNames = healNames.map(n => s""""$n"""").mkString("[", ",", "]")
     // Spread aggregates: the artifact-embedded contention signal. A clean
     // box shows median relative spread of a few percent; a contended one
     // shows large spreads exactly on the queries whose medians moved.
-    val ok = results.values.filter(!_._3)
+    val ok = finalResults.values.filter(!_._3)
     val spreads = ok.map(_._2).toSeq.sorted
     val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     val spreadMax = if (spreads.isEmpty) 0.0 else spreads.last
@@ -145,7 +174,7 @@ object Bench {
     // work, so it stays comparable with rounds 1-5 where builds hid inside
     // queries / queries were single-shot). Failed rows are excluded.
     val total = ok.map(_._1).sum + pipelineTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
