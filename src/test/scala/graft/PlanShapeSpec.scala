@@ -313,6 +313,28 @@ class PlanShapeSpec extends SparkSpec {
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(readSchemas.exists(l => l.contains("code0") && !l.contains("embedding")),
       s"cells ReadSchema must carry codes only:\n${readSchemas.mkString("\n")}")
+
+    // Append-maintenance serve (base ∪ delta cells through the shared ADC
+    // core): the same codes-only contract must hold for BOTH cell scans —
+    // the raw-vector columns appear only on the probe side.
+    val delta = java.nio.file.Files.createTempDirectory("graft_ivfpqpin_d")
+      .toString + "/cells"
+    val batch = vecs.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    PQ.writeCells(
+      KMeans.assign(batch, "vec_id", "embedding",
+        KMeans.collectCents(cents.select(col("cluster"), col("cent")))),
+      books, "vec_id", "embedding", 64, delta)
+    val cellsAll = spark.read.parquet(s"$tmp/cells")
+      .unionByName(spark.read.parquet(delta))
+    val pa = plan(PQ.knnIvfPqCells(cellsAll,
+      spark.read.parquet(s"$tmp/cents"), books,
+      vecs.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", 64, nprobe = 2, kTop = 10))
+    val cellSchemas = pa.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("code0")).toSeq
+    assert(cellSchemas.size >= 2 && cellSchemas.forall(!_.contains("embedding")),
+      s"both cell scans must carry codes only:\n${cellSchemas.mkString("\n")}")
   }
 
   test("scd2 is one exchange + one sort on the entity key") {
