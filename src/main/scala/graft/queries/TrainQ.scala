@@ -614,6 +614,38 @@ object TrainQ {
           .orderBy("q_vec", "rank"),
       Some(ivfPqOracle)),
 
+    // Cluster-balanced (diversity) selection — the curation op that keeps a
+    // quota of the best documents PER EMBEDDING CLUSTER instead of a global
+    // top-N (which collapses onto the dominant mode of the corpus). Shape:
+    // map-side cluster assignment (broadcast centroids, the session Lloyd
+    // model), an id equi-join to the quality signal, then the per-cluster
+    // quota via TopKAggregate — bounded map-side buffers shuffling K·quota
+    // rows, NOT a row_number window partitioned by the K-valued cluster id
+    // (the same low-entropy-key serialization this round profiled out of
+    // the ngram miner).
+    Q("sample_cluster_quota",
+      (s, dir) => {
+        import graft.expressions.TopKAggregate.topK
+        val (assigned, _) = trained(s, dir)
+        val docs = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        assigned.select(col("vec_id"), col("cluster"))
+          .join(docs, col("doc_id") === col("vec_id"))
+          .groupBy(col("cluster"))
+          .agg(topK(col("n_chars").cast("double"), col("doc_id"), 50).as("top"))
+          .select(col("cluster"), posexplode(col("top")))
+          .select(col("cluster"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.id").as("doc_id"), col("col.score").as("n_chars"))
+          .orderBy("cluster", "rn")
+      },
+      Some(s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)}
+              |SELECT cluster, rn, doc_id, n_chars FROM (
+              |  SELECT a.cluster, d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars,
+              |         CAST(ROW_NUMBER() OVER (PARTITION BY a.cluster
+              |                ORDER BY d.n_chars DESC, d.doc_id ASC) AS INTEGER) AS rn
+              |  FROM a$Iters a JOIN documents d ON d.doc_id = a.vec_id) x
+              |WHERE rn <= 50 ORDER BY cluster, rn""".stripMargin)),
+
     // Append-only IVF-PQ maintenance — the daily-ingest workflow at 100 TB:
     // a new batch is assigned with the PERSISTED coarse centroids and
     // encoded with the PERSISTED codebooks (map-side, only the batch is
