@@ -152,6 +152,28 @@ object TrainQ {
       delta
     }
 
+  /** Session-scoped COMPACTION of the appended index: base ∪ delta cells
+    * rewritten as one cells table, one file per cell (each cluster lands in
+    * exactly one task via the cluster repartition, so each partition dir
+    * gets a single file) — the small-file maintenance an append-cadence
+    * index needs. Pure reorganization: serving from it must equal serving
+    * from the union, which the shared oracle pins. */
+  private val ivfPqCompactCache = new SessionCache[String](_ => ())
+
+  private def ivfPqCompacted(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqCompactCache.getOrElseUpdate(s, dir) {
+      val base = ivfPqIndex(s, dir)
+      val delta = ivfPqDelta(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact")
+        .toString + "/cells"
+      s.read.parquet(s"$base/cells").unionByName(s.read.parquet(delta))
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cluster").parquet(out)
+      out
+    }
+
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
@@ -159,7 +181,8 @@ object TrainQ {
       "pq_codebooks" -> ((s, d) => { pqBooks(s, d); () }),
       "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }),
       "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }),
-      "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }))
+      "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }),
+      "ivf_pq_compact" -> ((s, d) => { ivfPqCompacted(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
@@ -662,6 +685,21 @@ object TrainQ {
         val cells = s.read.parquet(s"$base/cells")
           .unionByName(s.read.parquet(delta))
         PQ.knnIvfPqCells(cells, s.read.parquet(s"$base/cents"), books,
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(ivfPqAppendOracle)),
+
+    // Index COMPACTION closes the maintenance loop (append → compact →
+    // serve): base ∪ delta rewritten one-file-per-cell; serving from the
+    // compacted table must return exactly what the uncompacted union does
+    // — pinned by sharing the append row's oracle verbatim.
+    Q("ann_ivf_pq_compacted",
+      (s, dir) => {
+        val base = ivfPqIndex(s, dir)
+        PQ.knnIvfPqCells(s.read.parquet(ivfPqCompacted(s, dir)),
+            s.read.parquet(s"$base/cents"), PQ.readBooks(s, base),
             Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
             "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
           .orderBy("q_vec", "rank")
