@@ -73,6 +73,33 @@ class DedupSpec extends SparkSpec {
       (13L, false, false, true)))  // shingle-less docs can never match
   }
 
+  test("ngramJaccardPairs: capped default equals exact when no bucket overflows") {
+    // Guards the round-7 capped-path fix: below the cap the default must be
+    // a pure PLAN change (partitioning spread), never a semantic one — the
+    // pair sets are identical. Randomized corpus, deterministic seed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0L until 60L).map { i =>
+      val base = (0 until 8 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      // plant near-dups: every 4th doc clones the previous with one swap
+      val words = if (i % 4 == 3) {
+        val prev = (0 until 8).map(_ => vocab(((i - 1) % 10).toInt))
+        prev.updated(2, vocab(rnd.nextInt(vocab.size)))
+      } else base
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(maxBucket: Int) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 2, threshold = 0.5, bucketWidth = 4, maxBucket = maxBucket)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Dedup.LshMaxBucket)
+    val exact = pairs(Int.MaxValue)
+    assert(capped === exact,
+      s"capped default diverged below the cap: ${capped.diff(exact)} / ${exact.diff(capped)}")
+  }
+
   test("containmentPairs finds one-sided (doc-inside-doc) overlap") {
     import spark.implicits._
     val d = Seq(
