@@ -50,6 +50,7 @@ object ScaleSweep {
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
+    "ann_ivf_pq_compacted", "sample_cluster_quota",
     "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
     "bpe_pair_counts", "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
@@ -102,7 +103,8 @@ object ScaleSweep {
   private val linearPipelines = Set(
     "bucketed_orderkey_layout", "custkey_layout", "userkey_layout",
     "zorder_layout", "xml_export", "minhash_dedup_index",
-    "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index")
+    "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index",
+    "pq_resid_codebooks", "ivf_pq_delta", "ivf_pq_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
