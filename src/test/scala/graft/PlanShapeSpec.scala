@@ -264,6 +264,18 @@ class PlanShapeSpec extends SparkSpec {
     scansUnsorted(SparkEntry.queries("tpch_q21_bucketed")(spark, dir))
   }
 
+  test("cluster-quota selection: bounded partial top-k, one K-row exchange") {
+    // The diversity-selection row must NOT plan a row_number window on the
+    // K-valued cluster id (low-entropy serialization): the quota is a
+    // partial/final TopKAggregate whose single hash exchange moves K·quota
+    // buffer rows, with the quality side broadcast into the id join.
+    val p = plan(SparkEntry.queries("sample_cluster_quota")(spark, dir))
+    assert(p.contains("partial_graft_topk"), p)
+    assert(!p.contains("row_number"), s"quota must not window on cluster:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning("))
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n$p")
+  }
+
   test("user-bucketed events serves run with ZERO hash exchange") {
     // The events family's whole exchange budget is the per-user shuffle;
     // served from the userkey layout each shape takes its user_id
