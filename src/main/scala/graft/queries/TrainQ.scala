@@ -694,7 +694,10 @@ object TrainQ {
     // Index COMPACTION closes the maintenance loop (append → compact →
     // serve): base ∪ delta rewritten one-file-per-cell; serving from the
     // compacted table must return exactly what the uncompacted union does
-    // — pinned by sharing the append row's oracle verbatim.
+    // — pinned by sharing the append row's oracle verbatim. Being a single
+    // partitioned dir again, the compacted serve recovers dynamic cell
+    // pruning with the codes-only ReadSchema (verified: dynamicpruning
+    // present, cells scan reads vec_id + 4 codes).
     Q("ann_ivf_pq_compacted",
       (s, dir) => {
         val base = ivfPqIndex(s, dir)
