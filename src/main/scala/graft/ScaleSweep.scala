@@ -86,6 +86,7 @@ object ScaleSweep {
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
     "islands_error_streaks",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
+    "sample_cluster_quota",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
