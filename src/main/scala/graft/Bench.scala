@@ -101,9 +101,13 @@ object Bench {
     // names land in the headline's "healed" list so the event is recorded,
     // not hidden. Tiny rows are exempt (relative spread on a 50 ms row is
     // scheduler noise, not contention).
-    val healNames = results.collect {
-      case (name, (med, spread, false)) if spread > 0.5 && med > 0.3 => name
-    }.toSeq.sorted
+    // Budget guard: on a badly contended box MANY rows trip the threshold,
+    // and healing each costs 5 fresh reps — cap the heal set to the 8
+    // largest-median offenders (the rows whose medians actually matter for
+    // round-over-round comparison; the rest keep their spread signal).
+    val healNames = results.toSeq.collect {
+      case (name, (med, spread, false)) if spread > 0.5 && med > 0.3 => (name, med)
+    }.sortBy(-_._2).take(8).map(_._1).sorted
     val healed: Map[String, (Double, Double, Boolean)] = healNames.map { name =>
       val raw = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
