@@ -71,14 +71,34 @@ object Bench {
     // as a FAILURE, not timed as a success — time-to-exception flowing into
     // the median made a consistently failing query look clean (round-6
     // advice); failed rows report med = -1 and are excluded from totals.
+    // PLAN FINGERPRINT per query (exchange / join-strategy counts from the
+    // FINAL adaptive plan): the round-7 wins (q18 zero-exchange, funnel one
+    // exchange) were pinned only in specs — a fingerprint column in the
+    // artifact makes plan regressions visible round-over-round the way
+    // spreads made contention visible. Computed once per query from the
+    // last rep's finalized plan; cost is a string scan, not a Spark job.
+    val fingerprints = scala.collection.mutable.Map.empty[String, String]
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      def n(s: String) = p.linesIterator.count(_.contains(s))
+      s""""hashExchanges":${n("Exchange hashpartitioning")},""" +
+        s""""broadcastHash":${n("BroadcastHashJoin")},""" +
+        s""""sortMerge":${n("SortMergeJoin")},""" +
+        s""""shuffledHash":${n("ShuffledHashJoin")},""" +
+        s""""nestedLoop":${n("BroadcastNestedLoopJoin")}"""
+    }
     val results: Map[String, (Double, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var lastDf: org.apache.spark.sql.DataFrame = null
         val raw: Seq[(Double, Boolean)] = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          val ok = try { val df = fn(spark, sfDir); df.count(); lastDf = df; true }
                    catch { case _: Throwable => false }
           ((System.nanoTime() - t0) / 1e9, ok)
         }
+        if (lastDf != null)
+          try fingerprints(name) = fingerprint(lastDf)
+          catch { case _: Throwable => () }
         if (raw.exists(!_._2)) name -> (-1.0, 0.0, true)
         else {
           val times = raw.map(_._1).sorted
@@ -131,8 +151,29 @@ object Bench {
     }
     finalResults.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread, failed)) =>
       val tag = if (healed.contains(k)) " healed" else ""
+      val fp = fingerprints.get(k).map(" fp={" + _ + "}").getOrElse("")
       if (failed) println(s"BENCH_DETAIL $k FAILED")
-      else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f$tag")
+      else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f$tag$fp")
+    }
+    // Full machine-readable detail (SPARK_GRAFT_BENCH_OUT=<file>): every
+    // row's median/spread + plan fingerprint, for BENCH_LOCAL_r* authoring
+    // and round-over-round fingerprint diffs — deliberately NOT on stdout
+    // (the driver's tail buffer).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      def r2b(v: Double): Double = math.round(v * 100.0) / 100.0
+      val rows = finalResults.toSeq.sortBy(_._1).map {
+        case (k, (med, spread, failed)) =>
+          val base =
+            if (failed) s""""failed":true"""
+            else s""""median_s":${r3(med)},"warm_spread":${r2b(spread)}"""
+          val fp = fingerprints.get(k).map("," + _).getOrElse("")
+          s""""$k":{$base$fp}"""
+      }.mkString(",")
+      val pls = pipelineTimes.map { case (k, v) => s""""$k":${r3(v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"queries":{$rows}}""")
+      println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the one JSON line it finds there. 130+ query timings overflow
@@ -159,7 +200,9 @@ object Bench {
     // so the heavy rows that anomalously moved (q18 12.3 s vs 1.04 clean)
     // had no surviving contention signal. The headline map is size-bounded
     // and always survives — carry the spread with every gating median.
-    val qs = headline.flatMap(k => finalResults.get(k).map(v =>
+    // Failed rows are reported ONLY via the failed array — a -1 sentinel in
+    // the timings map would poison any consumer summing/plotting medians.
+    val qs = headline.flatMap(k => finalResults.get(k).filter(!_._3).map(v =>
         s""""$k":[${r3(v._1)},${r2(v._2)}]"""))
       .mkString("{", ",", "}")
     val ps = pipelineTimes.map { case (k, v) => s"\"$k\":${r3(v)}" }

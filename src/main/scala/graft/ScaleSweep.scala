@@ -44,9 +44,12 @@ object ScaleSweep {
     "embeddings" -> Seq("vec_id"))
 
   /** The 10× sweep set: every query above ~1 s in the round-4 bench plus
-    * one representative per heavy family (streaming excluded — the
-    * file-glob source layout doesn't survive the replica dir, and its
-    * scaling story is state-store-bound, covered by StressBench). */
+    * one representative per heavy family. Streaming rows ARE swept (the
+    * source handles both the single-file testdata layout and the replica's
+    * parquet directories — Streams.tableStream): micro-batch rows scale on
+    * state-store size + per-batch planning, not shuffle width, so their
+    * ratios read differently — see the state-size note in the sweep
+    * artifact / STATUS. */
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
@@ -63,6 +66,8 @@ object ScaleSweep {
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "rfm_segmentation", "sample_bottomk", "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
+    "stream_stream_join", "stream_dedup_events",
+    "stream_incremental_dedup_sink",
     "sql_lateral_topk", "sql_variant_extract",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
@@ -187,20 +192,33 @@ object ScaleSweep {
     // query; the median discards the rep that carries any lazy rebuild.
     val flaggedNames = ratios.filter(_._2 > 1.2 * factor).map(_._1)
       .filterNot(_.startsWith("pipeline:"))
-    def median3(dir: String, name: String): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
-    }
+    // A flagged query that fails intermittently must NOT abort the sweep
+    // after both scale runs already completed — fall back to the
+    // single-shot ratio (None) and log the failure instead.
+    def median3(dir: String, name: String): Option[Double] =
+      try {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(ts(1))
+      } catch {
+        case e: Exception =>
+          println(s"[sweep] median3 FAILED for $name in $dir: ${e.getMessage}" +
+            " -- keeping single-shot ratio")
+          None
+      }
     val med1 = flaggedNames.map(n => n -> median3(sfDir, n)).toMap
     val medN = flaggedNames.map(n => n -> median3(dst, n)).toMap
-    val remeasured = flaggedNames.map { n =>
-      val r = medN(n) / med1(n)
-      println(f"[sweep] remeasured $n%-30s med1=${med1(n)}%.2f medN=${medN(n)}%.2f ratio=$r%.2f")
-      n -> r
+    val remeasured = flaggedNames.flatMap { n =>
+      (med1(n), medN(n)) match {
+        case (Some(a), Some(b)) =>
+          val r = b / a
+          println(f"[sweep] remeasured $n%-30s med1=$a%.2f medN=$b%.2f ratio=$r%.2f")
+          Some(n -> r)
+        case _ => None
+      }
     }.toMap
     // Final verdict: single-shot ratio for unflagged rows, median ratio for
     // flagged ones (pipeline rows keep their single-shot number — they are
@@ -220,8 +238,8 @@ object ScaleSweep {
       val rows = t1.map { case (name, a) =>
         s""""$name":{"t1":${r3(a)},"tN":${r3(tN(name))},"ratio":${r3(tN(name) / a)}}"""
       }.mkString(",")
-      val remeas = flaggedNames.map { n =>
-        s""""$n":{"t1_med":${r3(med1(n))},"tN_med":${r3(medN(n))},"ratio":${r3(remeasured(n))}}"""
+      val remeas = flaggedNames.filter(remeasured.contains).map { n =>
+        s""""$n":{"t1_med":${r3(med1(n).get)},"tN_med":${r3(medN(n).get)},"ratio":${r3(remeasured(n))}}"""
       }.mkString("{", ",", "}")
       val supers = supersFinal.map(n => s""""$n"""").mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),

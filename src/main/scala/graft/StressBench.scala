@@ -111,11 +111,7 @@ object StressBench {
 
     // ---- streaming dedup: default state store vs RocksDB ----------------
     def dedupRun(): Long = {
-      val path = Catalog.path(sfDir, "events")
-      val schema = spark.read.parquet(path).schema
-      val ev = Catalog.normalizeEventTs(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val ev = graft.streaming.Streams.eventStream(spark, sfDir)
       val deduped = ev
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")

@@ -30,6 +30,13 @@ object Bucketing {
   private val layoutCaches = new java.util.concurrent.ConcurrentHashMap[
     String, graft.queries.SessionCache[Unit]]()
 
+  /** A layout NAME is an identity: the first registration pins its spec
+    * (tables + sort columns), and a later call reusing the name with a
+    * different spec fails fast instead of silently serving the first
+    * layout's bucketing/sort order from the cache. */
+  private val layoutSpecs = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, String, String)], Map[String, Seq[String]])]()
+
   /** Session-scoped bucketed layout: build the named bucketed tables ONCE
     * per (session, data dir) and let every later query serve from the
     * catalog with zero Exchange. This is THE entry point for layout builds —
@@ -52,6 +59,11 @@ object Bucketing {
       spark: SparkSession, dir: String, layout: String,
       tables: Seq[(String, String, String)],
       sortCols: Map[String, Seq[String]] = Map.empty): Unit = {
+    val spec = (tables, sortCols)
+    val prior = layoutSpecs.putIfAbsent(layout, spec)
+    require(prior == null || prior == spec,
+      s"layout '$layout' re-registered with a conflicting spec: " +
+        s"first=$prior now=$spec — use a distinct layout name")
     val cache = layoutCaches.computeIfAbsent(
       layout, _ => new graft.queries.SessionCache[Unit](_ => ()))
     cache.getOrElseUpdate(spark, dir) {

@@ -298,8 +298,9 @@ object Dedup {
         // ~10k-row table is coalesced by AQE to ONE partition, which
         // re-serializes everything downstream (measured 12.2 s).
         Skew.capBuckets(withB0, Seq("bk"), idCol, maxBucket, "ngram_bucket_cap")
-          .repartition(docs.sparkSession.conf
-            .get("spark.sql.shuffle.partitions").toInt, col(idCol))
+          .repartition(
+            docs.sparkSession.sessionState.conf.numShufflePartitions,
+            col(idCol))
     // Size pre-filter: Jaccard >= t forces |s_small| >= t·|s_big|. Pairs in
     // the same base bucket would match on BOTH emitted keys; keeping only the
     // smallest shared key (= greatest base bucket) emits each pair exactly

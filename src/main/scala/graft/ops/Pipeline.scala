@@ -124,11 +124,15 @@ object Pipeline {
     * single-reducer value buffer), so the flagship binning path survives a
     * continuous column at 100 TB. Bin comparison happens in cents, which
     * is exact under the BIGINT→DOUBLE promotion (cents < 2^53). */
-  def withQuantileBinCents(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+  def withQuantileBinCents(df: DataFrame, valueCol: String, probs: Seq[Double],
+      centsCuts: Option[DataFrame] = None): DataFrame = {
     val cents = df.withColumn("_cents",
       expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"))
-    val cuts = Quantiles.exactPercentiles(
-      cents.select(col("_cents")), "_cents", probs)
+    // centsCuts lets a serve-many caller feed the p0..pk cut row from a
+    // session-cached Quantiles.rankedCounts table instead of rebuilding
+    // the whole order-statistics pass per query.
+    val cuts = centsCuts.getOrElse(Quantiles.exactPercentiles(
+      cents.select(col("_cents")), "_cents", probs))
     val bin = probs.indices.foldLeft(lit(1)) { (acc, i) =>
       acc + when(col("_cents") > col(s"p$i"), 1).otherwise(0)
     }
@@ -160,12 +164,13 @@ object Pipeline {
     * cuts from [[Quantiles.exactPercentiles]] over integer cents, clamp
     * flags compared in cents (exact), cut columns exposed in value units
     * via one /100.0 (the same IEEE op on any engine). */
-  def winsorizeCents(df: DataFrame, valueCol: String, lo: Double, hi: Double): DataFrame = {
+  def winsorizeCents(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      centsCuts: Option[DataFrame] = None): DataFrame = {
     require(lo < hi, "lo must be below hi")
     val cents = df.withColumn("_cents",
       expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"))
-    val cuts = Quantiles.exactPercentiles(
-      cents.select(col("_cents")), "_cents", Seq(lo, hi))
+    val cuts = centsCuts.getOrElse(Quantiles.exactPercentiles(
+      cents.select(col("_cents")), "_cents", Seq(lo, hi)))
     cents.crossJoin(broadcast(cuts))
       .withColumn("clamped_low", col("_cents") < col("p0"))
       .withColumn("clamped_high", col("_cents") > col("p1"))

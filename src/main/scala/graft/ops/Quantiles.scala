@@ -29,17 +29,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Quantiles {
 
-  /** One row with `p0..pk` DOUBLE columns: the interpolated percentiles of
-    * integer column `keyCol` at ascending `probs` (in key units). */
-  def exactPercentiles(df: DataFrame, keyCol: String, probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+  /** The shared expensive shape of the exact-percentile family: one hash
+    * aggregate to (value, count) plus the two-phase global prefix sum, as a
+    * (keyCol, _cnt, _cum, _start) table. NOT persisted here — one-shot
+    * callers go through [[exactPercentiles]] (persist + release per call);
+    * serve-many callers session-cache the materialized table once and fan
+    * it out to every probs set (binning, winsorization, reporting), which
+    * is where the cost belongs: the ranked table depends only on the data,
+    * not on which percentiles are asked of it. */
+  def rankedCounts(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
-    // globalCumsum evaluates its subtree more than once (local cumsums +
-    // partition offsets) and two aggregates below read the ranked table —
-    // persist so the distinct-count shuffle happens once.
-    val ranked = Packing.globalCumsum(counts, keyCol, col("_cnt"), "_cum")
+    Packing.globalCumsum(counts, keyCol, col("_cnt"), "_cum")
       .withColumn("_start", col("_cum") - col("_cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One row with `p0..pk` DOUBLE columns: interpolated percentiles served
+    * from a precomputed [[rankedCounts]] table (one bounded aggregate over
+    * |distinct| rows + an O(probs) scalar pull). */
+  def percentilesFromRanked(
+      ranked: DataFrame, keyCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
     val totals = ranked.agg(sum(col("_cnt")).as("_n"))
     val joined = ranked.crossJoin(broadcast(totals))
     val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
@@ -50,15 +59,10 @@ object Quantiles {
         expr(s"CAST(min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
           s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END) AS BIGINT)").as(s"_hi$i"))
     }
-    // Materialize the single bracket row EAGERLY and release the
-    // |distinct|-sized ranked cache right away: the op runs repeatedly per
-    // session (binning, winsorization, stress, conformance), and a lazily
-    // returned plan would pin each call's cache for the session lifetime.
     // The driver pull is O(probs) scalars — the same legitimate budget as
     // the Lloyd centroid collect.
     val row = joined.agg(aggs.head, aggs.tail: _*)
       .crossJoin(broadcast(totals)).head()
-    ranked.unpersist()
     // Re-emit the interpolation over the collected scalars with the IDENTICAL
     // fixed-order spelling (lo + g·(hi − lo), g = p·(n−1) − floor(p·(n−1)))
     // so results are bit-equal to the in-plan formulation.
@@ -72,7 +76,20 @@ object Quantiles {
       expr(s"${dlit(s"_lo$i")} + (($p * ($nLit - 1)) - floor($p * ($nLit - 1))) * " +
         s"(${dlit(s"_hi$i")} - ${dlit(s"_lo$i")})").as(s"p$i")
     }
-    df.sparkSession.range(1).select(cols: _*)
+    ranked.sparkSession.range(1).select(cols: _*)
+  }
+
+  /** One row with `p0..pk` DOUBLE columns: the interpolated percentiles of
+    * integer column `keyCol` at ascending `probs` (in key units). One-shot
+    * composition of [[rankedCounts]] + [[percentilesFromRanked]]:
+    * materialize the ranked table (globalCumsum evaluates its subtree more
+    * than once and two aggregates read it), serve the bracket row EAGERLY,
+    * and release the |distinct|-sized cache right away — a lazily returned
+    * plan would pin each call's cache for the session lifetime. */
+  def exactPercentiles(df: DataFrame, keyCol: String, probs: Seq[Double]): DataFrame = {
+    val ranked = rankedCounts(df, keyCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try percentilesFromRanked(ranked, keyCol, probs)
+    finally ranked.unpersist()
   }
 
   /** Per-group exact interpolated percentiles: one row per `groupCol` value

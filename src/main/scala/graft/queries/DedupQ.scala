@@ -106,6 +106,13 @@ object DedupQ {
        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Kept-only projection of [[incrementalOracle]] — what the streaming
+    * incremental-dedup SINK materializes (only kept batch docs land in the
+    * corpus; dropped ones leave no row). */
+  private def incrementalKeptOracle: String =
+    s"""WITH base AS (${incrementalOracle.replace("ORDER BY d.doc_id", "")})
+       |SELECT doc_id FROM base WHERE kept ORDER BY doc_id""".stripMargin
+
   /** Session-scoped DISK dedup index over the history partition (docs with
     * doc_id % 5 != 0) — the artifact the persisted incremental-dedup SERVING
     * query probes; built once per session like the IVF indexes. */
@@ -677,6 +684,34 @@ object DedupQ {
             "doc_id", "text", n = 3, threshold = 0.5)
           .orderBy("doc_id"),
       Some(incrementalOracle)),
+
+    // The incremental-dedup SINK end-to-end in streaming form: seed the
+    // corpus with the history partition, stream the batch partition through
+    // Streams.incrementalDedupSink (per-microbatch dedup against the
+    // accumulated corpus + within-batch earlier-id, kept docs appended as
+    // idempotent batch=<id> dirs), then read the corpus back. AvailableNow
+    // with no maxFilesPerTrigger drains in ONE microbatch, so the result
+    // equals the one-shot incremental semantics and the oracle is the
+    // kept-only projection of dedup_incremental's.
+    Q("stream_incremental_dedup_sink",
+      (s, dir) => {
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("graft_sdedup").toString + "/corpus"
+        graft.streaming.Streams.writeBatch(
+          Catalog.load(s, dir, "documents")
+            .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),
+          corpusDir, -1L)
+        val batch = graft.streaming.Streams.tableStream(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        graft.streaming.Streams
+          .incrementalDedupSink(batch, corpusDir, n = 3, threshold = 0.5)
+          .awaitTermination()
+        s.read.parquet(corpusDir)
+          .filter(col("batch") >= 0)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(incrementalKeptOracle)),
 
     // Embedding cosine near-dup within coarse clusters (IVF-style blocking on
     // `label`): exact cosine >= 0.4 on candidate pairs only.

@@ -43,9 +43,33 @@ object PipelineQ {
       Seq(("graft_bkt_events", "events", "user_id")),
       Map("graft_bkt_events" -> Seq("user_id", "ts", "event_id")))
 
+  /** Session-scoped ranked-cents table for lineitem.l_extendedprice — the
+    * shared build of the exact-percentile family. Every family member
+    * (binning, winsorization, percentile reporting) previously re-ran the
+    * identical hash-aggregate + two-phase cumsum per query (r7 bench: three
+    * rebuilds per pass, `feature_quantile_bin` carrying the worst of it);
+    * the ranked table depends only on the data, so it is built ONCE per
+    * (session, dir), persisted at |distinct cents| rows (~600 k at sf0.1 —
+    * bounded by the key domain, not the corpus), and each query serves its
+    * own probs from it with one bounded aggregate. */
+  private val centsRanksCache =
+    new SessionCache[org.apache.spark.sql.DataFrame](_.unpersist())
+
+  private def centsRanks(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    centsRanksCache.getOrElseUpdate(s, dir) {
+      val cents = Catalog.load(s, dir, "lineitem")
+        .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("_cents"))
+      val r = Quantiles.rankedCounts(cents, "_cents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count() // materialize eagerly so bench attribution is honest
+      r
+    }
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
-    Seq("userkey_layout" -> ((s, d) => userkeyLayout(s, d)))
+    Seq("userkey_layout" -> ((s, d) => userkeyLayout(s, d)),
+      "cents_ranks" -> ((s, d) => { centsRanks(s, d); () }))
 
   /** Shared by `events_user_features` and its bucketed-layout variant. */
   private def userFeatures(
@@ -214,7 +238,9 @@ object PipelineQ {
     Q("feature_quantile_bin",
       (s, dir) =>
         Pipeline.withQuantileBinCents(Catalog.load(s, dir, "lineitem"),
-            "l_extendedprice", Seq(0.25, 0.5, 0.75))
+            "l_extendedprice", Seq(0.25, 0.5, 0.75),
+            centsCuts = Some(Quantiles.percentilesFromRanked(
+              centsRanks(s, dir), "_cents", Seq(0.25, 0.5, 0.75))))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
             Relational.sumExact(col("l_extendedprice")).as("sum_price"),
@@ -270,7 +296,9 @@ object PipelineQ {
     Q("feature_winsorize",
       (s, dir) =>
         Pipeline.winsorizeCents(Catalog.load(s, dir, "lineitem"),
-            "l_extendedprice", 0.05, 0.95)
+            "l_extendedprice", 0.05, 0.95,
+            centsCuts = Some(Quantiles.percentilesFromRanked(
+              centsRanks(s, dir), "_cents", Seq(0.05, 0.95))))
           .groupBy()
           .agg(count(lit(1)).as("n"),
             sum(col("clamped_low").cast("long")).as("n_lo"),
@@ -433,13 +461,11 @@ object PipelineQ {
     // merges it all on one reducer). The oracle spells the identical
     // order-statistic arithmetic.
     Q("stats_percentiles_distributed",
-      (s, dir) => {
-        val cents = Catalog.load(s, dir, "lineitem")
-          .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
-        Quantiles.exactPercentiles(cents, "cents", Seq(0.25, 0.5, 0.9))
+      (s, dir) =>
+        Quantiles.percentilesFromRanked(
+            centsRanks(s, dir), "_cents", Seq(0.25, 0.5, 0.9))
           .select(col("p0").as("p25_cents"), col("p1").as("p50_cents"),
-            col("p2").as("p90_cents"))
-      },
+            col("p2").as("p90_cents")),
       Some {
         val probs = Seq(0.25 -> "p25_cents", 0.5 -> "p50_cents", 0.9 -> "p90_cents")
         val brackets = probs.zipWithIndex.flatMap { case ((p, _), i) =>

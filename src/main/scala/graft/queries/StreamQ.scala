@@ -159,11 +159,7 @@ object StreamQ {
       (s, dir) => {
         val sinkDir =
           java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/bronze"
-        val path = Catalog.path(dir, "events")
-        val schema = s.read.parquet(path).schema
-        val ev = Catalog.normalizeEventTs(
-            s.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val ev = Streams.eventStream(s, dir)
           .filter(col("value") > 0)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         Streams.foreachBatchParquetSink(ev, sinkDir).awaitTermination()

@@ -63,19 +63,35 @@ object Streams {
     }
   }
 
+  /** Parquet-backed event stream source, robust to both physical layouts:
+    * the driver testdata stores events as a single FILE `events.parquet`
+    * (the file stream source requires a directory, so stream sfDir with a
+    * glob pinned to that file name), while replica dirs (ScaleSweep) and
+    * ordinary Spark writers produce a parquet DIRECTORY of part files —
+    * stream that directory itself. Timestamps normalize identically to the
+    * batch Catalog path. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.normalizeEventTs(tableStream(spark, sfDir, "events"))
+
+  /** Parquet-backed stream over any catalog table (same layout robustness
+    * as [[eventStream]]; no timestamp normalization). */
+  def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val path = Catalog.path(sfDir, table)
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+  }
+
   /** Tumbling 1-hour event-time windows over a parquet-backed stream:
     * readStream → watermark → window agg → memory sink, drained with
     * `Trigger.AvailableNow` (batch-on-stream). Complete output mode so every
     * window is visible to the conformance check. Sum is DECIMAL-exact
     * (order-independent across microbatches). */
   def tumblingAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Catalog.path(sfDir, "events")
-    val schema = spark.read.parquet(path).schema
-    // The file stream source requires a directory: stream the table dir with
-    // a glob pinned to the events file.
-    val ev = Catalog.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
 
     val agg = ev
       .withWatermark("ts", "1 hour")
@@ -102,11 +118,7 @@ object Streams {
     * the aggregation state. Left join + COALESCE keeps unmatched users
     * (an inner join would silently drop late dimension rows at 100 TB). */
   def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Catalog.path(sfDir, "events")
-    val schema = spark.read.parquet(path).schema
-    val ev = Catalog.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
     val dim = Catalog.load(spark, sfDir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
 
@@ -134,11 +146,7 @@ object Streams {
     * watermark passes them — the 100 TB-safe form of streaming distinct).
     * Emits per-type distinct counts so the result is order-insensitive. */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Catalog.path(sfDir, "events")
-    val schema = spark.read.parquet(path).schema
-    val ev = Catalog.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
 
     val deduped = ev
       .withColumn("hour", date_trunc("hour", col("ts")))
@@ -163,11 +171,7 @@ object Streams {
     * otherwise). Inner matches emit eagerly; `AvailableNow` drains the
     * history deterministically. */
   def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Catalog.path(sfDir, "events")
-    val schema = spark.read.parquet(path).schema
-    def stream = Catalog.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    def stream = eventStream(spark, sfDir)
 
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
@@ -435,11 +439,7 @@ object Streams {
   def anomalyStream(spark: SparkSession, sfDir: String,
       lookback: Int = 20, minPrev: Int = 10, zSq: Long = 9L): DataFrame = {
     import spark.implicits._
-    val path = Catalog.path(sfDir, "events")
-    val schema = spark.read.parquet(path).schema
-    val ev = Catalog.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
     val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long, Long, Long)]
