@@ -400,11 +400,25 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The postings table persists PRE-PARTITIONED on the shingle hash:
+    // every consumer keys on h — the df count (groupBy h), the dictionary
+    // prune (join on h), and the pair self-join — so ONE explicit exchange
+    // at build time replaces three downstream ones, and `kept` (a filter +
+    // project of the join) inherits the distribution into its own cache.
+    // The shuffle_hash hints matter for scale, not speed: left to AQE, the
+    // r7 plan put the WHOLE cached postings table under the broadcast
+    // threshold and broadcast the inverted index for both joins —
+    // tolerable at sf0.1, an OOM plan at corpus scale (the build side
+    // grows with the corpus, not with a bounded dimension). Pinned
+    // co-partitioned, the only exchange in pair generation is the
+    // (d1, d2) count aggregate's.
     val inv = CacheRegistry.track(hashedShingleSets(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("s")).as("h"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("h"))
       .persist(MEMORY_AND_DISK))
     val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
-    val kept = inv.join(dfc, "h")
+    val kept = inv.join(dfc.hint("shuffle_hash"), "h")
       .observe("containment_df_drop",
         sum(when(col("dfh") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_postings"),
         max(col("dfh")).as("max_df"))
@@ -412,15 +426,21 @@ object Dedup {
       .select(col(idCol), col("h"))
       .persist(MEMORY_AND_DISK)
     CacheRegistry.track(kept)
-    val ns = kept.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
-    val pairs = kept.as("l")
-      .join(kept.as("r"),
+    // ns is one row per doc — bounded by the corpus, NOT by a dimension, so
+    // its two pair-side joins go through the measured broadcast gate: under
+    // the bound it broadcasts (local scale), over it the shuffle plan
+    // stands (the 100 TB case — blindly broadcasting |corpus| rows OOMs).
+    val ns = CacheRegistry.track(kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("ns")).persist(MEMORY_AND_DISK))
+    val nsJ = Skew.broadcastIfBounded(ns)
+    val pairs = kept.as("l").hint("shuffle_hash")
+      .join(kept.as("r").hint("shuffle_hash"),
         col("l.h") === col("r.h") && col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .agg(count(lit(1)).as("ni"))
     pairs
-      .join(ns.select(col(idCol).as("d1"), col("ns").as("n1")), "d1")
-      .join(ns.select(col(idCol).as("d2"), col("ns").as("n2")), "d2")
+      .join(nsJ.select(col(idCol).as("d1"), col("ns").as("n1")), "d1")
+      .join(nsJ.select(col(idCol).as("d2"), col("ns").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("ni"),
         (col("ni").cast("double") / col("n1")).as("c1"),
         (col("ni").cast("double") / col("n2")).as("c2"))
