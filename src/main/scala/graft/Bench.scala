@@ -166,6 +166,63 @@ object Bench {
     }.toMap
     val finalResults = results ++ healed
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    // RECALL@10 of the IVF-PQ serve lifecycle vs the exact L2 answer set:
+    // the correctness rows pin DETERMINISM (each serve equals its replayed
+    // oracle), but nothing tracked retrieval QUALITY round-over-round — a
+    // codebook or probe regression would keep every hash green while
+    // recall silently sank. Persisted serve scores against corpus truth;
+    // append/compacted serve base ∪ delta, so their truth includes the
+    // clone batch (ids offset by 1e9, exactly as the delta is built).
+    // Truth is the same exact-L2 window the PQSpec recall pin uses; the
+    // driver pull is |Q|·10 id pairs — bounded.
+    val lifecycleServes = Seq(
+      "ann_ivf_pq_persisted", "ann_ivf_pq_append", "ann_ivf_pq_compacted")
+    val recall: Seq[(String, Double)] =
+      if (!lifecycleServes.forall(selected.contains)) Seq.empty
+      else try {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val vecs = graft.engine.Catalog.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val queries = vecs.filter(col("vec_id") % 100 === 0)
+        val delta = vecs.filter(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        def truthSet(corpus: DataFrame): Set[(Long, Long)] =
+          corpus.select(col("vec_id").as("neighbor"), col("embedding").as("e"))
+            .crossJoin(broadcast(queries.select(
+              col("vec_id").as("q_vec"), col("embedding").as("q"))))
+            .filter(col("q_vec") =!= col("neighbor"))
+            .withColumn("d2", expr(
+              """aggregate(zip_with(q, e, (x, y) ->
+                |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("q_vec").orderBy(col("d2").asc, col("neighbor").asc)))
+            .filter(col("rank") <= 10)
+            .select("q_vec", "neighbor").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truthBase = truthSet(vecs)
+        val truthUnion = truthSet(vecs.unionByName(delta))
+        def hits(name: String, truth: Set[(Long, Long)]): Double = {
+          val got = selected(name)(spark, sfDir)
+            .select("q_vec", "neighbor").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          if (truth.isEmpty) 0.0 else truth.count(got).toDouble / truth.size
+        }
+        Seq(
+          "ann_ivf_pq_persisted" -> hits("ann_ivf_pq_persisted", truthBase),
+          "ann_ivf_pq_append" -> hits("ann_ivf_pq_append", truthUnion),
+          "ann_ivf_pq_compacted" -> hits("ann_ivf_pq_compacted", truthUnion))
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] recall computation failed: ${e.getMessage}")
+          Seq.empty
+      }
+    recall.foreach { case (k, v) =>
+      println(f"BENCH_DETAIL recall@10:$k $v%.3f")
+    }
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
@@ -192,8 +249,10 @@ object Bench {
       }.mkString(",")
       val pls = pipelineTimes.map { case (k, v) => s""""$k":${r3(v)}""" }
         .mkString("{", ",", "}")
+      val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
@@ -242,7 +301,11 @@ object Bench {
     // work, so it stays comparable with rounds 1-5 where builds hid inside
     // queries / queries were single-shot). Failed rows are excluded.
     val total = ok.map(_._1).sum + pipelineTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    // recall_at_10 rides the driver line too: 3 compact entries (~90 chars)
+    // that make retrieval-quality regressions visible round-over-round.
+    val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"recall_at_10":$rec,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
