@@ -94,6 +94,11 @@ object ScaleSweep {
     "sample_cluster_quota",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",
+    // Micro-batch rows with linear work: state is watermark-bounded (join
+    // buffers / dedup keys expire), so 100x grows data volume, not
+    // retained state. The incremental-dedup sink stays 10x-only — its
+    // within-batch pair mining is quadratic in clone families.
+    "stream_stream_join", "stream_dedup_events",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "text_quality", "text_token_count", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
