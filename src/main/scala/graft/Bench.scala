@@ -79,30 +79,11 @@ object Bench {
     // last rep's finalized plan; cost is a string scan, not a Spark job.
     val fingerprints = scala.collection.mutable.Map.empty[String, String]
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-      // Tree walk, NOT plan-string grep: the string rendering repeats each
-      // cached relation's BUILD plan under every scan site, which inflated
-      // counts ~5x on cache-heavy queries. The walk descends through
-      // adaptive wrappers/query stages and STOPS at cache boundaries, so
-      // the counts describe the serve plan actually executed.
-      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case i: InMemoryTableScanExec => Seq(i)
-        case other => other +: other.children.flatMap(nodes)
-      }
-      val all = nodes(df.queryExecution.executedPlan)
-      val hashEx = all.count {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
-        case _ => false
-      }
-      val names = all.map(_.nodeName)
-      def n(s: String) = names.count(_.contains(s))
-      s""""hashExchanges":$hashEx,""" +
+      // Serve-plan tree walk (cache boundaries excluded) — see
+      // graft.engine.PlanNodes for why string-grep counting is wrong.
+      val all = graft.engine.PlanNodes.serveNodes(df)
+      def n(s: String) = graft.engine.PlanNodes.count(all, s)
+      s""""hashExchanges":${graft.engine.PlanNodes.hashExchanges(all)},""" +
         s""""broadcastHash":${n("BroadcastHashJoin")},""" +
         s""""sortMerge":${n("SortMergeJoin")},""" +
         s""""shuffledHash":${n("ShuffledHashJoin")},""" +

@@ -20,28 +20,12 @@ object PlanAudit {
       val t1 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count() // warm re-run (layouts built)
       val t2 = System.nanoTime()
-      // Same tree-walk as Bench's fingerprint (descend adaptive wrappers,
-      // stop at cache boundaries) so AUDIT numbers and the bench artifact's
-      // fp columns are directly comparable — the plan-STRING rendering
-      // repeats each cached relation's build plan under every scan site.
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case qs: QueryStageExec => nodes(qs.plan)
-        case i: InMemoryTableScanExec => Seq(i)
-        case other => other +: other.children.flatMap(nodes)
-      }
-      val all = nodes(df.queryExecution.executedPlan)
-      val hashEx = all.count {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
-        case _ => false
-      }
-      val names = all.map(_.nodeName)
-      def n(s: String) = names.count(_.contains(s))
+      // Same serve-plan tree walk as Bench's fingerprint (PlanNodes), so
+      // AUDIT numbers and the bench artifact's fp columns are directly
+      // comparable.
+      val all = graft.engine.PlanNodes.serveNodes(df)
+      val hashEx = graft.engine.PlanNodes.hashExchanges(all)
+      def n(s: String) = graft.engine.PlanNodes.count(all, s)
       println(s"AUDIT $q broadcastHash=${n("BroadcastHashJoin")}" +
         s" sortMerge=${n("SortMergeJoin")}" +
         s" shuffledHash=${n("ShuffledHashJoin")}" +

@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Executed-plan inspection shared by the bench fingerprint, PlanAudit, and
+  * the plan-shape specs: walk the FINAL adaptive plan (descending adaptive
+  * wrappers and query stages) and STOP at cache boundaries, so the node
+  * list describes the serve plan actually executed — the plan-STRING
+  * rendering repeats each cached relation's build plan under every scan
+  * site, which inflates string-grep counts ~5× on cache-heavy queries. */
+object PlanNodes {
+
+  /** All serve-plan nodes of `df`'s executed plan (run the query first so
+    * AQE has finalized; cached-build subplans excluded). */
+  def serveNodes(df: DataFrame): Seq[SparkPlan] = {
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case i: InMemoryTableScanExec => Seq(i)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan)
+  }
+
+  /** Shuffle exchanges with hash partitioning among `nodes` — the per-query
+    * shuffle count the fingerprint tracks. */
+  def hashExchanges(nodes: Seq[SparkPlan]): Int = nodes.count {
+    case e: ShuffleExchangeExec =>
+      e.outputPartitioning.isInstanceOf[HashPartitioning]
+    case _ => false
+  }
+
+  /** Count serve nodes whose nodeName contains `name`. */
+  def count(nodes: Seq[SparkPlan], name: String): Int =
+    nodes.count(_.nodeName.contains(name))
+}

@@ -163,6 +163,28 @@ class PipelineSpec extends SparkSpec {
     assert(r1.getDouble(0) === 7.0)
   }
 
+  test("percentiles served from a shared ranked table equal the one-shot path") {
+    // The round-8 split (rankedCounts + percentilesFromRanked) lets the
+    // whole percentile family amortize ONE cached build; the serve must be
+    // bit-identical to exactPercentiles for every probs set asked of the
+    // same ranked table, including probes the table was never "built for".
+    import graft.ops.Quantiles
+    val cents = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val ranked = Quantiles.rankedCounts(cents, "cents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Seq(Seq(0.25, 0.5, 0.75), Seq(0.05, 0.95), Seq(0.5)).foreach { probs =>
+        val shared = Quantiles.percentilesFromRanked(ranked, "cents", probs).head
+        val oneShot = Quantiles.exactPercentiles(cents, "cents", probs).head
+        probs.indices.foreach { i =>
+          assert(shared.getDouble(i) === oneShot.getDouble(i),
+            s"probs=$probs p$i: ${shared.getDouble(i)} vs ${oneShot.getDouble(i)}")
+        }
+      }
+    } finally ranked.unpersist()
+  }
+
   test("hashVectorize preserves token mass and stays within dim") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Pipeline.hashVectorize(docs, "doc_id", "text", dim = 64).persist()

@@ -393,4 +393,58 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("layout names are identities: conflicting re-registration fails fast") {
+    // A second caller reusing a layout name with different sort columns
+    // previously hit the (session, dir)-keyed cache and silently served
+    // the FIRST layout's sort order (ADVICE r7). The spec is pinned per
+    // name now; same-spec re-registration stays an idempotent no-op.
+    val tables = Seq(("graft_bkt_pin_o", "orders", "o_orderkey"))
+    graft.ops.Bucketing.sessionLayout(spark, dir, "pin_layout", tables,
+      Map("graft_bkt_pin_o" -> Seq("o_orderkey")))
+    // identical spec: no-op
+    graft.ops.Bucketing.sessionLayout(spark, dir, "pin_layout", tables,
+      Map("graft_bkt_pin_o" -> Seq("o_orderkey")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Bucketing.sessionLayout(spark, dir, "pin_layout", tables,
+        Map("graft_bkt_pin_o" -> Seq("o_custkey")))
+    }
+    assert(e.getMessage.contains("conflicting"), e.getMessage)
+  }
+
+  test("containment serve: co-partitioned pair join, never a postings broadcast") {
+    // Round-8 regression fix pinned: AQE's cached-stats estimate once
+    // flipped BOTH h-joins to broadcasting the WHOLE postings table — an
+    // OOM plan at corpus scale (the build side grows with the corpus).
+    // The serve plan must keep the pair self-join on the co-partitioned
+    // shuffled-hash path (zero exchanges of its own: the cached postings
+    // carry the h distribution), leaving exactly ONE serve shuffle — the
+    // (d1, d2) pair-count aggregate's. The ns joins may broadcast: that
+    // side goes through the MEASURED gate (Skew.broadcastIfBounded), not
+    // an AQE estimate.
+    val df = SparkEntry.queries("dedup_containment")(spark, dir)
+    df.count() // finalize AQE
+    val nodes = graft.engine.PlanNodes.serveNodes(df)
+    assert(graft.engine.PlanNodes.count(nodes, "ShuffledHashJoin") == 1,
+      nodes.map(_.nodeName).mkString("\n"))
+    // one hash exchange (pair-count agg) — the orderBy adds a range one
+    assert(graft.engine.PlanNodes.hashExchanges(nodes) == 1,
+      nodes.map(_.nodeName).mkString("\n"))
+  }
+
+  test("bench fingerprint walk stops at cache boundaries") {
+    // The same query string-grepped counts the cached build plans once per
+    // scan site; the PlanNodes walk must not. dedup_containment reads its
+    // postings cache from three plan branches — a string count of its
+    // exchanges lands in the dozens, the serve walk stays in single digits.
+    val df = SparkEntry.queries("dedup_containment")(spark, dir)
+    df.count()
+    val walked = graft.engine.PlanNodes.serveNodes(df)
+      .count(_.nodeName.contains("Exchange"))
+    val grepped = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(walked < grepped,
+      s"walk=$walked grep=$grepped — cache-boundary stop not effective")
+    assert(walked <= 6, s"serve exchanges = $walked")
+  }
 }
