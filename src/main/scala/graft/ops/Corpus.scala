@@ -131,6 +131,78 @@ object Corpus {
         size(split(col("encoded"), " ")).as("n_tokens"), col("encoded"))
   }
 
+  /** Full sequential BPE merge TRAINING — `k` merge inductions, each one
+    * the classic argmax step: count adjacent SYMBOL pairs across the
+    * vocabulary (frequency-weighted), take the single best pair
+    * (cnt desc, pair asc — the deterministic tie-break), contract it
+    * everywhere, repeat. Unlike [[bpePairCounts]]/[[bpeApplyMerges]]
+    * (round-1 only: single-character pairs, batch-applied), later rounds
+    * here merge MULTI-character symbols — "t h"→"th" then "th e"→"the" —
+    * which is the part of tokenizer training that is inherently
+    * sequential: merge i+1's counts depend on merge i's contraction.
+    *
+    * Scale shape is the Lloyd-loop discipline: the corpus shuffles ONCE
+    * into the distinct-word table (at 100 TB: millions of rows regardless
+    * of corpus bytes); each round is one bounded aggregate over that
+    * table + an O(1)-row driver pull (the argmax pair — the same
+    * legitimate budget as a centroid collect); per-round state re-persists
+    * and the previous round releases eagerly, so the plan never grows a
+    * k-deep replace chain. The double `replace` per contraction is the
+    * boundary-space fixed-point trick documented on [[bpeApplyMerges]].
+    *
+    * Output: one row per learned merge — rank (1-based), a, b (the merged
+    * symbol pair), cnt (its frequency-weighted count at selection time). */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(k >= 1, "k must be at least 1")
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("spaced", expr(
+        "concat(' ', array_join(transform(sequence(1, length(word)), " +
+          "i -> substr(word, i, 1)), ' '), ' ')"))
+      .persist(MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      // Adjacent symbol pairs; a fully-merged single-symbol word emits none
+      // (sequence is descending for size 1 — guard with CASE).
+      val top = vocab
+        .select(col("wc"), expr(
+          "explode(CASE WHEN size(split(trim(spaced), ' ')) >= 2 THEN " +
+            "transform(sequence(1, size(split(trim(spaced), ' ')) - 1), " +
+            "j -> concat(element_at(split(trim(spaced), ' '), j), ' ', " +
+            "element_at(split(trim(spaced), ' '), j + 1))) " +
+            "ELSE array() END)").as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((i, a, b, cnt))
+        val next = vocab
+          .withColumn("spaced",
+            replace(replace(col("spaced"), lit(s" $a $b "), lit(s" $a$b ")),
+              lit(s" $a $b "), lit(s" $a$b ")))
+          .persist(MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        i += 1
+      }
+    }
+    vocab.unpersist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "a", "b", "cnt")
+  }
+
   /** Mean-pool chunk embeddings into document embeddings — the aggregation
     * step after chunk-level embedding (`chunkOf` maps chunk id → doc id).
     * Output is scalar (doc id, dimension, n_chunks, mean_val) rows.

@@ -23,6 +23,44 @@ object CorpusQ {
     s"(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * " +
       s"(($tf * $K1p1) / ($tf + $K1 * (0.25 + 0.75 * (dl / avgdl)))))"
 
+  /** k-round sequential BPE-training oracle: one (pairs → argmax →
+    * contract) CTE stage per merge, replayed exactly as
+    * [[graft.ops.Corpus.bpeTrainMerges]] computes it — the staged-CTE
+    * discipline the Lloyd/PQ oracles use for iterative training. The
+    * double replace per contraction is the boundary-space fixed-point
+    * trick shared with `bpe_apply_merges`. */
+  private def bpeTrainOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      val prev = s"e${i - 1}"
+      val pat = "' ' || split_part(pair, ' ', 1) || ' ' || " +
+        "split_part(pair, ' ', 2) || ' '"
+      val rep = "' ' || split_part(pair, ' ', 1) || " +
+        "split_part(pair, ' ', 2) || ' '"
+      s"""p$i AS (SELECT wc, unnest(list_transform(range(1, len(t)), j ->
+         |          t[CAST(j AS INT)] || ' ' || t[CAST(j + 1 AS INT)])) AS pair
+         |        FROM (SELECT wc, string_split(trim(spaced), ' ') AS t FROM $prev) x),
+         |m$i AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p$i
+         |        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |e$i AS (SELECT word, wc,
+         |          replace(replace(spaced, $pat, $rep), $pat, $rep) AS spaced
+         |        FROM $prev, m$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(i => s"SELECT $i AS rank, pair, cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM t0
+       |       WHERE length(word) >= 2 GROUP BY word),
+       |e0 AS (SELECT word, wc,
+       |         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+       |                 i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS spaced
+       |       FROM w0),
+       |$stages
+       |SELECT CAST(rank AS INT) AS rank,
+       |       split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, cnt
+       |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Benchmark decontamination: docs with doc_id % 97 = 0 form the eval
@@ -114,6 +152,17 @@ object CorpusQ {
              |SELECT word, wc, CAST(length(word) AS INT) AS n_chars,
              |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens, encoded
              |FROM enc ORDER BY word""".stripMargin)),
+
+    // Full sequential BPE training, k=8 merges: each round counts adjacent
+    // SYMBOL pairs (multi-char after round 1), takes the deterministic
+    // argmax (cnt desc, pair asc), contracts it, repeats — the inherently
+    // sequential part of tokenizer training, staged in the oracle as one
+    // CTE chain per round exactly like the Lloyd iterations.
+    Q("bpe_train_merges",
+      (s, dir) =>
+        Corpus.bpeTrainMerges(Catalog.load(s, dir, "documents"), "text", k = 8)
+          .orderBy("rank"),
+      Some(bpeTrainOracle(8))),
 
     // Chunk→document embedding mean pooling (4 chunks per doc via
     // vec_id DIV 4): per-dimension mean with the sum folded in chunk-id

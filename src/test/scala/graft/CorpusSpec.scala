@@ -62,4 +62,20 @@ class CorpusSpec extends SparkSpec {
       assert(r.getString(4).replace(" ", "") === r.getString(0))
     }
   }
+
+  test("bpeTrainMerges learns sequential merges and stops when exhausted") {
+    import spark.implicits._
+    // "aaab" × 3. Round 1: pairs {a a: 6, a b: 3} → merge (a,a), every word
+    // becomes [aa, a, b] (the double-replace boundary trick: NOT [aa, aa]-
+    // style over-merge, and greedy-left like reference BPE). Round 2: tie
+    // {aa a: 3, a b: 3} → pair-asc tie-break picks (a,b) → [aa, ab].
+    // Round 3: {aa ab: 3} → (aa,ab) → [aaab], a single symbol. Round 4:
+    // no pairs remain → training stops early with 3 merges despite k=4.
+    val docs = Seq("aaab aaab", "aaab").toDF("text")
+    val got = Corpus.bpeTrainMerges(docs, "text", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 3L)), got.toSeq)
+  }
 }
