@@ -153,6 +153,36 @@ object Corpus {
     * Output: one row per learned merge — rank (1-based), a, b (the merged
     * symbol pair), cnt (its frequency-weighted count at selection time). */
   def bpeTrainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val (merges, vocab) = bpeTrainCore(docs, textCol, k)
+    vocab.unpersist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("rank", "a", "b", "cnt")
+  }
+
+  /** The vocabulary ENCODED by a freshly-trained k-merge BPE model — the
+    * final state of [[bpeTrainMerges]]'s loop: every distinct word with
+    * its token sequence under the learned ordered merges, plus the
+    * char→token compression the pipeline actually consumes. At 100 TB the
+    * (word → tokens) dictionary broadcast-joins back to documents, so
+    * corpus encode cost scales with |vocab|, not corpus bytes.
+    * Output: word, wc, n_chars, n_tokens, encoded. */
+  def bpeEncodeTrained(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val (_, vocab) = bpeTrainCore(docs, textCol, k)
+    // Lazy consumer of the loop's persisted final state: hand release to
+    // the session registry rather than unpersisting under the caller.
+    CacheRegistry.track(vocab)
+    vocab
+      .select(col("word"), col("wc"), length(col("word")).as("n_chars"),
+        size(split(expr("trim(spaced)"), " ")).as("n_tokens"),
+        expr("trim(spaced)").as("encoded"))
+  }
+
+  /** Shared trainer loop: returns the learned merges and the FINAL
+    * persisted vocabulary state (word, wc, spaced) — still persisted; the
+    * caller owns the release. */
+  private def bpeTrainCore(docs: DataFrame, textCol: String, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k >= 1, "k must be at least 1")
     var vocab = docs
@@ -197,10 +227,7 @@ object Corpus {
         i += 1
       }
     }
-    vocab.unpersist()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "a", "b", "cnt")
+    (merges.toSeq, vocab)
   }
 
   /** Mean-pool chunk embeddings into document embeddings — the aggregation

@@ -29,6 +29,18 @@ object CorpusQ {
     * discipline the Lloyd/PQ oracles use for iterative training. The
     * double replace per contraction is the boundary-space fixed-point
     * trick shared with `bpe_apply_merges`. */
+  /** [[bpeTrainOracle]]'s stage chain with the final select reading the
+    * ENCODED vocabulary state e_k instead of the merge list. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val chain = bpeTrainOracle(k)
+    val cut = chain.lastIndexOf("SELECT CAST(rank AS INT)")
+    chain.take(cut) +
+      s"""SELECT word, wc, CAST(length(word) AS INT) AS n_chars,
+         |  CAST(len(string_split(trim(spaced), ' ')) AS INT) AS n_tokens,
+         |  trim(spaced) AS encoded
+         |FROM e$k ORDER BY word""".stripMargin
+  }
+
   private def bpeTrainOracle(k: Int): String = {
     val stages = (1 to k).map { i =>
       val prev = s"e${i - 1}"
@@ -163,6 +175,15 @@ object CorpusQ {
         Corpus.bpeTrainMerges(Catalog.load(s, dir, "documents"), "text", k = 8)
           .orderBy("rank"),
       Some(bpeTrainOracle(8))),
+
+    // The vocabulary ENCODED by the freshly-trained 8-merge model — the
+    // loop's final state, with the char→token compression per word. Same
+    // staged oracle chain, final select from e8 instead of the merge list.
+    Q("bpe_encode_trained",
+      (s, dir) =>
+        Corpus.bpeEncodeTrained(Catalog.load(s, dir, "documents"), "text", k = 8)
+          .orderBy("word"),
+      Some(bpeEncodeOracle(8))),
 
     // Chunk→document embedding mean pooling (4 chunks per doc via
     // vec_id DIV 4): per-dimension mean with the sum folded in chunk-id
