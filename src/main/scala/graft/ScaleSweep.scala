@@ -55,7 +55,8 @@ object ScaleSweep {
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
     "ann_ivf_pq_compacted", "sample_cluster_quota",
     "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
-    "bpe_pair_counts", "corpus_refinery",
+    "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
+    "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
@@ -85,7 +86,8 @@ object ScaleSweep {
     * StressBench runs instead. */
   private val sweepLinear: Seq[String] = Seq(
     "ann_pq_codes", "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
-    "bpe_pair_counts", "dedup_content_hash",
+    "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
+    "dedup_content_hash",
     "dedup_exact", "embed_l2_normalize", "events_user_features",
     "events_user_features_bucketed",
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
@@ -115,7 +117,8 @@ object ScaleSweep {
     "bucketed_orderkey_layout", "custkey_layout", "userkey_layout",
     "zorder_layout", "xml_export", "minhash_dedup_index",
     "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index",
-    "pq_resid_codebooks", "ivf_pq_delta", "ivf_pq_compact")
+    "pq_resid_codebooks", "ivf_pq_delta", "ivf_pq_compact",
+    "bpe_model", "cents_ranks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

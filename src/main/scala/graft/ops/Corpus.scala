@@ -153,9 +153,16 @@ object Corpus {
     * Output: one row per learned merge — rank (1-based), a, b (the merged
     * symbol pair), cnt (its frequency-weighted count at selection time). */
   def bpeTrainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val (merges, vocab) = bpeTrainCore(docs, textCol, k)
+    val (merges, vocab) = bpeTrain(docs, textCol, k)
     vocab.unpersist()
-    val spark = docs.sparkSession
+    bpeMergesDF(docs.sparkSession, merges)
+  }
+
+  /** The learned merge list as a DataFrame (rank, a, b, cnt) — for callers
+    * holding a [[bpeTrain]] result (e.g. a session-cached model). */
+  def bpeMergesDF(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._
     merges.toDF("rank", "a", "b", "cnt")
   }
@@ -168,20 +175,48 @@ object Corpus {
     * corpus encode cost scales with |vocab|, not corpus bytes.
     * Output: word, wc, n_chars, n_tokens, encoded. */
   def bpeEncodeTrained(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val (_, vocab) = bpeTrainCore(docs, textCol, k)
+    val (_, vocab) = bpeTrain(docs, textCol, k)
     // Lazy consumer of the loop's persisted final state: hand release to
     // the session registry rather than unpersisting under the caller.
     CacheRegistry.track(vocab)
+    bpeEncodeFromVocab(vocab)
+  }
+
+  /** Encode projection over a [[bpeTrain]] final-vocabulary state. */
+  def bpeEncodeFromVocab(vocab: DataFrame): DataFrame =
     vocab
       .select(col("word"), col("wc"), length(col("word")).as("n_chars"),
         size(split(expr("trim(spaced)"), " ")).as("n_tokens"),
         expr("trim(spaced)").as("encoded"))
+
+  /** Tokenize the CORPUS under a freshly-trained k-merge BPE model — the
+    * claim the encode row's scaladoc makes, as an actual plan: the
+    * (word → n_tokens) dictionary (bounded |vocab|) broadcast-joins back
+    * to the exploded corpus, so the corpus side never shuffles for the
+    * encode; the only exchange is the per-document count aggregate's.
+    * Words below the trainer's length-2 floor count as one token each.
+    * Output: one row per doc — idCol, n_words, n_tokens. */
+  def bpeTokenizeCorpus(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      trainedDict: Option[DataFrame] = None): DataFrame = {
+    // trainedDict lets a serve-many caller feed the (word, n_tokens)
+    // dictionary from a session-cached bpeTrain model instead of
+    // re-running the k-round trainer per query.
+    val dict = trainedDict.getOrElse(bpeEncodeTrained(docs, textCol, k)
+      .select(col("word"), col("n_tokens")))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(dict), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tokens"), lit(1))).as("n_tokens"))
   }
 
-  /** Shared trainer loop: returns the learned merges and the FINAL
+  /** The trainer loop itself: returns the learned merges and the FINAL
     * persisted vocabulary state (word, wc, spaced) — still persisted; the
-    * caller owns the release. */
-  private def bpeTrainCore(docs: DataFrame, textCol: String, k: Int)
+    * caller owns the release (session-cached models hand it to their
+    * cache's eviction hook). */
+  def bpeTrain(docs: DataFrame, textCol: String, k: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k >= 1, "k must be at least 1")

@@ -29,6 +29,25 @@ object CorpusQ {
     * discipline the Lloyd/PQ oracles use for iterative training. The
     * double replace per contraction is the boundary-space fixed-point
     * trick shared with `bpe_apply_merges`. */
+  /** Session-scoped trained BPE model (k=8): the merge list + the
+    * persisted final vocabulary state, built ONCE per (session, dir) and
+    * fanned out to the train/encode/tokenize rows — the Lloyd-pipeline
+    * discipline, so the bench attributes training to `pipeline:bpe_model`
+    * and the rows measure SERVING. */
+  private val bpeModelCache = new SessionCache[
+    (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)](
+    m => m._2.unpersist())
+
+  private def bpeModel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeModelCache.getOrElseUpdate(s, dir) {
+      Corpus.bpeTrain(Catalog.load(s, dir, "documents"), "text", k = 8)
+    }
+
+  /** Named builders for bench attribution (see SparkEntry.pipelines). */
+  def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("bpe_model" -> ((s, d) => { bpeModel(s, d); () }))
+
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
   private def bpeEncodeOracle(k: Int): String = {
@@ -39,6 +58,23 @@ object CorpusQ {
          |  CAST(len(string_split(trim(spaced), ' ')) AS INT) AS n_tokens,
          |  trim(spaced) AS encoded
          |FROM e$k ORDER BY word""".stripMargin
+  }
+
+  /** Corpus tokenization oracle: the encode chain's final state joined
+    * back to the exploded corpus; sub-floor words count 1 token. */
+  private def bpeTokenizeOracle(k: Int): String = {
+    val chain = bpeTrainOracle(k)
+    val cut = chain.lastIndexOf("SELECT CAST(rank AS INT)")
+    chain.take(cut).stripTrailing() + ",\n" +
+      s"""cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |dict AS (SELECT word,
+         |           CAST(len(string_split(trim(spaced), ' ')) AS INT) AS nt
+         |         FROM e$k)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(COALESCE(nt, 1)) AS BIGINT) AS n_tokens
+         |FROM cw LEFT JOIN dict USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def bpeTrainOracle(k: Int): String = {
@@ -172,18 +208,29 @@ object CorpusQ {
     // CTE chain per round exactly like the Lloyd iterations.
     Q("bpe_train_merges",
       (s, dir) =>
-        Corpus.bpeTrainMerges(Catalog.load(s, dir, "documents"), "text", k = 8)
-          .orderBy("rank"),
+        Corpus.bpeMergesDF(s, bpeModel(s, dir)._1).orderBy("rank"),
       Some(bpeTrainOracle(8))),
 
-    // The vocabulary ENCODED by the freshly-trained 8-merge model — the
-    // loop's final state, with the char→token compression per word. Same
-    // staged oracle chain, final select from e8 instead of the merge list.
+    // The vocabulary ENCODED by the trained 8-merge model — the loop's
+    // final state, with the char→token compression per word. Same staged
+    // oracle chain, final select from e8 instead of the merge list.
     Q("bpe_encode_trained",
       (s, dir) =>
-        Corpus.bpeEncodeTrained(Catalog.load(s, dir, "documents"), "text", k = 8)
-          .orderBy("word"),
+        Corpus.bpeEncodeFromVocab(bpeModel(s, dir)._2).orderBy("word"),
       Some(bpeEncodeOracle(8))),
+
+    // Corpus tokenization under the trained model: the bounded
+    // (word → n_tokens) dictionary broadcast-joins back to the exploded
+    // corpus (the corpus never shuffles for the encode); one exchange —
+    // the per-doc count aggregate's.
+    Q("bpe_tokenize_corpus",
+      (s, dir) =>
+        Corpus.bpeTokenizeCorpus(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", k = 8,
+            trainedDict = Some(Corpus.bpeEncodeFromVocab(bpeModel(s, dir)._2)
+              .select(col("word"), col("n_tokens"))))
+          .orderBy("doc_id"),
+      Some(bpeTokenizeOracle(8))),
 
     // Chunk→document embedding mean pooling (4 chunks per doc via
     // vec_id DIV 4): per-dimension mean with the sum folded in chunk-id
