@@ -55,6 +55,7 @@ object ScaleSweep {
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
     "ann_ivf_pq_compacted", "sample_cluster_quota",
     "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
+    "basket_part_pairs",
     "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
     "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
@@ -86,6 +87,7 @@ object ScaleSweep {
     * StressBench runs instead. */
   private val sweepLinear: Seq[String] = Seq(
     "ann_pq_codes", "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
+    "basket_part_pairs",
     "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
     "dedup_content_hash",
     "dedup_exact", "embed_l2_normalize", "events_user_features",

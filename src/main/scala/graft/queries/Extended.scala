@@ -764,12 +764,22 @@ object Extended {
     // Market-basket pair mining: parts co-purchased within an order —
     // the self-join is BLOCKED BY the order key, so pair volume is
     // Σ C(items_per_order, 2), never corpus-quadratic; top 20 pairs.
+    // The distinct basket table persists PRE-PARTITIONED on the order key
+    // (the containment-postings discipline): without it the plan computed
+    // the distinct TWICE from two full fact scans and BROADCAST one whole
+    // copy — a build side that grows with the fact table, not a bounded
+    // dimension, i.e. an OOM plan at 100 TB. Pinned co-partitioned, the
+    // serve's only exchanges are the pair-count aggregate's + top-k.
     Q("basket_part_pairs",
       (s, dir) => {
-        val li = Catalog.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val l = li.select(col("ok"), col("pk").as("p1"))
-        val r = li.select(col("ok"), col("pk").as("p2"))
+        val li = graft.ops.CacheRegistry.track(
+          Catalog.load(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .distinct()
+            .repartition(s.sessionState.conf.numShufflePartitions, col("ok"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val l = li.select(col("ok"), col("pk").as("p1")).hint("shuffle_hash")
+        val r = li.select(col("ok"), col("pk").as("p2")).hint("shuffle_hash")
         l.join(r, Seq("ok")).filter(col("p1") < col("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
