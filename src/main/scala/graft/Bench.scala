@@ -87,7 +87,9 @@ object Bench {
         s""""broadcastHash":${n("BroadcastHashJoin")},""" +
         s""""sortMerge":${n("SortMergeJoin")},""" +
         s""""shuffledHash":${n("ShuffledHashJoin")},""" +
-        s""""nestedLoop":${n("BroadcastNestedLoopJoin")}"""
+        s""""nestedLoop":${n("BroadcastNestedLoopJoin")},""" +
+        s""""cartesian":${n("CartesianProduct")},""" +
+        s""""cachedBroadcast":${graft.engine.PlanNodes.cachedBroadcasts(all)}"""
     }
     val results: Map[String, (Double, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -17,14 +17,29 @@ object PlanNodes {
 
   /** All serve-plan nodes of `df`'s executed plan (run the query first so
     * AQE has finalized; cached-build subplans excluded). */
-  def serveNodes(df: DataFrame): Seq[SparkPlan] = {
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case i: InMemoryTableScanExec => Seq(i)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    nodes(df.queryExecution.executedPlan)
+  def serveNodes(df: DataFrame): Seq[SparkPlan] =
+    walk(df.queryExecution.executedPlan)
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    case q: QueryStageExec => walk(q.plan)
+    case i: InMemoryTableScanExec => Seq(i)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  /** Broadcast exchanges whose build subtree reads a CACHED relation — the
+    * round-8 hazard class: a persisted intermediate sized by
+    * InMemoryRelation stats and broadcast at PLANNING time, correct at
+    * test scale and an OOM plan once the cached table grows with the
+    * corpus (containment postings, basket table). Legitimate hits exist —
+    * `Skew.broadcastIfBounded` broadcasts a persisted table from its
+    * MEASURED size — so the count is a diff signal, not an error: a row
+    * whose value rises round-over-round acquired a new cached broadcast
+    * nobody sized. */
+  def cachedBroadcasts(nodes: Seq[SparkPlan]): Int = nodes.count {
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      walk(b).exists(_.isInstanceOf[InMemoryTableScanExec])
+    case _ => false
   }
 
   /** Shuffle exchanges with hash partitioning among `nodes` — the per-query

@@ -791,9 +791,16 @@ object Dedup {
     * hash equi-joins on single keys, no enumeration of non-edges. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.select(col("d1"), col("d2"))
+    // The edge list is the BUILD side of both wedge joins. Left to planner
+    // stats, a cached edge set is broadcast unconditionally — fine for a
+    // near-dup graph at test scale, an OOM plan once edges grow with the
+    // corpus (the cached-stats broadcast trap, SURVEY §9). The measured
+    // gate keeps the local broadcast (wedge probe at full parallelism)
+    // and falls back to key-shuffled joins over the bound.
+    val eB = Skew.broadcastIfBounded(e)
     e.as("e1")
-      .join(e.as("e2"), col("e1.d2") === col("e2.d1"))
-      .join(e.as("e3"),
+      .join(eB.as("e2"), col("e1.d2") === col("e2.d1"))
+      .join(eB.as("e3"),
         col("e1.d1") === col("e3.d1") && col("e2.d2") === col("e3.d2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
