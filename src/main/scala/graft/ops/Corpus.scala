@@ -212,6 +212,35 @@ object Corpus {
         sum(coalesce(col("n_tokens"), lit(1))).as("n_tokens"))
   }
 
+  /** BPE INFERENCE: encode arbitrary (possibly unseen) words with a
+    * trained ordered merge list — the tokenizer-serving shape. One
+    * rank-ordered sweep, each merge contracted to its fixed point by the
+    * boundary-space double replace, reproduces classic
+    * lowest-rank-first BPE encoding exactly: a merge's operands can only
+    * become adjacent through EARLIER merges (each operand symbol exists
+    * only via lower-rank merges — a training invariant), so by the time
+    * merge i runs, everything that could enable it already has. The merge
+    * list is driver-side (O(k) strings, the trained model); the fold
+    * compiles to a 2k-deep replace chain evaluated map-side — no joins,
+    * no shuffle beyond the caller's. Output: word, n_tokens, encoded. */
+  def bpeEncodeWords(
+      words: DataFrame, wordCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spaced = expr(
+      s"concat(' ', array_join(transform(sequence(1, length($wordCol)), " +
+        s"i -> substr($wordCol, i, 1)), ' '), ' ')")
+    val encodedSpaced = merges.sortBy(_._1).foldLeft(spaced: org.apache.spark.sql.Column) {
+      case (acc, (_, a, b, _)) =>
+        replace(replace(acc, lit(s" $a $b "), lit(s" $a$b ")),
+          lit(s" $a $b "), lit(s" $a$b "))
+    }
+    words
+      .withColumn("_enc", encodedSpaced)
+      .select(col(wordCol).as("word"),
+        size(split(expr("trim(_enc)"), " ")).as("n_tokens"),
+        expr("trim(_enc)").as("encoded"))
+  }
+
   /** The trainer loop itself: returns the learned merges and the FINAL
     * persisted vocabulary state (word, wc, spaced) — still persisted; the
     * caller owns the release (session-cached models hand it to their

@@ -60,6 +60,36 @@ object CorpusQ {
          |FROM e$k ORDER BY word""".stripMargin
   }
 
+  /** Inference oracle: the documents-trained merge chain applied, in rank
+    * order with the double-replace contraction, to the distinct words of
+    * part.p_name — an unseen domain (same fold as the `bpe_apply_merges`
+    * oracle, but with the TRAINED multi-char merge list). */
+  private def bpeInferOracle(k: Int): String = {
+    val chain = bpeTrainOracle(k)
+    val cut = chain.lastIndexOf("SELECT CAST(rank AS INT)")
+    val ranked = (1 to k)
+      .map(i => s"SELECT $i AS rank, pair FROM m$i")
+      .mkString("\nUNION ALL ")
+    val pat = "' ' || split_part(m, ' ', 1) || ' ' || split_part(m, ' ', 2) || ' '"
+    val rep = "' ' || split_part(m, ' ', 1) || split_part(m, ' ', 2) || ' '"
+    chain.take(cut).stripTrailing() + ",\n" +
+      s"""ml AS (SELECT list(pair ORDER BY rank) AS merges FROM ($ranked)),
+         |iw AS (SELECT DISTINCT w AS word FROM
+         |         (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+         |       WHERE length(w) >= 1),
+         |sp AS (SELECT word,
+         |         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+         |                 i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS spaced
+         |       FROM iw),
+         |ienc AS (SELECT word,
+         |  trim(list_reduce(list_prepend(spaced, merges), (s, m) ->
+         |    replace(replace(s, $pat, $rep), $pat, $rep))) AS encoded
+         |  FROM sp, ml)
+         |SELECT word, CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens,
+         |       encoded
+         |FROM ienc ORDER BY word""".stripMargin
+  }
+
   /** Corpus tokenization oracle: the encode chain's final state joined
     * back to the exploded corpus; sub-floor words count 1 token. */
   private def bpeTokenizeOracle(k: Int): String = {
@@ -218,6 +248,21 @@ object CorpusQ {
       (s, dir) =>
         Corpus.bpeEncodeFromVocab(bpeModel(s, dir)._2).orderBy("word"),
       Some(bpeEncodeOracle(8))),
+
+    // BPE INFERENCE on an UNSEEN domain: part names tokenized with the
+    // documents-trained model — the tokenizer-serving shape. One
+    // rank-ordered merge sweep per word (provably ≡ lowest-rank-first BPE:
+    // a merge's operands only become adjacent through earlier merges),
+    // compiled to a map-side replace chain; no join, no shuffle.
+    Q("bpe_infer_part_names",
+      (s, dir) => {
+        val words = Catalog.load(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .filter(length(col("w")) >= 1).distinct()
+        Corpus.bpeEncodeWords(words, "w", bpeModel(s, dir)._1)
+          .orderBy("word")
+      },
+      Some(bpeInferOracle(8))),
 
     // Corpus tokenization under the trained model: the bounded
     // (word → n_tokens) dictionary broadcast-joins back to the exploded

@@ -78,4 +78,28 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
       (3, "aa", "ab", 3L)), got.toSeq)
   }
+
+  test("bpeEncodeWords applies trained merges in rank order to unseen words") {
+    import spark.implicits._
+    // Model from the trainer test: (a,a) → aa, (a,b) → ab, (aa,ab) → aaab.
+    // Unseen words exercise each stage: "aab" needs merge 1 then 2 but NOT
+    // 3 ("aa ab" pair != (aa,ab)? it IS (aa,ab) — merges to aaab);
+    // "aba" hits only merge 2 (greedy-left); "ba" hits nothing;
+    // "aaaba" shows the multi-char chain on a word training never saw.
+    val merges = Seq((1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L))
+    val words = Seq("aab", "aba", "ba", "aaaba", "aaab").toDF("w")
+    val got = Corpus.bpeEncodeWords(words, "w", merges)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    // aab: m1 consumes the leading (a,a) → "aa b"; m2's (a,b) needs a
+    // SINGLE-char a and no longer finds one — rank order matters, exactly
+    // classic lowest-rank-first BPE.
+    assert(got("aab") === ((2, "aa b")), got("aab"))
+    // aba: m1 no " a a "; m2 merges the leading (a,b) → [ab, a]
+    assert(got("aba") === ((2, "ab a")), got("aba"))
+    assert(got("ba") === ((2, "b a")), got("ba"))
+    // aaab: m1 → " aa a b " (greedy-left), m2 → " aa ab ", m3 → " aaab "
+    assert(got("aaab") === ((1, "aaab")), got("aaab"))
+    // aaaba: m1 → " aa a b a ", m2 → " aa ab a ", m3 → " aaab a "
+    assert(got("aaaba") === ((2, "aaab a")), got("aaaba"))
+  }
 }
