@@ -155,7 +155,7 @@ object Bench {
     // codebook or probe regression would keep every hash green while
     // recall silently sank. Persisted serve scores against corpus truth;
     // append/compacted serve base ∪ delta, so their truth includes the
-    // clone batch (ids offset by 1e9, exactly as the delta is built).
+    // clone batch (ids offset by 1e15, exactly as the delta is built).
     // Truth is the same exact-L2 window the PQSpec recall pin uses; the
     // driver pull is |Q|·10 id pairs — bounded.
     val lifecycleServes = Seq(
@@ -170,7 +170,7 @@ object Bench {
           .select(col("vec_id"), col("embedding"))
         val queries = vecs.filter(col("vec_id") % 100 === 0)
         val delta = vecs.filter(col("vec_id") % 10 === 3)
-          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+          .select((col("vec_id") + 1000000000000000L).as("vec_id"), col("embedding"))
         def truthSet(corpus: DataFrame): Set[(Long, Long)] =
           corpus.select(col("vec_id").as("neighbor"), col("embedding").as("e"))
             .crossJoin(broadcast(queries.select(

@@ -20,9 +20,19 @@ object PlanNodes {
   def serveNodes(df: DataFrame): Seq[SparkPlan] =
     walk(df.queryExecution.executedPlan)
 
+  /** Walk including REUSED exchanges: `ReusedExchangeExec` is a leaf that
+    * references another exchange subtree, so a plain children-walk would
+    * undercount — a plan regression (new shuffle, new cached broadcast)
+    * hidden behind AQE exchange reuse would not move the fingerprint
+    * (round-8 advice). Descending into the referenced subtree makes the
+    * counts CONSUMPTION sites (one physical exchange read twice counts
+    * twice), which is the right diff signal: a row acquiring a second
+    * consumer of a fact-scale exchange IS a plan change worth seeing. */
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
     case q: QueryStageExec => walk(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      walk(r.child)
     case i: InMemoryTableScanExec => Seq(i)
     case other => other +: other.children.flatMap(walk)
   }

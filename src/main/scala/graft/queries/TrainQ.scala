@@ -142,13 +142,15 @@ object TrainQ {
       val books = PQ.readBooks(s, base)
       val centSeq = KMeans.collectCents(
         s.read.parquet(s"$base/cents").select(col("cluster"), col("cent")))
-      // Clone-id offset uses the sweep's k*10^9 key-domain convention so
-      // delta ids can never alias genuine base ids even on 100x replica
-      // corpora (a +100k shift would collide once any key domain reaches
-      // 100k rows, and the oracle's identical shift would mask it).
+      // Clone-id offset lives in a dedicated high namespace (10^15), OUTSIDE
+      // the ScaleSweep replica bands: replicas stride key domains by k·10^9,
+      // so a +10^9 delta offset would alias replica band k+1's genuine ids
+      // exactly (round-8 advice). 10^15 stays clear of any realistic band
+      // (factor < 10^6) and, being ≡ 0 (mod 10), preserves the %10 == 3
+      // batch-filter alignment the oracle replays.
       val batch = Catalog.load(s, dir, "embeddings")
         .filter(col("vec_id") % 10 === 3)
-        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 1000000000000000L).as("vec_id"), col("embedding"))
       val delta = java.nio.file.Files.createTempDirectory("graft_ivfpq_delta")
         .toString + "/cells"
       PQ.writeCells(KMeans.assign(batch, "vec_id", "embedding", centSeq),
@@ -235,7 +237,7 @@ object TrainQ {
     val codeCols = (0 until PqM).map(j => s"code$j").mkString(", ")
     s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
        |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
-       |b AS (SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings
+       |b AS (SELECT vec_id + 1000000000000000 AS vec_id, embedding FROM embeddings
        |      WHERE vec_id % 10 = 3),
        |ab AS (SELECT vec_id, cluster FROM (
        |    SELECT b.vec_id, c.cluster,
