@@ -94,16 +94,31 @@ object Corpus {
       .limit(topN)
   }
 
+  /** EXACT leftmost-greedy contraction of one merge (a, b) over a spaced
+    * symbol string (` t1 t2 … tk `): fold the token list left to right,
+    * merging when the accumulator's last token is `a` and the incoming
+    * token is `b` — precisely the classic BPE scan (merge at i, continue at
+    * i+2). The boundary-space guard (` ` + a as a SUFFIX of the
+    * accumulator) makes the check token-exact, and a token just merged can
+    * never be the left operand of the same pair again because the merged
+    * symbol `a||b` ≠ `a` (b is non-empty) — so self-overlapping runs come
+    * out exactly as the classic scan does (`(a,a)` on `a a a a a` →
+    * `aa aa a`, NOT the `aa a aa` a string double-replace produces; the
+    * round-8 advice counterexample is pinned in CorpusSpec). O(|word|²)
+    * worst-case from the accumulator copy — fine on bounded-length words.
+    * Mirrored 1:1 by the DuckDB oracles' `list_reduce` fold. */
+  def contract(spaced: Column, a: Column, b: Column): Column =
+    concat(aggregate(split(trim(spaced), lit(" ")), lit(""), (acc, t) =>
+      when(t === b && acc.endsWith(concat(lit(" "), a)), concat(acc, t))
+        .otherwise(concat(acc, lit(" "), t))), lit(" "))
+
   /** Apply one learned round of BPE merges to the vocabulary: the top-N
     * char-pair candidates from [[bpePairCounts]] contract, in rank order,
-    * over each distinct word's space-separated character string. Because
-    * round-1 merges only pair SINGLE characters, a rank-ordered single
-    * sweep reaches the BPE fixed point (a merge can never create a new
-    * single-char pair). Each merge runs `replace` TWICE: left-to-right
-    * non-overlapping replacement misses an occurrence whose leading
-    * boundary space was consumed by the immediately-preceding match, and
-    * after one pass no two missed occurrences are adjacent, so the second
-    * pass completes the contraction — exactly the token-list semantics.
+    * over each distinct word's space-separated character string — each
+    * contraction the exact leftmost-greedy fold of [[contract]]. Because
+    * round-1 merges only pair SINGLE characters, the rank-ordered sweep
+    * reaches the same result as re-ranking between merges would (a round-1
+    * merge can never create a new single-char pair).
     *
     * The encode runs on the DISTINCT-WORD table (bounded vocabulary), never
     * the corpus: at 100 TB the resulting word→tokens dictionary
@@ -118,15 +133,12 @@ object Corpus {
     val mergesRow = bpePairCounts(docs, textCol, topN)
       .agg(expr("transform(array_sort(collect_list(named_struct(" +
         "'nc', -cnt, 'p', pair))), x -> x.p)").as("merges"))
-    val pat = "concat(' ', substr(m, 1, 1), ' ', substr(m, 2, 1), ' ')"
-    val rep = "concat(' ', m, ' ')"
     wc.crossJoin(broadcast(mergesRow))
       .withColumn("spaced", expr(
         "concat(' ', array_join(transform(sequence(1, length(word)), " +
           "i -> substr(word, i, 1)), ' '), ' ')"))
-      .withColumn("encoded", expr(
-        s"trim(aggregate(merges, spaced, (s, m) -> " +
-          s"replace(replace(s, $pat, $rep), $pat, $rep)))"))
+      .withColumn("encoded", trim(aggregate(col("merges"), col("spaced"),
+        (s, m) => contract(s, substring(m, 1, 1), substring(m, 2, 1)))))
       .select(col("word"), col("wc"), length(col("word")).as("n_chars"),
         size(split(col("encoded"), " ")).as("n_tokens"), col("encoded"))
   }
@@ -147,8 +159,9 @@ object Corpus {
     * table + an O(1)-row driver pull (the argmax pair — the same
     * legitimate budget as a centroid collect); per-round state re-persists
     * and the previous round releases eagerly, so the plan never grows a
-    * k-deep replace chain. The double `replace` per contraction is the
-    * boundary-space fixed-point trick documented on [[bpeApplyMerges]].
+    * k-deep contraction chain. Each round's contraction is the exact
+    * leftmost-greedy fold of [[contract]] — classic BPE scan semantics,
+    * including on self-overlapping runs.
     *
     * Output: one row per learned merge — rank (1-based), a, b (the merged
     * symbol pair), cnt (its frequency-weighted count at selection time). */
@@ -214,15 +227,17 @@ object Corpus {
 
   /** BPE INFERENCE: encode arbitrary (possibly unseen) words with a
     * trained ordered merge list — the tokenizer-serving shape. One
-    * rank-ordered sweep, each merge contracted to its fixed point by the
-    * boundary-space double replace, reproduces classic
-    * lowest-rank-first BPE encoding exactly: a merge's operands can only
-    * become adjacent through EARLIER merges (each operand symbol exists
-    * only via lower-rank merges — a training invariant), so by the time
-    * merge i runs, everything that could enable it already has. The merge
-    * list is driver-side (O(k) strings, the trained model); the fold
-    * compiles to a 2k-deep replace chain evaluated map-side — no joins,
-    * no shuffle beyond the caller's. Output: word, n_tokens, encoded. */
+    * rank-ordered sweep applying each merge's exact leftmost-greedy
+    * contraction ([[contract]]) — by construction the SAME discipline the
+    * trainer itself applied round by round, so inference tokenizes a
+    * training word exactly as the final training state does. (This matches
+    * classic lowest-rank-first encoding whenever a merge's operands become
+    * adjacent only through earlier merges — the usual training invariant;
+    * the rank-ordered sweep is the convention this engine pins, replayed
+    * verbatim by the oracle.) The merge list is driver-side (O(k) strings,
+    * the trained model); the fold compiles to a k-deep contraction chain
+    * evaluated map-side — no joins, no shuffle beyond the caller's.
+    * Output: word, n_tokens, encoded. */
   def bpeEncodeWords(
       words: DataFrame, wordCol: String,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
@@ -230,9 +245,7 @@ object Corpus {
       s"concat(' ', array_join(transform(sequence(1, length($wordCol)), " +
         s"i -> substr($wordCol, i, 1)), ' '), ' ')")
     val encodedSpaced = merges.sortBy(_._1).foldLeft(spaced: org.apache.spark.sql.Column) {
-      case (acc, (_, a, b, _)) =>
-        replace(replace(acc, lit(s" $a $b "), lit(s" $a$b ")),
-          lit(s" $a $b "), lit(s" $a$b "))
+      case (acc, (_, a, b, _)) => contract(acc, lit(a), lit(b))
     }
     words
       .withColumn("_enc", encodedSpaced)
@@ -281,9 +294,7 @@ object Corpus {
         val Array(a, b) = pair.split(" ", 2)
         merges += ((i, a, b, cnt))
         val next = vocab
-          .withColumn("spaced",
-            replace(replace(col("spaced"), lit(s" $a $b "), lit(s" $a$b ")),
-              lit(s" $a $b "), lit(s" $a$b ")))
+          .withColumn("spaced", contract(col("spaced"), lit(a), lit(b)))
           .persist(MEMORY_AND_DISK)
         next.count()
         vocab.unpersist()

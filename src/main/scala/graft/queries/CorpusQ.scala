@@ -26,9 +26,9 @@ object CorpusQ {
   /** k-round sequential BPE-training oracle: one (pairs → argmax →
     * contract) CTE stage per merge, replayed exactly as
     * [[graft.ops.Corpus.bpeTrainMerges]] computes it — the staged-CTE
-    * discipline the Lloyd/PQ oracles use for iterative training. The
-    * double replace per contraction is the boundary-space fixed-point
-    * trick shared with `bpe_apply_merges`. */
+    * discipline the Lloyd/PQ oracles use for iterative training. Each
+    * contraction is the exact leftmost-greedy fold ([[contractDuck]],
+    * mirroring [[graft.ops.Corpus.contract]]). */
   /** Session-scoped trained BPE model (k=8): the merge list + the
     * persisted final vocabulary state, built ONCE per (session, dir) and
     * fanned out to the train/encode/tokenize rows — the Lloyd-pipeline
@@ -61,17 +61,17 @@ object CorpusQ {
   }
 
   /** Inference oracle: the documents-trained merge chain applied, in rank
-    * order with the double-replace contraction, to the distinct words of
-    * part.p_name — an unseen domain (same fold as the `bpe_apply_merges`
-    * oracle, but with the TRAINED multi-char merge list). */
+    * order with the exact leftmost-greedy contraction fold, to the distinct
+    * words of part.p_name — an unseen domain (same fold as the
+    * `bpe_apply_merges` oracle, but with the TRAINED multi-char merge
+    * list). */
   private def bpeInferOracle(k: Int): String = {
     val chain = bpeTrainOracle(k)
     val cut = chain.lastIndexOf("SELECT CAST(rank AS INT)")
     val ranked = (1 to k)
       .map(i => s"SELECT $i AS rank, pair FROM m$i")
       .mkString("\nUNION ALL ")
-    val pat = "' ' || split_part(m, ' ', 1) || ' ' || split_part(m, ' ', 2) || ' '"
-    val rep = "' ' || split_part(m, ' ', 1) || split_part(m, ' ', 2) || ' '"
+    val con = contractDuck("s", "split_part(m, ' ', 1)", "split_part(m, ' ', 2)")
     chain.take(cut).stripTrailing() + ",\n" +
       s"""ml AS (SELECT list(pair ORDER BY rank) AS merges FROM ($ranked)),
          |iw AS (SELECT DISTINCT w AS word FROM
@@ -83,7 +83,7 @@ object CorpusQ {
          |       FROM iw),
          |ienc AS (SELECT word,
          |  trim(list_reduce(list_prepend(spaced, merges), (s, m) ->
-         |    replace(replace(s, $pat, $rep), $pat, $rep))) AS encoded
+         |    $con)) AS encoded
          |  FROM sp, ml)
          |SELECT word, CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens,
          |       encoded
@@ -107,20 +107,27 @@ object CorpusQ {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.Corpus.contract]]: exact leftmost-greedy
+    * contraction of merge (a, b) over the spaced string `s` as a
+    * `list_reduce` fold — same semantics as the Spark `aggregate` fold,
+    * including on self-overlapping runs. */
+  private def contractDuck(s: String, a: String, b: String): String =
+    s"list_reduce(list_prepend('', string_split(trim($s), ' ')), " +
+      s"(acc, t) -> CASE WHEN t = $b AND ends_with(acc, ' ' || $a) " +
+      s"THEN acc || t ELSE acc || ' ' || t END) || ' '"
+
   private def bpeTrainOracle(k: Int): String = {
     val stages = (1 to k).map { i =>
       val prev = s"e${i - 1}"
-      val pat = "' ' || split_part(pair, ' ', 1) || ' ' || " +
-        "split_part(pair, ' ', 2) || ' '"
-      val rep = "' ' || split_part(pair, ' ', 1) || " +
-        "split_part(pair, ' ', 2) || ' '"
+      val con = contractDuck("spaced",
+        "split_part(pair, ' ', 1)", "split_part(pair, ' ', 2)")
       s"""p$i AS (SELECT wc, unnest(list_transform(range(1, len(t)), j ->
          |          t[CAST(j AS INT)] || ' ' || t[CAST(j + 1 AS INT)])) AS pair
          |        FROM (SELECT wc, string_split(trim(spaced), ' ') AS t FROM $prev) x),
          |m$i AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p$i
          |        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
          |e$i AS (SELECT word, wc,
-         |          replace(replace(spaced, $pat, $rep), $pat, $rep) AS spaced
+         |          $con AS spaced
          |        FROM $prev, m$i)""".stripMargin
     }.mkString(",\n")
     val finals = (1 to k)
@@ -200,36 +207,32 @@ object CorpusQ {
              |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin)),
 
     // Apply the top-30 round-1 BPE merges to the vocabulary (rank-ordered
-    // boundary-safe double-replace contraction — see Corpus.bpeApplyMerges).
+    // exact leftmost-greedy contraction fold — see Corpus.contract).
     Q("bpe_apply_merges",
       (s, dir) =>
         Corpus.bpeApplyMerges(Catalog.load(s, dir, "documents"), "text", topN = 30)
           .orderBy("word"),
-      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-             |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM t
-             |       WHERE length(word) >= 2 GROUP BY word),
-             |p AS (SELECT wc, unnest(list_transform(range(1, length(word)),
-             |               i -> substr(word, CAST(i AS INT), 2))) AS pair
-             |      FROM wc),
-             |g AS (SELECT pair, SUM(wc) AS cnt FROM p
-             |      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 30),
-             |m AS (SELECT list(pair ORDER BY cnt DESC, pair ASC) AS merges FROM g),
-             |e AS (SELECT word, wc,
-             |        ' ' || array_to_string(list_transform(range(1, length(word)+1),
-             |                i -> substr(word, CAST(i AS INT), 1)), ' ') || ' '
-             |          AS spaced
-             |      FROM wc),
-             |enc AS (SELECT word, wc,
-             |  trim(list_reduce(list_prepend(spaced, merges), (s, m) ->
-             |    replace(replace(s,
-             |      ' ' || substr(m, 1, 1) || ' ' || substr(m, 2, 1) || ' ',
-             |      ' ' || m || ' '),
-             |      ' ' || substr(m, 1, 1) || ' ' || substr(m, 2, 1) || ' ',
-             |      ' ' || m || ' '))) AS encoded
-             |  FROM e, m)
-             |SELECT word, wc, CAST(length(word) AS INT) AS n_chars,
-             |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens, encoded
-             |FROM enc ORDER BY word""".stripMargin)),
+      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+              |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM t
+              |       WHERE length(word) >= 2 GROUP BY word),
+              |p AS (SELECT wc, unnest(list_transform(range(1, length(word)),
+              |               i -> substr(word, CAST(i AS INT), 2))) AS pair
+              |      FROM wc),
+              |g AS (SELECT pair, SUM(wc) AS cnt FROM p
+              |      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 30),
+              |m AS (SELECT list(pair ORDER BY cnt DESC, pair ASC) AS merges FROM g),
+              |e AS (SELECT word, wc,
+              |        ' ' || array_to_string(list_transform(range(1, length(word)+1),
+              |                i -> substr(word, CAST(i AS INT), 1)), ' ') || ' '
+              |          AS spaced
+              |      FROM wc),
+              |enc AS (SELECT word, wc,
+              |  trim(list_reduce(list_prepend(spaced, merges), (s, m) ->
+              |    ${contractDuck("s", "substr(m, 1, 1)", "substr(m, 2, 1)")})) AS encoded
+              |  FROM e, m)
+              |SELECT word, wc, CAST(length(word) AS INT) AS n_chars,
+              |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_tokens, encoded
+              |FROM enc ORDER BY word""".stripMargin)),
 
     // Full sequential BPE training, k=8 merges: each round counts adjacent
     // SYMBOL pairs (multi-char after round 1), takes the deterministic
@@ -251,9 +254,10 @@ object CorpusQ {
 
     // BPE INFERENCE on an UNSEEN domain: part names tokenized with the
     // documents-trained model — the tokenizer-serving shape. One
-    // rank-ordered merge sweep per word (provably ≡ lowest-rank-first BPE:
-    // a merge's operands only become adjacent through earlier merges),
-    // compiled to a map-side replace chain; no join, no shuffle.
+    // rank-ordered merge sweep per word, each merge the exact
+    // leftmost-greedy contraction the trainer itself used (classic scan
+    // semantics even on self-overlapping runs), compiled to a map-side
+    // contraction chain; no join, no shuffle.
     Q("bpe_infer_part_names",
       (s, dir) => {
         val words = Catalog.load(s, dir, "part")

@@ -45,10 +45,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
   }
 
+  test("contract is exact leftmost-greedy on self-overlapping runs (round-8 advice)") {
+    import spark.implicits._
+    // The advice counterexamples: a string double-replace of " a a " gives
+    // "aa a aa" on 'aaaaa' (it skips the occurrence whose boundary space
+    // the previous match consumed, then catches the NEXT one) and 6 tokens
+    // on 'a'*9 — classic BPE scans left to right merging at i, i+2, …:
+    // 'aa aa a' and 5 tokens. The fold must reproduce the classic scan.
+    val df = Seq("aaaaa", "aaaaaaaaa").toDF("w")
+      .withColumn("spaced", expr("concat(' ', array_join(transform(" +
+        "sequence(1, length(w)), i -> substr(w, i, 1)), ' '), ' ')"))
+      .withColumn("c", trim(Corpus.contract(col("spaced"), lit("a"), lit("a"))))
+    val got = df.select("w", "c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("aaaaa") === "aa aa a", got)
+    assert(got("aaaaaaaaa") === "aa aa aa aa a", got)
+  }
+
   test("bpeApplyMerges contracts all occurrences and preserves the word") {
     import spark.implicits._
-    // 'aaaa' forces the adjacent-occurrence case the double-replace covers:
-    // merge (a,a) must yield [aa, aa], not [aa, a, a].
+    // 'aaaa' exercises the adjacent-occurrence case: merge (a,a) must
+    // yield [aa, aa], not [aa, a, a].
     val docs = Seq("aaaa aaaa aaaa ab ab ab xy").toDF("text")
     val out = Corpus.bpeApplyMerges(docs, "text", topN = 2)
       .orderBy("word").collect()
@@ -66,8 +83,8 @@ class CorpusSpec extends SparkSpec {
   test("bpeTrainMerges learns sequential merges and stops when exhausted") {
     import spark.implicits._
     // "aaab" × 3. Round 1: pairs {a a: 6, a b: 3} → merge (a,a), every word
-    // becomes [aa, a, b] (the double-replace boundary trick: NOT [aa, aa]-
-    // style over-merge, and greedy-left like reference BPE). Round 2: tie
+    // becomes [aa, a, b] (leftmost-greedy contraction: NOT [aa, aa]-style
+    // over-merge, and greedy-left like reference BPE). Round 2: tie
     // {aa a: 3, a b: 3} → pair-asc tie-break picks (a,b) → [aa, ab].
     // Round 3: {aa ab: 3} → (aa,ab) → [aaab], a single symbol. Round 4:
     // no pairs remain → training stops early with 3 merges despite k=4.
