@@ -92,25 +92,36 @@ object Quantiles {
     finally ranked.unpersist()
   }
 
-  /** Per-group exact interpolated percentiles: one row per `groupCol` value
-    * with `p0..pk` columns. Ranks come from an ordinary window cumsum
-    * PARTITIONED BY the group (distributed across groups; the within-group
-    * sort is bounded by that group's distinct values), so no global
-    * machinery is needed — the global variant above exists precisely
-    * because dropping the partition key would funnel everything into one
-    * task. Shapes: two hash aggregates + one window + one co-partitioned
-    * join, all on the group key. */
-  def exactPercentilesByGroup(
-      df: DataFrame, groupCol: String, keyCol: String,
-      probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+  /** The shared expensive shape of the PER-GROUP percentile family — the
+    * grouped analog of [[rankedCounts]]: one (group, value) hash aggregate,
+    * a window cumsum PARTITIONED BY the group (distributed across groups;
+    * the within-group sort is bounded by that group's distinct values — no
+    * global prefix-sum machinery needed), and the per-group totals joined
+    * in, as a (groupCol, keyCol, _cnt, _cum, _start, _n) table. Like the
+    * global split, NOT persisted here: one-shot callers compose via
+    * [[exactPercentilesByGroup]]; serve-many callers session-cache the
+    * materialized table once and fan it out to every probs set (grouped
+    * reporting, grouped winsorization) — the table depends only on the
+    * data, not on which percentiles are asked of it. */
+  def groupedRankedCounts(
+      df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol), col(keyCol))
       .agg(count(lit(1)).as("_cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
-    val ranked = counts
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("_cnt")).as("_n"))
+    counts
       .withColumn("_cum", sum(col("_cnt")).over(w))
       .withColumn("_start", col("_cum") - col("_cnt"))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("_cnt")).as("_n"))
+      .join(totals, groupCol)
+  }
+
+  /** One row per group with `p0..pk` DOUBLE columns: interpolated
+    * percentiles served from a precomputed [[groupedRankedCounts]] table —
+    * one bounded hash aggregate on the group key. */
+  def percentilesByGroupFromRanked(
+      ranked: DataFrame, groupCol: String, keyCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
     val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
       val idx = s"($p * (_n - 1))"
       Seq(
@@ -118,14 +129,24 @@ object Quantiles {
           s"AND CAST(floor($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_lo$i"),
         expr(s"min(CASE WHEN _start <= CAST(ceil($idx) AS BIGINT) " +
           s"AND CAST(ceil($idx) AS BIGINT) < _cum THEN $keyCol END)").as(s"_hi$i"))
-    }
-    val brackets = ranked.join(totals, groupCol)
-      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .join(totals, groupCol)
+    } :+ min(col("_n")).as("_n")
+    val brackets = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     probs.zipWithIndex.foldLeft(brackets) { case (acc, (p, i)) =>
       acc.withColumn(s"p$i", expr(
         s"CAST(_lo$i AS DOUBLE) + (($p * (_n - 1)) - floor($p * (_n - 1))) * " +
           s"(CAST(_hi$i AS DOUBLE) - CAST(_lo$i AS DOUBLE))"))
     }.select(col(groupCol) +: probs.indices.map(i => col(s"p$i")): _*)
   }
+
+  /** Per-group exact interpolated percentiles: one row per `groupCol` value
+    * with `p0..pk` columns — the one-shot composition of
+    * [[groupedRankedCounts]] + [[percentilesByGroupFromRanked]]. The global
+    * variant above exists precisely because dropping the partition key
+    * would funnel everything into one task. Shapes: two hash aggregates +
+    * one window + one co-partitioned join, all on the group key. */
+  def exactPercentilesByGroup(
+      df: DataFrame, groupCol: String, keyCol: String,
+      probs: Seq[Double]): DataFrame =
+    percentilesByGroupFromRanked(
+      groupedRankedCounts(df, groupCol, keyCol), groupCol, keyCol, probs)
 }

@@ -66,10 +66,33 @@ object PipelineQ {
       r
     }
 
+  /** Session-scoped GROUPED ranked-cents table (l_returnflag × cents) —
+    * the per-group analog of [[centsRanks]], shared the same way: the
+    * (group, value) aggregate + partitioned window cumsum + totals join
+    * depends only on the data, so the grouped-percentile family (grouped
+    * reporting, grouped winsorization) builds it ONCE per (session, dir)
+    * and each member serves its own probs with one bounded hash aggregate
+    * on the group key. Bounded at |groups| · |distinct cents| rows. */
+  private val flagRanksCache =
+    new SessionCache[org.apache.spark.sql.DataFrame](_.unpersist())
+
+  private def flagRanks(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    flagRanksCache.getOrElseUpdate(s, dir) {
+      val cents = Catalog.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val r = Quantiles.groupedRankedCounts(cents, "l_returnflag", "cents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count() // materialize eagerly so bench attribution is honest
+      r
+    }
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq("userkey_layout" -> ((s, d) => userkeyLayout(s, d)),
-      "cents_ranks" -> ((s, d) => { centsRanks(s, d); () }))
+      "cents_ranks" -> ((s, d) => { centsRanks(s, d); () }),
+      "cents_ranks_grouped" -> ((s, d) => { flagRanks(s, d); () }))
 
   /** Shared by `events_user_features` and its bucketed-layout variant. */
   private def userFeatures(
@@ -353,6 +376,83 @@ object PipelineQ {
            |FROM a""".stripMargin
       }),
 
+    // PER-GROUP winsorization audit: p05/p95 clamps per l_returnflag, with
+    // each group's cuts served from the SHARED grouped ranked table
+    // (pipeline `cents_ranks_grouped` — the same build the grouped
+    // percentile report reads; the expensive (group, value) aggregate +
+    // partitioned cumsum runs once per session, not once per consumer).
+    // Cuts broadcast back (|groups| rows); the winsorized sum decomposes as
+    // exact-DECIMAL middle mass + clamp counts × cut values, fixed order.
+    Q("feature_winsorize_grouped",
+      (s, dir) => {
+        val cuts = Quantiles.percentilesByGroupFromRanked(
+            flagRanks(s, dir), "l_returnflag", "cents", Seq(0.05, 0.95))
+          .select(col("l_returnflag"), col("p0").as("c0"), col("p1").as("c1"))
+        Catalog.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+          .join(broadcast(cuts), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cents") < col("c0"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("cents") > col("c1"), 1L).otherwise(0L)).as("n_hi"),
+            min(col("c0") / 100.0).as("lo_cut"),
+            min(col("c1") / 100.0).as("hi_cut"),
+            Relational.sumExact(when(
+              col("cents") >= col("c0") && col("cents") <= col("c1"),
+              col("l_extendedprice"))).as("sum_mid"))
+          .withColumn("sum_winsorized",
+            col("sum_mid") + col("n_lo") * col("lo_cut") +
+              col("n_hi") * col("hi_cut"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val probs = Seq(0.05, 0.95)
+        val brackets = probs.zipWithIndex.flatMap { case (p, i) =>
+          Seq(
+            s"""MIN(CASE WHEN cum - cnt <= CAST(floor($p * (n - 1)) AS BIGINT)
+               |      AND CAST(floor($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS lo$i""".stripMargin,
+            s"""MIN(CASE WHEN cum - cnt <= CAST(ceil($p * (n - 1)) AS BIGINT)
+               |      AND CAST(ceil($p * (n - 1)) AS BIGINT) < cum
+               |      THEN cents END) AS hi$i""".stripMargin)
+        }.mkString(",\n")
+        val finals = probs.zipWithIndex.map { case (p, i) =>
+          s"CAST(lo$i AS DOUBLE) + (($p * (n - 1)) - floor($p * (n - 1))) * " +
+            s"(CAST(hi$i AS DOUBLE) - CAST(lo$i AS DOUBLE)) AS c$i"
+        }.mkString(",\n")
+        s"""WITH src AS (SELECT l_returnflag, l_extendedprice AS v,
+           |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           |             FROM lineitem),
+           |g AS (SELECT l_returnflag, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM src GROUP BY l_returnflag, cents),
+           |r AS (SELECT l_returnflag, cents, cnt,
+           |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+           |             ORDER BY cents) AS BIGINT) AS cum FROM g),
+           |t AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+           |      FROM g GROUP BY l_returnflag),
+           |bk AS (SELECT r.l_returnflag,
+           |$brackets
+           |FROM r JOIN t ON r.l_returnflag = t.l_returnflag
+           |GROUP BY r.l_returnflag),
+           |cuts AS (SELECT bk.l_returnflag,
+           |$finals
+           |FROM bk JOIN t ON bk.l_returnflag = t.l_returnflag),
+           |f AS (SELECT src.l_returnflag, src.v, src.cents, c0, c1,
+           |        c0 / 100.0 AS lo_cut, c1 / 100.0 AS hi_cut
+           |      FROM src JOIN cuts ON src.l_returnflag = cuts.l_returnflag),
+           |a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN cents < c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           |  CAST(SUM(CASE WHEN cents > c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+           |  CAST(SUM(CASE WHEN cents >= c0 AND cents <= c1
+           |           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_mid
+           |  FROM f GROUP BY l_returnflag)
+           |SELECT l_returnflag, n, n_lo, n_hi, lo_cut, hi_cut, sum_mid,
+           |  sum_mid + n_lo * lo_cut + n_hi * hi_cut AS sum_winsorized
+           |FROM a ORDER BY l_returnflag""".stripMargin
+      }),
+
     // Rolling z-score anomalies over the previous 20 events per user —
     // the flag is exact 64-bit integer-cents arithmetic (no sqrt, no float
     // accumulation): (x·n − S)² > 9·(n·Q − S²) with ≥10 events of history.
@@ -498,17 +598,15 @@ object PipelineQ {
     // Per-group distributed exact percentiles: window-cumsum ranks
     // partitioned by the group key (the partitioned form needs no global
     // prefix-sum machinery; dropping the partition is what kills it).
+    // Served from the session-cached grouped ranked table (pipeline
+    // `cents_ranks_grouped`) shared with the grouped winsorize below.
     Q("stats_percentiles_grouped",
-      (s, dir) => {
-        val cents = Catalog.load(s, dir, "lineitem")
-          .select(col("l_returnflag"),
-            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
-        Quantiles.exactPercentilesByGroup(cents, "l_returnflag", "cents",
-            Seq(0.25, 0.5, 0.9))
+      (s, dir) =>
+        Quantiles.percentilesByGroupFromRanked(
+            flagRanks(s, dir), "l_returnflag", "cents", Seq(0.25, 0.5, 0.9))
           .select(col("l_returnflag"), col("p0").as("p25_cents"),
             col("p1").as("p50_cents"), col("p2").as("p90_cents"))
-          .orderBy("l_returnflag")
-      },
+          .orderBy("l_returnflag"),
       Some {
         val probs = Seq(0.25 -> "p25_cents", 0.5 -> "p50_cents", 0.9 -> "p90_cents")
         val brackets = probs.zipWithIndex.flatMap { case ((p, _), i) =>

@@ -185,6 +185,36 @@ class PipelineSpec extends SparkSpec {
     } finally ranked.unpersist()
   }
 
+  test("grouped percentiles from a shared grouped ranked table equal the one-shot path") {
+    // Round-9: the grouped family gets the same split
+    // (groupedRankedCounts + percentilesByGroupFromRanked) so grouped
+    // reporting and grouped winsorization amortize ONE cached build; the
+    // serve must be bit-identical to exactPercentilesByGroup for every
+    // probs set, including ones the table was never "built for".
+    import graft.ops.Quantiles
+    val cents = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val ranked = Quantiles.groupedRankedCounts(cents, "l_returnflag", "cents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Seq(Seq(0.25, 0.5, 0.75), Seq(0.05, 0.95), Seq(0.5)).foreach { probs =>
+        val shared = Quantiles.percentilesByGroupFromRanked(
+          ranked, "l_returnflag", "cents", probs).orderBy("l_returnflag").collect()
+        val oneShot = Quantiles.exactPercentilesByGroup(
+          cents, "l_returnflag", "cents", probs).orderBy("l_returnflag").collect()
+        assert(shared.length === oneShot.length && shared.nonEmpty)
+        shared.zip(oneShot).foreach { case (g, w) =>
+          assert(g.getString(0) === w.getString(0))
+          probs.indices.foreach { i =>
+            assert(g.getDouble(i + 1) === w.getDouble(i + 1),
+              s"${g.getString(0)} probs=$probs p$i")
+          }
+        }
+      }
+    } finally ranked.unpersist()
+  }
+
   test("hashVectorize preserves token mass and stays within dim") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Pipeline.hashVectorize(docs, "doc_id", "text", dim = 64).persist()
