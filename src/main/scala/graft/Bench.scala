@@ -206,6 +206,45 @@ object Bench {
     recall.foreach { case (k, v) =>
       println(f"BENCH_DETAIL recall@10:$k $v%.3f")
     }
+    // RECALL/COST SWEEP (round 9): the lifecycle recall above measures ONE
+    // operating point (K=4 cells, nprobe=2, m=4, k=8 — recall ≈ 0.08 on
+    // the near-isotropic corpus), which left open whether recall is
+    // recoverable by the knobs the operator exposes. The sweep answers it
+    // with measurements: 4 points on the real corpus (nprobe 2→8, m 4→16,
+    // codebooks 8→256) and 3 on a deterministic CLUSTERED corpus where ANN
+    // structure exists to find (AnnSweep.clusteredCorpus). Large codebooks
+    // run on the data-driven join path (AnnSweep) — literal-expression
+    // centroids stop scaling at k≈16; the join trainer is pinned equal to
+    // KMeans.lloyd at small k in AnnSweepSpec.
+    val sweepResults: Seq[graft.ops.AnnSweep.SweepResult] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        import graft.ops.AnnSweep
+        import graft.ops.AnnSweep.OpPoint
+        import org.apache.spark.sql.functions.col
+        val emb = graft.engine.Catalog.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val real = AnnSweep.sweep(emb, "vec_id", "embedding", 64, Seq(
+          OpPoint("emb_np2_m4_k8", kc = 16, nprobe = 2, m = 4, k = 8),
+          OpPoint("emb_np4_m8_k64", kc = 16, nprobe = 4, m = 8, k = 64),
+          OpPoint("emb_np8_m8_k256", kc = 16, nprobe = 8, m = 8, k = 256),
+          OpPoint("emb_np8_m16_k256", kc = 16, nprobe = 8, m = 16, k = 256)))
+        val clustered = AnnSweep.sweep(
+          AnnSweep.clusteredCorpus(spark, 2000, 64, 20, 0.3),
+          "vec_id", "embedding", 64, Seq(
+            OpPoint("clu_np2_m8_k64", kc = 20, nprobe = 2, m = 8, k = 64),
+            OpPoint("clu_np4_m16_k256", kc = 20, nprobe = 4, m = 16, k = 256),
+            OpPoint("clu_np4_m32_k256", kc = 20, nprobe = 4, m = 32, k = 256)))
+        real ++ clustered
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] recall sweep failed: ${e.getMessage}")
+          Seq.empty
+      }
+    sweepResults.foreach { r =>
+      println(f"BENCH_DETAIL recall_sweep:${r.name} recall=${r.recall}%.3f " +
+        f"build_s=${r.buildS}%.2f serve_s=${r.serveS}%.2f")
+    }
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
@@ -234,8 +273,11 @@ object Bench {
         .mkString("{", ",", "}")
       val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
         .mkString("{", ",", "}")
+      val swp = sweepResults.map(r =>
+          s""""${r.name}":{"recall":${r3(r.recall)},"build_s":${r3(r.buildS)},"serve_s":${r3(r.serveS)}}""")
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
@@ -288,7 +330,15 @@ object Bench {
     // that make retrieval-quality regressions visible round-over-round.
     val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"recall_at_10":$rec,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    // recall_sweep: [recall, serve_s] per operating point (~250 chars for
+    // 7 points — build costs live in the full BENCH_OUT table). Sweep
+    // seconds are NOT in `value`: the sweep is evidence gathering, not a
+    // serving workload, and folding it in would break round-over-round
+    // total comparability.
+    val swp = sweepResults
+      .map(r => s""""${r.name}":[${r3(r.recall)},${r2(r.serveS)}]""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"recall_at_10":$rec,"recall_sweep":$swp,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
