@@ -78,18 +78,23 @@ object Bench {
     // spreads made contention visible. Computed once per query from the
     // last rep's finalized plan; cost is a string scan, not a Spark job.
     val fingerprints = scala.collection.mutable.Map.empty[String, String]
-    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    // Numeric (hx, cb) per query for the automated plan gate below.
+    val fpNums = scala.collection.mutable.Map.empty[String, graft.engine.PlanGate.Fp]
+    def fingerprint(name: String, df: org.apache.spark.sql.DataFrame): String = {
       // Serve-plan tree walk (cache boundaries excluded) — see
       // graft.engine.PlanNodes for why string-grep counting is wrong.
       val all = graft.engine.PlanNodes.serveNodes(df)
       def n(s: String) = graft.engine.PlanNodes.count(all, s)
-      s""""hashExchanges":${graft.engine.PlanNodes.hashExchanges(all)},""" +
+      val hx = graft.engine.PlanNodes.hashExchanges(all)
+      val cb = graft.engine.PlanNodes.cachedBroadcasts(all)
+      fpNums(name) = graft.engine.PlanGate.Fp(hx, cb)
+      s""""hashExchanges":$hx,""" +
         s""""broadcastHash":${n("BroadcastHashJoin")},""" +
         s""""sortMerge":${n("SortMergeJoin")},""" +
         s""""shuffledHash":${n("ShuffledHashJoin")},""" +
         s""""nestedLoop":${n("BroadcastNestedLoopJoin")},""" +
         s""""cartesian":${n("CartesianProduct")},""" +
-        s""""cachedBroadcast":${graft.engine.PlanNodes.cachedBroadcasts(all)}"""
+        s""""cachedBroadcast":$cb"""
     }
     val results: Map[String, (Double, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -101,7 +106,7 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         if (lastDf != null)
-          try fingerprints(name) = fingerprint(lastDf)
+          try fingerprints(name) = fingerprint(name, lastDf)
           catch { case _: Throwable => () }
         if (raw.exists(!_._2)) name -> (-1.0, 0.0, true)
         else {
@@ -245,6 +250,94 @@ object Bench {
       println(f"BENCH_DETAIL recall_sweep:${r.name} recall=${r.recall}%.3f " +
         f"build_s=${r.buildS}%.2f serve_s=${r.serveS}%.2f")
     }
+    // MAINTENANCE RECALL (round 9 stretch): the lifecycle rows pin
+    // appended == compacted bit-equal, but equality can't see shared
+    // decay — the delta is encoded with codebooks trained before it
+    // existed. Measure the decay at the best swept point on the clustered
+    // corpus: frozen-model append vs from-scratch retrain, both scored
+    // against exact truth on base ∪ delta (rationale + cost columns in
+    // AnnSweep.appendRecall). Base = ids < 1800 keeps every cluster
+    // represented (cluster = id % c), so the delta is new members of
+    // known cells — the daily-ingest shape.
+    val maintRecall: Option[graft.ops.AnnSweep.AppendRecall] =
+      if (only.nonEmpty) None
+      else try {
+        import org.apache.spark.sql.functions.col
+        val corpus = graft.ops.AnnSweep.clusteredCorpus(spark, 2000, 64, 20, 0.3)
+        Some(graft.ops.AnnSweep.appendRecall(
+          corpus.filter(col("vec_id") < 1800),
+          corpus.filter(col("vec_id") >= 1800),
+          "vec_id", "embedding", 64,
+          graft.ops.AnnSweep.OpPoint("clu_np4_m16_k256", kc = 20, nprobe = 4,
+            m = 16, k = 256)))
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] maintenance recall failed: ${e.getMessage}")
+          None
+      }
+    maintRecall.foreach { r =>
+      println(f"BENCH_DETAIL maint_recall:${r.name} appended=${r.appended}%.3f " +
+        f"retrained=${r.retrained}%.3f append_s=${r.appendS}%.2f retrain_s=${r.retrainS}%.2f")
+    }
+    // BPE VOCABULARY-SIZE SWEEP (round 9): SURVEY §9 claims training cost
+    // stays vocabulary-bounded as the merge count grows — until now argued
+    // from the single k=8 point the pinned rows train. Measure it: train at
+    // k ∈ {8, 32, 128} and carry (train_s, merges actually learned,
+    // corpus-weighted mean tokens/word of the final state). Monotone
+    // compression is structural (each merge only contracts — pinned in
+    // CorpusSpec); the artifact shows the COST curve: per-round cost is a
+    // bounded aggregate over the distinct-word table, so train_s should
+    // grow ~linearly in rounds, not in corpus bytes.
+    val bpeSweep: Seq[(Int, Double, Int, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        import org.apache.spark.sql.functions.expr
+        Seq(8, 32, 128).map { k =>
+          val t0 = System.nanoTime()
+          val (merges, vocab) = graft.ops.Corpus.bpeTrain(
+            graft.engine.Catalog.load(spark, sfDir, "documents"), "text", k)
+          val row = vocab.agg(
+            expr("sum(wc * size(split(trim(spaced), ' ')))"),
+            expr("sum(wc)")).head
+          val meanTok = row.getLong(0).toDouble / row.getLong(1)
+          vocab.unpersist()
+          (k, (System.nanoTime() - t0) / 1e9, merges.size, meanTok)
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] bpe sweep failed: ${e.getMessage}")
+          Seq.empty
+      }
+    bpeSweep.foreach { case (k, s, n, mt) =>
+      println(f"BENCH_DETAIL bpe_sweep:k$k train_s=$s%.2f merges=$n mean_tokens=$mt%.3f")
+    }
+    // AUTOMATED PLAN GATE (round 9): diff every row's (hashExchanges,
+    // cachedBroadcast) against the committed clean-box baseline — the diff
+    // a human did by hand when it caught basket_part_pairs. Rules and
+    // rationale in graft.engine.PlanGate; injected-regression coverage in
+    // PlanGateSpec. SPARK_GRAFT_WRITE_PLAN_BASELINE=<path> re-authors the
+    // baseline from this run (clean box only).
+    sys.env.get("SPARK_GRAFT_WRITE_PLAN_BASELINE").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        graft.engine.PlanGate.render(fpNums.toMap))
+      println(s"[bench] wrote plan baseline $p (${fpNums.size} rows)")
+    }
+    val gateViolations: Seq[String] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_BASELINE", "PLAN_BASELINE.json"))
+        if (!java.nio.file.Files.exists(p)) {
+          println(s"[bench] no plan baseline at $p - gate skipped")
+          Seq.empty
+        } else graft.engine.PlanGate.violations(fpNums.toMap,
+          graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(p)))
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] plan gate failed: ${e.getMessage}")
+          Seq.empty
+      }
+    gateViolations.foreach(v => println(s"BENCH_DETAIL plan_gate VIOLATION $v"))
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
@@ -276,8 +369,17 @@ object Bench {
       val swp = sweepResults.map(r =>
           s""""${r.name}":{"recall":${r3(r.recall)},"build_s":${r3(r.buildS)},"serve_s":${r3(r.serveS)}}""")
         .mkString("{", ",", "}")
+      val bpe = bpeSweep.map { case (k, s, n, mt) =>
+          s""""k$k":{"train_s":${r3(s)},"merges":$n,"mean_tokens":${r3(mt)}}"""
+        }.mkString("{", ",", "}")
+      def jq(s: String): String =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val gate = gateViolations.map(jq).mkString("[", ",", "]")
+      val maint = maintRecall.map(r =>
+          s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
+        .getOrElse("null")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"plan_gate_violations":$gate,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
@@ -338,7 +440,16 @@ object Bench {
     val swp = sweepResults
       .map(r => s""""${r.name}":[${r3(r.recall)},${r2(r.serveS)}]""")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"recall_at_10":$rec,"recall_sweep":$swp,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
+    // bpe_sweep: [train_s, merges, mean_tokens] per k (~120 chars).
+    val bpe = bpeSweep
+      .map { case (k, s, n, mt) => s""""k$k":[${r2(s)},$n,${r3(mt)}]""" }
+      .mkString("{", ",", "}")
+    // plan_gate: the violation COUNT rides the headline (0 = clean);
+    // messages live in BENCH_DETAIL + the full BENCH_OUT artifact.
+    // maint_recall: [appended, retrained] at the best clustered point.
+    val maint = maintRecall
+      .map(r => s"[${r3(r.appended)},${r3(r.retrained)}]").getOrElse("null")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${finalResults.size},"reps":$reps,"spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},"failed":$failedNames,"healed":$healedNames,"plan_gate_violations":${gateViolations.size},"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"pipelines":$ps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

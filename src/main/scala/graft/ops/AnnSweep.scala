@@ -274,6 +274,76 @@ object AnnSweep {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  /** Maintenance-quality measurement for one operating point. */
+  final case class AppendRecall(
+      name: String, appended: Double, retrained: Double,
+      appendS: Double, retrainS: Double)
+
+  /** Does append-then-compact PRESERVE the operating point's recall?
+    * The pinned lifecycle rows prove the appended view (base cells UNION
+    * delta cells) and the compacted rewrite serve BIT-EQUAL results — an
+    * equality that says nothing about quality: both could have decayed
+    * together, because the delta was encoded with codebooks trained before
+    * it existed. This measures that decay directly:
+    *   - `appended`: train coarse + codebooks on BASE only, encode the
+    *     delta with those FROZEN models (exactly [[PQ.writeCells]]'s
+    *     no-retrain ingest semantics), serve base∪delta, score against
+    *     the exact truth on base∪delta. Content-wise this relation IS the
+    *     compacted index, so one number covers both lifecycle states.
+    *   - `retrained`: the from-scratch index on base∪delta at the same
+    *     point — the quality ceiling maintenance gives up by not
+    *     retraining. appended ≈ retrained is the evidence that the daily
+    *     ingest path can run without a retrain; a widening gap is the
+    *     signal to schedule one (the compaction trigger a 100 TB
+    *     deployment actually needs).
+    * Cost columns ride along: appendS is delta-assign + delta-encode only
+    * (the incremental work), retrainS the full rebuild. */
+  def appendRecall(
+      base: DataFrame, delta: DataFrame, idCol: String, vecCol: String,
+      dims: Int, p: OpPoint, kTop: Int = 10,
+      coarseIters: Int = 2, pqIters: Int = 2): AppendRecall = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sub = dims / p.m
+    def build(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val (assigned, cents) = lloydJoin(vecs, idCol, vecCol, p.kc, coarseIters, dims)
+      val cp = cents.persist(MEMORY_AND_DISK); cp.count()
+      val books = trainBooksJoin(vecs, idCol, vecCol, p.m, p.k, pqIters, dims)
+      val enc = encodeJoin(assigned, idCol, vecCol, books, p.m, sub)
+        .persist(MEMORY_AND_DISK)
+      enc.count()
+      (enc, cp, books)
+    }
+    val bp = base.persist(MEMORY_AND_DISK); bp.count()
+    val dp = delta.persist(MEMORY_AND_DISK); dp.count()
+    val union = bp.unionByName(dp).persist(MEMORY_AND_DISK); union.count()
+    val probes = union.filter(col(idCol) % 100 === 0)
+    val truth = truthPairs(union, probes, idCol, vecCol, kTop)
+    def score(enc: DataFrame, cents: DataFrame, books: DataFrame): Double = {
+      val got = serveAdc(enc, cents, books, probes, idCol, vecCol,
+          p.m, sub, p.nprobe, kTop)
+        .select("q_vec", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (truth.isEmpty) 0.0 else truth.count(got).toDouble / truth.size
+    }
+    // Maintenance path: frozen base models, delta encoded without retrain.
+    val (encBase, cents, books) = build(bp)
+    val tA = System.nanoTime()
+    val encDelta = encodeJoin(assignJoin(dp, idCol, vecCol, cents),
+      idCol, vecCol, books, p.m, sub)
+    val encApp = encBase.unionByName(encDelta).persist(MEMORY_AND_DISK)
+    encApp.count()
+    val appendS = (System.nanoTime() - tA) / 1e9
+    val appended = score(encApp, cents, books)
+    // Quality ceiling: full retrain on the union at the same point.
+    val tR = System.nanoTime()
+    val (encAll, centsAll, booksAll) = build(union)
+    val retrainS = (System.nanoTime() - tR) / 1e9
+    val retrained = score(encAll, centsAll, booksAll)
+    Seq(encBase, encApp, encAll, cents, centsAll, books, booksAll,
+      bp, dp, union).foreach(_.unpersist())
+    AppendRecall(p.name, appended, retrained, appendS, retrainS)
+  }
+
   /** Run the full sweep on one corpus: for each operating point, train
     * coarse + codebooks (coarse runs shared per distinct kc), encode,
     * serve, and score recall@kTop against the one exact truth set.

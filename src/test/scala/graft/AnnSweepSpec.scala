@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{AnnSweep, KMeans}
 
-class AnnSweepSpec extends SparkSpec {
+class AnnSweepSpec extends SparkSpec with SlowSuite {
 
   private lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -64,6 +64,23 @@ class AnnSweepSpec extends SparkSpec {
       Seq(AnnSweep.OpPoint("c_np4_m16_k256", kc = 10, nprobe = 4, m = 16, k = 256)))
     assert(res.size === 1)
     assert(res.head.recall >= 0.5, s"recall=${res.head.recall}")
+  }
+
+  test("frozen-model append preserves recall within reach of a full retrain") {
+    // Maintenance-quality evidence (round-9 stretch): encoding a delta
+    // with codebooks trained BEFORE it existed must not crater recall when
+    // the delta is new members of known cells — the daily-ingest shape.
+    // Tolerance is deliberately loose (0.25 absolute): the claim under
+    // test is "no collapse without retrain", not point equality.
+    val corpus = AnnSweep.clusteredCorpus(spark, 1000, 32, 10, 0.3)
+    val r = AnnSweep.appendRecall(
+      corpus.filter(col("vec_id") < 900), corpus.filter(col("vec_id") >= 900),
+      "vec_id", "embedding", 32,
+      AnnSweep.OpPoint("spec_maint", kc = 10, nprobe = 4, m = 16, k = 256))
+    assert(r.appended >= 0.0 && r.appended <= 1.0)
+    assert(r.retrained >= 0.5, s"retrained=${r.retrained}")
+    assert(r.appended >= r.retrained - 0.25,
+      s"append collapsed: appended=${r.appended} retrained=${r.retrained}")
   }
 
   test("serve returns at most kTop ranked rows per probe with ascending adist") {

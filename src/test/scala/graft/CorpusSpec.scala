@@ -96,6 +96,29 @@ class CorpusSpec extends SparkSpec {
       (3, "aa", "ab", 3L)), got.toSeq)
   }
 
+  test("bpeTrain: larger k extends the merge list as a prefix and compresses monotonically") {
+    import spark.implicits._
+    // Greedy deterministic training means a k=6 run must begin with the
+    // k=2 run's merges verbatim (prefix property), and because every merge
+    // only CONTRACTS, the corpus-weighted mean tokens/word can only fall
+    // as k grows — the structural half of the bench's vocabulary-size
+    // sweep (the artifact carries the cost half).
+    val docs = Seq("the cat sat on the mat", "the rat ate the malt",
+      "a cat and a rat", "the cat sat still").toDF("text")
+    def meanTok(vocab: org.apache.spark.sql.DataFrame): Double = {
+      val r = vocab.agg(
+        expr("sum(wc * size(split(trim(spaced), ' ')))"), expr("sum(wc)")).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val (m2, v2) = Corpus.bpeTrain(docs, "text", 2)
+    val (m6, v6) = Corpus.bpeTrain(docs, "text", 6)
+    try {
+      assert(m6.take(m2.size) === m2, s"prefix violated: $m2 vs ${m6.take(m2.size)}")
+      assert(m6.size > m2.size)
+      assert(meanTok(v6) <= meanTok(v2), s"${meanTok(v6)} > ${meanTok(v2)}")
+    } finally { v2.unpersist(); v6.unpersist() }
+  }
+
   test("bpeEncodeWords applies trained merges in rank order to unseen words") {
     import spark.implicits._
     // Model from the trainer test: (a,a) → aa, (a,b) → ab, (aa,ab) → aaab.

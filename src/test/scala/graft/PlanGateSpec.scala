@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.PlanGate
+import graft.engine.PlanGate.Fp
+
+/** The plan-fingerprint regression gate must actually FIRE — the round-8
+  * workflow relied on a human diffing the artifact columns; these tests
+  * inject each regression class and prove the mechanical gate catches it.
+  * (Pure logic — no SparkSession.) */
+class PlanGateSpec extends AnyFunSuite {
+
+  private val baseline = Map(
+    "dedup_containment" -> Fp(3, 2),
+    "basket_part_pairs" -> Fp(2, 0),
+    "tpch_q18_bucketed" -> Fp(0, 0),
+    "plain_query" -> Fp(5, 0))
+
+  test("clean run (equal or improved fingerprints) passes") {
+    assert(PlanGate.violations(baseline, baseline).isEmpty)
+    val improved = baseline
+      .updated("dedup_containment", Fp(2, 1)) // fewer exchanges, fewer cb
+    assert(PlanGate.violations(improved, baseline).isEmpty)
+  }
+
+  test("injected cachedBroadcast rise is flagged (red test)") {
+    // The basket_part_pairs class: a query acquires a broadcast of a
+    // cached, corpus-sized relation that planner stats mis-sized.
+    val regressed = baseline.updated("basket_part_pairs", Fp(2, 1))
+    val v = PlanGate.violations(regressed, baseline)
+    assert(v.size === 1 && v.head.startsWith("basket_part_pairs: cachedBroadcast 0 -> 1"), v)
+  }
+
+  test("bucketed row acquiring a hash exchange is flagged even if baseline had one") {
+    // Rule is absolute for *_bucketed: the layout must supply the
+    // distribution; a stale baseline must not grandfather an exchange in.
+    val regressed = baseline.updated("tpch_q18_bucketed", Fp(1, 0))
+    val v = PlanGate.violations(regressed, baseline)
+    assert(v.size === 1 && v.head.startsWith("tpch_q18_bucketed:"), v)
+    val staleBaseline = baseline.updated("tpch_q18_bucketed", Fp(1, 0))
+    assert(PlanGate.violations(regressed, staleBaseline).size === 1)
+  }
+
+  test("non-bucketed hashExchange changes and new queries are not violations") {
+    val moved = baseline
+      .updated("plain_query", Fp(7, 0)) // AQE re-staging: visible, not fatal
+      .updated("brand_new_query", Fp(9, 3)) // no baseline row: coverage, not regression
+    assert(PlanGate.violations(moved, baseline).isEmpty)
+  }
+
+  test("baseline render/parse round-trips") {
+    val parsed = PlanGate.parseBaseline(PlanGate.render(baseline))
+    assert(parsed === baseline)
+  }
+}
