@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Fast inner loop (< 60 s): everything not tagged graft.Slow — the
+// streaming / training / sweep suites carry the tag via SlowSuite.
+// Full `sbt test` still runs everything.
+addCommandAlias("fastTest", "testOnly * -- -l graft.Slow")
+addCommandAlias("slowTest", "testOnly * -- -n graft.Slow")
 // Forked `run` output defaults to LoggedOutput, which prefixes every line
 // with "[info] " — that prefix breaks the driver's JSON parse of Bench's
 // final line (rounds 1-3 all landed "parsed": null with the line present

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Catalog
 import graft.ops.Relational.{charEq, charPad}
 
-class CatalogSpec extends SparkSpec {
+class CatalogSpec extends SparkSpec with SlowSuite {
 
   test("registerAllWithStats feeds row counts and column stats to the CBO") {
     Catalog.registerAllWithStats(spark, "/root/testdata/sf0.001",

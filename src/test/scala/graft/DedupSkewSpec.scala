@@ -13,7 +13,7 @@ import graft.ops.{Dedup, Similarity, Skew}
   * build a degenerate ≥1000-doc near-identical corpus and pin that every LSH
   * variant emits a candidate count bounded by bands · C(cap, 2).
   */
-class DedupSkewSpec extends SparkSpec {
+class DedupSkewSpec extends SparkSpec with SlowSuite {
 
   private val N = 1200
 

@@ -7,7 +7,7 @@ import graft.expressions.FreqSketchAggregate.heavyHitters
 /** SpaceSaving heavy-hitters aggregate: exactness below capacity, the
   * deterministic n/k capture + bound guarantees under heavy eviction and
   * distributed merge, and single-partition determinism. */
-class FreqSketchSpec extends SparkSpec {
+class FreqSketchSpec extends SparkSpec with SlowSuite {
 
   test("below capacity the sketch is exact with zero error") {
     import spark.implicits._

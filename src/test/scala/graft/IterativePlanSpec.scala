@@ -12,7 +12,7 @@ import graft.ops.Dedup
   * changes nothing about the results. The failure mode this guards —
   * driver-side planning/stack blowup at high round counts — is invisible at
   * the 3 rounds the conformance queries run. */
-class IterativePlanSpec extends SparkSpec {
+class IterativePlanSpec extends SparkSpec with SlowSuite {
 
   private def planSize(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect { case n => n }.length

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Catalog
 import graft.ops.KMeans
 
-class KMeansSpec extends SparkSpec {
+class KMeansSpec extends SparkSpec with SlowSuite {
 
   private val dir = "/root/testdata/sf0.001"
   private def vecs = Catalog.load(spark, dir, "embeddings")

@@ -9,7 +9,7 @@ import graft.ops.PQ
   * codes and read ADC distance 0 to each other), and the map-side-only
   * encode plan (no Exchange — the contract that makes PQ encoding a single
   * linear pass at 100 TB). */
-class PQSpec extends SparkSpec {
+class PQSpec extends SparkSpec with SlowSuite {
 
   private val M = 2
   private val K = 4

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Pipeline
 
-class PipelineSpec extends SparkSpec {
+class PipelineSpec extends SparkSpec with SlowSuite {
 
   test("funnel enforces strict stage ordering and deepest-stage semantics") {
     import spark.implicits._

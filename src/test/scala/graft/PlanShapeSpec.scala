@@ -9,7 +9,7 @@ import graft.engine.Catalog
   * 100 TB scale-up are visible in the physical plan — filters reaching the
   * parquet reader, column pruning, dimension broadcasts, map-side partial
   * aggregation. Pin them so a refactor can't silently regress the plan. */
-class PlanShapeSpec extends SparkSpec {
+class PlanShapeSpec extends SparkSpec with SlowSuite {
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -11,7 +11,7 @@ import graft.ops.{Packing, RangeJoin}
 /** Randomized algebraic properties of the distributed operators — the
   * ScalaCheck layer SURVEY §5 adopts in place of the reference's hand-rolled
   * randomized page/index tests. */
-class PropertySpec extends SparkSpec {
+class PropertySpec extends SparkSpec with SlowSuite {
 
   private def sample[T](g: Gen[T], seed: Long): T =
     g.apply(Gen.Parameters.default, Seed(seed)).get

@@ -8,7 +8,7 @@ import org.scalacheck.rng.Seed
 import graft.streaming.Streams
 import graft.streaming.Streams.{Session, SessionGapUs}
 
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with SlowSuite {
 
   test("sessionsOf splits at gaps > 30min and counts events") {
     val m = 60L * 1000 * 1000 // one minute in µs
