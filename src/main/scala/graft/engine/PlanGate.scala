@@ -16,7 +16,11 @@ package graft.engine
   *     sized — the OOM-at-scale class.
   *   - `*_bucketed` rows must keep ZERO hash exchanges — their whole
   *     point is that the layout supplies the distribution; any exchange
-  *     is a layout regression, baseline or not.
+  *     is a layout regression, baseline or not. The sole escape hatch is
+  *     [[bucketedDesignHx]]: a row whose DESIGNED plan includes exchanges
+  *     the layout cannot supply (a final aggregate keyed off the bucket
+  *     key) declares that count in code — exceeding it still fires, and
+  *     a stale measured baseline can never grandfather a regression in.
   *   - other `hashExchanges` changes are NOT violations (AQE may
   *     legitimately re-stage); they stay visible in the artifact diff.
   *
@@ -26,6 +30,15 @@ package graft.engine
 object PlanGate {
 
   final case class Fp(hashExchanges: Int, cachedBroadcasts: Int)
+
+  /** Bucketed rows whose designed-optimal plan needs exchanges the layout
+    * cannot supply. `tpch_q21_bucketed`: every join/DISTINCT/semi/anti in
+    * the chain keys on the orderkey and inherits the bucket distribution,
+    * but the final `groupBy(suppkey)` aggregate genuinely re-keys — one
+    * exchange, pinned by PlanShapeSpec ("bucketed q21 needs only the
+    * final suppkey aggregate's exchange"). Anything above the declared
+    * count is still a violation. */
+  val bucketedDesignHx: Map[String, Int] = Map("tpch_q21_bucketed" -> 1)
 
   private val Row =
     """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"hx"\s*:\s*(\d+)\s*,\s*"cb"\s*:\s*(\d+)\s*\}""".r
@@ -56,8 +69,10 @@ object PlanGate {
       }
     }
     val bucketedHx = current.toSeq.sortBy(_._1).collect {
-      case (name, fp) if name.endsWith("_bucketed") && fp.hashExchanges > 0 =>
-        s"$name: bucketed row has ${fp.hashExchanges} hash exchange(s)" +
+      case (name, fp) if name.endsWith("_bucketed") &&
+          fp.hashExchanges > bucketedDesignHx.getOrElse(name, 0) =>
+        s"$name: bucketed row has ${fp.hashExchanges} hash exchange(s)," +
+          s" designed ${bucketedDesignHx.getOrElse(name, 0)}" +
           " (layout regression — the bucketed scan no longer supplies the distribution)"
     }
     cbRises ++ bucketedHx

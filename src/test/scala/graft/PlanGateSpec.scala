@@ -42,6 +42,20 @@ class PlanGateSpec extends AnyFunSuite {
     assert(PlanGate.violations(regressed, staleBaseline).size === 1)
   }
 
+  test("declared design exchanges pass; exceeding the declaration fires") {
+    // tpch_q21_bucketed's final suppkey aggregate genuinely re-keys — its
+    // designed plan declares ONE exchange in PlanGate.bucketedDesignHx.
+    val withQ21 = baseline.updated("tpch_q21_bucketed", Fp(1, 0))
+    assert(PlanGate.violations(withQ21, baseline).isEmpty)
+    val regressed = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
+    val v = PlanGate.violations(regressed, baseline)
+    assert(v.size === 1 && v.head.startsWith("tpch_q21_bucketed:"), v)
+    // The declaration lives in code, not the measured baseline: a stale
+    // baseline row at 2 still cannot grandfather the second exchange in.
+    val stale = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
+    assert(PlanGate.violations(regressed, stale).size === 1)
+  }
+
   test("non-bucketed hashExchange changes and new queries are not violations") {
     val moved = baseline
       .updated("plain_query", Fp(7, 0)) // AQE re-staging: visible, not fatal
