@@ -524,6 +524,125 @@ object CorpusQ {
               |FROM sc
               |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
               |      ${bm25Term("tf3", "df3")} > 0
-              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin))
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    // vector (cosine vs probe 0's embedding) top-50 lists for one query —
+    // the fusion step of a two-tower retrieval stack. Both lists come from
+    // distributed top-k (`orderBy.limit` → TakeOrderedAndProject: per-
+    // partition partial top-k, NO global window), so ranking never funnels
+    // the corpus through one partition; ranks are then assigned on the
+    // ≤50-row results. RRF terms 1/(60+rank) are single IEEE divisions
+    // summed in fixed lex+vec order, so scores hash bit-identically.
+    // Missing-from-one-list docs contribute 0.0 for that list (full outer
+    // join on the aligned doc_id/vec_id key).
+    Q("retrieval_rrf_fusion",
+      (s, dir) => {
+        import graft.ops.Similarity
+        // lexical: the same fixed 3-term BM25 as text_bm25_topk, top 50
+        val d = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+        val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+          .groupBy("doc_id", "dl")
+          .agg(
+            sum(when(col("t") === "spark", 1L).otherwise(0L)).as("tf1"),
+            sum(when(col("t") === "vector", 1L).otherwise(0L)).as("tf2"),
+            sum(when(col("t") === "customer", 1L).otherwise(0L)).as("tf3"))
+        val stats = tf.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+        val lexTop = tf.crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+          .withColumn("score", expr(
+            s"${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} + " +
+              bm25Term("tf3", "df3")))
+          .filter(col("score") > 0)
+          .select("doc_id", "score")
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(50)
+        val lexRanked = lexTop.withColumn("lex_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)))
+          .select("doc_id", "lex_rank")
+        // vector: cosine of every other embedding vs vec 0's, top 50 —
+        // codegen'd DotProduct + precomputed norms (the knnBruteForce
+        // shape: one dot per pair, not three lambda folds)
+        val e = Catalog.load(s, dir, "embeddings")
+        val probe = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"),
+            Similarity.norm(col("embedding")).as("q_nrm")))
+        val vecTop = e.filter(col("vec_id") =!= 0)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+          .crossJoin(probe)
+          .withColumn("cos",
+            graft.expressions.DotProduct.dot(col("q_emb"), col("embedding")) /
+              (col("q_nrm") * col("nrm")))
+          .select("vec_id", "cos")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(50)
+        val vecRanked = vecTop.withColumn("vec_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+          .select(col("vec_id"), col("vec_rank"))
+        lexRanked.join(vecRanked, lexRanked("doc_id") === vecRanked("vec_id"),
+            "full_outer")
+          .select(
+            coalesce(lexRanked("doc_id"), vecRanked("vec_id")).as("doc_id"),
+            col("lex_rank"), col("vec_rank"),
+            (coalesce(expr("1.0 / (60.0 + CAST(lex_rank AS DOUBLE))"), lit(0.0)) +
+              coalesce(expr("1.0 / (60.0 + CAST(vec_rank AS DOUBLE))"), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |tf AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM d),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |       FROM tf),
+              |sc AS (SELECT doc_id,
+              |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+              |         dl, tf1, tf2, tf3, n_docs, df1, df2, df3
+              |       FROM tf, st),
+              |lex AS (SELECT doc_id,
+              |          ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |          ${bm25Term("tf3", "df3")} AS score
+              |        FROM sc
+              |        WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |              ${bm25Term("tf3", "df3")} > 0
+              |        ORDER BY score DESC, doc_id ASC LIMIT 50),
+              |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+              |           ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+              |         FROM lex),
+              |q AS (SELECT embedding AS q_emb,
+              |        ${graft.ops.Similarity.normDuck("embedding")} AS q_nrm
+              |      FROM embeddings WHERE vec_id = 0),
+              |en AS (SELECT vec_id, embedding,
+              |         ${graft.ops.Similarity.normDuck("embedding")} AS nrm
+              |       FROM embeddings WHERE vec_id <> 0),
+              |vt AS (SELECT vec_id,
+              |         ${graft.ops.Similarity.dotDuck("q_emb", "embedding")} / (q_nrm * nrm) AS cos
+              |       FROM en, q
+              |       ORDER BY cos DESC, vec_id ASC LIMIT 50),
+              |vecr AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (
+              |           ORDER BY cos DESC, vec_id ASC) AS INT) AS vec_rank
+              |         FROM vt)
+              |SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
+              |  lex_rank, vec_rank,
+              |  COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0) +
+              |  COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+              |FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.vec_id
+              |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }
