@@ -296,6 +296,53 @@ object SimilarityQ {
               |                                ORDER BY cos DESC, neighbor ASC) AS rank
               |      FROM scored)
               |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
+              |ORDER BY q_vec, rank""".stripMargin)),
+
+    // The serve path in STREAMING form — online retrieval: query vectors
+    // arrive as a stream, each microbatch probes the persisted IVF index
+    // (Streams.annServeSink → knnIvfPersisted: reps broadcast, cell join
+    // partition-pruned), hits land as idempotent batch=<id> dirs.
+    // AvailableNow with no maxFilesPerTrigger drains in ONE microbatch, so
+    // the read-back equals the batch serve and the oracle is
+    // ann_ivf_persisted's identical SQL.
+    Q("stream_ann_serve",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sann").toString
+        Similarity.writeIvfIndex(Catalog.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", s"$tmp/index")
+        val probes = graft.streaming.Streams.tableStream(s, dir, "embeddings")
+          .filter(col("vec_id") % 100 === 0)
+          .select("vec_id", "embedding")
+        graft.streaming.Streams.annServeSink(probes, s"$tmp/index",
+            s"$tmp/hits", "vec_id", "embedding", "label", nprobe = 2, k = 10)
+          .awaitTermination()
+        s.read.parquet(s"$tmp/hits")
+          .select("q_vec", "rank", "neighbor", "cos")
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |                  ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |reps AS (SELECT label AS rep_label, embedding AS rep_emb FROM (
+              |    SELECT label, embedding,
+              |           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              |    FROM embeddings) x WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |pp AS (SELECT q_vec, q_emb, q_nrm, rep_label FROM (
+              |    SELECT q_vec, q_emb, q_nrm, rep_label,
+              |           ROW_NUMBER() OVER (PARTITION BY q_vec
+              |               ORDER BY ${cosDuck("q_emb", "rep_emb")} DESC, rep_label ASC) AS pr
+              |    FROM q, reps) y WHERE pr <= 2),
+              |scored AS (SELECT pp.q_vec, e.vec_id AS neighbor,
+              |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
+              |           FROM e JOIN pp ON e.label = pp.rep_label AND e.vec_id <> pp.q_vec),
+              |r AS (SELECT q_vec, neighbor, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                                ORDER BY cos DESC, neighbor ASC) AS rank
+              |      FROM scored)
+              |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
               |ORDER BY q_vec, rank""".stripMargin))
   )
 }

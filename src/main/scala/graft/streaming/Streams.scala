@@ -336,6 +336,30 @@ object Streams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming ANN serve — online retrieval: each microbatch of query
+    * vectors probes the DISK-persisted IVF index
+    * ([[graft.ops.Similarity.writeIvfIndex]]) via
+    * [[graft.ops.Similarity.knnIvfPersisted]] (representatives broadcast,
+    * cell join partition-pruned to the probed cells), and its top-k hits
+    * land as an idempotent `batch=<id>` parquet dir — a replayed batch
+    * rewrites exactly itself. The index is a build-job artifact the serve
+    * stream only reads; at 100 TB the per-batch work is |batch|·nprobe
+    * pruned cell scans, never a full-index pass. */
+  def annServeSink(
+      stream: DataFrame, indexPath: String, outPath: String,
+      idCol: String, vecCol: String, labelCol: String, nprobe: Int, k: Int,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val hits = graft.ops.Similarity.knnIvfPersisted(
+          batch.sparkSession, indexPath, batch.toDF(),
+          idCol, vecCol, labelCol, nprobe, k)
+        writeBatch(hits, outPath, id)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** The same session state machine on Spark 4's MODERN arbitrary-state API
     * (`transformWithState`): explicit typed state handles (ListState event
     * buffer + ValueState armed-timer) and event-time timers, instead of the

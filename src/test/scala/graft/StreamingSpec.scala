@@ -245,6 +245,61 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(kept.toSeq === Seq(0L, 11L, 21L))
   }
 
+  test("streaming ANN serve across microbatches equals the one-shot batch serve") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sann_spec")
+    val src = root.resolve("src"); val staged = root.resolve("staged")
+    java.nio.file.Files.createDirectories(src)
+    // 20 corpus vectors in 4 labelled cells, deterministic coords
+    val vecs = (0L until 20L).map(i => (i,
+      Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat),
+      (i % 4).toInt)).toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label",
+      root.toString + "/index")
+
+    def addFile(tag: String, ids: Seq[Long], mtime: Long): Unit = {
+      val tmp = staged.resolve(tag).toString
+      vecs.filter(col("vec_id").isin(ids: _*)).select("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, src.resolve(s"$tag.parquet"))
+      java.nio.file.Files.setLastModifiedTime(src.resolve(s"$tag.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    addFile("a", Seq(0L, 5L), 1000000)
+    addFile("b", Seq(10L, 15L), 2000000)
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    Streams.annServeSink(stream, root.toString + "/index",
+        root.toString + "/hits", "vec_id", "embedding", "label",
+        nprobe = 2, k = 3)
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(root.toString + "/hits")
+      .select("q_vec", "rank", "neighbor", "cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val oneShot = graft.ops.Similarity.knnIvfPersisted(spark,
+        root.toString + "/index",
+        vecs.filter(col("vec_id").isin(0L, 5L, 10L, 15L)),
+        "vec_id", "embedding", "label", nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.nonEmpty && streamed.toSeq === oneShot.toSeq)
+    // two microbatches → two idempotent batch dirs
+    assert(new java.io.File(root.toString + "/hits").listFiles()
+      .count(_.getName.startsWith("batch=")) === 2)
+  }
+
   test("RocksDB state store yields identical windowed aggregates") {
     val dir = "/root/testdata/sf0.001"
     val default = Streams.tumblingAgg(spark, dir).collect().map(_.toSeq).toSeq
