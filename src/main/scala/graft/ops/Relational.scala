@@ -126,6 +126,25 @@ object Relational {
       latest.filter(col(opCol).isin("I", "U")).drop(opCol))
   }
 
+  /** Incremental materialized-view refresh by AFFECTED GROUPS: recompute
+    * `aggregate` only for group keys the delta touched; every other MV row
+    * carries over verbatim (anti join), and groups whose last base row was
+    * deleted vanish naturally — the recompute emits no row for them.
+    * `touchedKeys` is delta-bounded, so both probes broadcast when the
+    * delta is small, and at 100 TB the semi join prunes the base scan to
+    * the affected groups when the base is bucketed/partitioned on the key
+    * — the MV (same scale as the key domain) is never re-aggregated. The
+    * caller must pass EVERY key a delta row can affect (for group-moving
+    * updates: both the old and new key). */
+  def refreshAffectedGroups(
+      mv: DataFrame, updatedBase: DataFrame, touchedKeys: DataFrame,
+      keyCol: String)(aggregate: DataFrame => DataFrame): DataFrame = {
+    val touched = touchedKeys.select(keyCol).distinct()
+    mv.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(aggregate(
+        updatedBase.join(touched, Seq(keyCol), "left_semi")))
+  }
+
   /** Small-file compaction: rewrite the table into `numFiles` parquet files
     * sorted by `sortCols` within each file — restores scan efficiency after
     * many small appends and maximizes row-group min/max skipping for range

@@ -411,6 +411,53 @@ object StreamQ {
              |FROM customer WHERE c_custkey % 10 = 2
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Incremental MV maintenance, affected-groups form: a per-customer
+    // revenue aggregate is refreshed after a CDC delta (deletes/updates/
+    // inserts on orders) by recomputing ONLY the touched customer groups
+    // and carrying every other MV row over verbatim — the oracle is the
+    // FULL recompute over the delta-applied base, so a stale, duplicated,
+    // or ghost-deleted group hash-mismatches. The delta is key-bounded:
+    // both the anti and semi probes broadcast at scale, and the MV itself
+    // is never re-aggregated.
+    Q("mv_affected_group_refresh",
+      (s, dir) => {
+        val o = Catalog.load(s, dir, "orders")
+        def log(df: org.apache.spark.sql.DataFrame, op: String, seq: Long) =
+          df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+        val changelog =
+          log(o.filter(col("o_orderkey") % 50 === 0), "D", 1L)
+            .unionByName(log(o.filter(col("o_orderkey") % 50 === 1)
+              .withColumn("o_totalprice", col("o_totalprice") + 10.0), "U", 1L))
+            .unionByName(log(o.filter(col("o_orderkey") % 50 === 2)
+              .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+              .withColumn("o_totalprice",
+                (col("o_custkey") % 500).cast("double")), "I", 1L))
+        val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.groupBy("o_custkey").agg(
+            count(lit(1)).as("n_orders"),
+            graft.ops.Relational.sumExact(col("o_totalprice")).as("revenue"),
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order"))
+        val updated = graft.ops.Relational.applyCdc(
+          o, changelog, "o_orderkey", "op", "seq")
+        graft.ops.Relational.refreshAffectedGroups(
+            agg(o), updated, changelog.select("o_custkey"), "o_custkey")(agg)
+          .orderBy("o_custkey")
+      },
+      Some("""WITH nb AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 50 = 1 THEN o_totalprice + 10.0
+             |         ELSE o_totalprice END AS o_totalprice,
+             |    o_orderdate
+             |  FROM orders WHERE o_orderkey % 50 <> 0
+             |  UNION ALL
+             |  SELECT o_custkey, CAST(o_custkey % 500 AS DOUBLE), o_orderdate
+             |  FROM orders WHERE o_orderkey % 50 = 2)
+             |SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+             |FROM nb GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",

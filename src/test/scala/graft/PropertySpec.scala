@@ -248,6 +248,52 @@ class PropertySpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("refreshAffectedGroups equals full recompute on random CDC deltas") {
+    import spark.implicits._
+    import graft.ops.Relational
+    import org.apache.spark.sql.DataFrame
+    // rows (id, grp, v); deltas may delete a group's LAST row, insert into
+    // brand-new groups, and update values — all three must land.
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      base <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 59L); g <- Gen.chooseNum(0L, 7L)
+        v <- Gen.chooseNum(0L, 99L)
+      } yield (id, g, v)).map(_.distinctBy(_._1))
+      m <- Gen.chooseNum(1, 15)
+      log <- Gen.listOfN(m, for {
+        id <- Gen.chooseNum(0L, 79L) // ids 60-79: inserts into new groups
+        op <- Gen.oneOf("I", "U", "D")
+        g <- Gen.chooseNum(0L, 9L)   // groups 8-9 only reachable via delta
+        v <- Gen.chooseNum(0L, 99L)
+      } yield (id, g, v, op))
+    } yield (base, log)
+    val agg: DataFrame => DataFrame =
+      df => df.groupBy("grp").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("v")).as("mx"))
+    for (seed <- 1 to 20) {
+      val (base, log) = sample(gen, seed.toLong)
+      val snapshot = base.toDF("id", "grp", "v")
+      val changelog = log.zipWithIndex
+        .map { case ((id, g, v, op), i) => (id, g, v, op, i.toLong) }
+        .toDF("id", "grp", "v", "op", "seq")
+      val updated = Relational.applyCdc(snapshot, changelog, "id", "op", "seq")
+      // touched keys: every group a delta row names PLUS the base group of
+      // every delta'd id (an update can move a row between groups)
+      val touched = changelog.select("grp").unionByName(
+        snapshot.join(changelog.select("id"), Seq("id"), "left_semi")
+          .select("grp"))
+      val got = Relational
+        .refreshAffectedGroups(agg(snapshot), updated, touched, "grp")(agg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = agg(updated)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("exactPercentiles equals the interpolated order statistic on random data") {
     import spark.implicits._
     import graft.ops.Quantiles
