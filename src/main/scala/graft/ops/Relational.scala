@@ -126,6 +126,35 @@ object Relational {
       latest.filter(col(opCol).isin("I", "U")).drop(opCol))
   }
 
+  /** Generate the CDC changelog BETWEEN two snapshots — the table-diff
+    * inverse of [[applyCdc]]: keys only in `after` emit I, keys only in
+    * `before` emit D (carrying the before-values), keys in both whose
+    * non-key columns differ (null-safely) emit U; identical rows emit
+    * nothing. `applyCdc(before, snapshotDiff(before, after), ...)` equals
+    * `after` — the round-trip PropertySpec pins. One full-outer join on
+    * the key; at 100 TB both sides shuffle once on the key (or not at all
+    * when both snapshots are bucketed on it). */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame, keyCol: String,
+      seq: Long = 1L): DataFrame = {
+    val cols = after.columns
+    val b = before.select(cols.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+    val joined = after.join(b,
+      after(keyCol) === col(s"_b_$keyCol"), "full_outer")
+    val changed = cols.filterNot(_ == keyCol)
+      .map(c => !(after(c) <=> col(s"_b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val isD = after(keyCol).isNull
+    val op = when(col(s"_b_$keyCol").isNull, "I")
+      .when(isD, "D")
+      .when(changed, "U")
+    joined
+      .withColumn("op", op).filter(col("op").isNotNull)
+      .select(cols.map(c =>
+          when(isD, col(s"_b_$c")).otherwise(after(c)).as(c)).toSeq
+        ++ Seq(col("op"), lit(seq).as("seq")): _*)
+  }
+
   /** Incremental materialized-view refresh by AFFECTED GROUPS: recompute
     * `aggregate` only for group keys the delta touched; every other MV row
     * carries over verbatim (anti join), and groups whose last base row was

@@ -440,6 +440,38 @@ object StreamQ {
              |FROM customer WHERE c_custkey % 10 = 2
              |ORDER BY c_custkey""".stripMargin)),
 
+    // CDC GENERATION — snapshot diff, the inverse of s11_cdc_apply: two
+    // table versions full-outer-joined on the key, classified I (after
+    // only) / D (before only, carrying before-values) / U (non-key columns
+    // differ null-safely); identical rows emit nothing. The round-trip
+    // applyCdc(before, snapshotDiff(before, after)) == after is pinned in
+    // PropertySpec.
+    Q("s12_snapshot_diff",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "customer")
+        val after = c.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 1, col("c_acctbal") + 50.0)
+              .otherwise(col("c_acctbal")))
+          .unionByName(c.filter(col("c_custkey") % 7 === 2)
+            .withColumn("c_custkey", col("c_custkey") + 500000L))
+        graft.ops.Relational.snapshotDiff(c, after, "c_custkey")
+          .drop("seq")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |       c_mktsegment, 'D' AS op
+             |FROM customer WHERE c_custkey % 7 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.0,
+             |       c_mktsegment, 'U'
+             |FROM customer WHERE c_custkey % 7 = 1
+             |UNION ALL
+             |SELECT c_custkey + 500000, c_name, c_nationkey, c_acctbal,
+             |       c_mktsegment, 'I'
+             |FROM customer WHERE c_custkey % 7 = 2
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Incremental MV maintenance, affected-groups form: a per-customer
     // revenue aggregate is refreshed after a CDC delta (deletes/updates/
     // inserts on orders) by recomputing ONLY the touched customer groups

@@ -248,6 +248,40 @@ class PropertySpec extends SparkSpec with SlowSuite {
     }
   }
 
+  test("snapshotDiff round-trips: applyCdc(before, diff(before, after)) == after") {
+    import spark.implicits._
+    import graft.ops.Relational
+    // random before/after snapshots sharing a key space; values may be
+    // null (the U classification must be null-safe)
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 29L)
+      v <- Gen.option(Gen.chooseNum(0L, 9L))
+      s <- Gen.oneOf("x", "y", "z")
+    } yield (k, v, s)
+    val gen = for {
+      nb <- Gen.chooseNum(0, 25); na <- Gen.chooseNum(0, 25)
+      before <- Gen.listOfN(nb, rowGen).map(_.distinctBy(_._1))
+      after <- Gen.listOfN(na, rowGen).map(_.distinctBy(_._1))
+    } yield (before, after)
+    for (seed <- 1 to 20) {
+      val (beforeRows, afterRows) = sample(gen, seed.toLong)
+      val before = beforeRows.toDF("k", "v", "s")
+      val after = afterRows.toDF("k", "v", "s")
+      val diff = Relational.snapshotDiff(before, after, "k")
+      val roundTrip = Relational.applyCdc(before, diff, "k", "op", "seq")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+        .toSet
+      val want = afterRows.map { case (k, v, s) => (k, v.map(_.asInstanceOf[Any]), s) }.toSet
+      assert(roundTrip == want, s"seed=$seed")
+      // no-op rows emit nothing: diff size == |I| + |D| + |changed U|
+      val bm = beforeRows.map(r => r._1 -> r).toMap
+      val am = afterRows.map(r => r._1 -> r).toMap
+      val expectOps = am.count { case (k, r) => bm.get(k).forall(_ != r) } +
+        bm.count { case (k, _) => !am.contains(k) }
+      assert(diff.count() === expectOps, s"seed=$seed diff-size")
+    }
+  }
+
   test("refreshAffectedGroups equals full recompute on random CDC deltas") {
     import spark.implicits._
     import graft.ops.Relational
