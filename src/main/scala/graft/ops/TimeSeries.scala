@@ -63,28 +63,4 @@ object TimeSeries {
             "CAST(_nt - _pt AS DOUBLE))")))
       .drop("_pt", "_pv", "_nt", "_nv")
   }
-
-  /** Downsample a (key, bucket, ts, value) series to per-(key, bucket)
-    * OHLC bars: open/close are the first/last value by (ts, id) within
-    * the bucket — the unique-id tie-break keeps duplicate timestamps
-    * deterministic — high/low are min/max, `n_events` the bar size. One
-    * shuffle on (key, bucket): both row_number windows and the final
-    * aggregate share its partitioning, and no float is ever summed, so
-    * every output is an input value or a count (engine-exact). */
-  def downsampleOhlc(df: DataFrame, keyCol: String, bucketCol: String,
-      tsCol: String, idCol: String, valueCol: String): DataFrame = {
-    val p = Window.partitionBy(col(keyCol), col(bucketCol))
-    df
-      .withColumn("_ra",
-        row_number().over(p.orderBy(col(tsCol).asc, col(idCol).asc)))
-      .withColumn("_rd",
-        row_number().over(p.orderBy(col(tsCol).desc, col(idCol).desc)))
-      .groupBy(col(keyCol), col(bucketCol))
-      .agg(
-        count(lit(1)).as("n_events"),
-        max(when(col("_ra") === 1, col(valueCol))).as("open"),
-        max(col(valueCol)).as("high"),
-        min(col(valueCol)).as("low"),
-        max(when(col("_rd") === 1, col(valueCol))).as("close"))
-  }
 }

@@ -314,35 +314,6 @@ object StreamQ {
              |  observed
              |FROM b ORDER BY user_id, h""".stripMargin)),
 
-    // OHLC downsampling: per-(user, hour) open/high/low/close bars — the
-    // telemetry/metrics rollup. Open/close are first/last by (ts,
-    // event_id) so duplicate timestamps stay deterministic; no float is
-    // ever summed (every output is an input value or a count), so bars
-    // hash engine-exact.
-    Q("ts_downsample_ohlc",
-      (s, dir) =>
-        graft.ops.TimeSeries.downsampleOhlc(
-            Catalog.load(s, dir, "events")
-              .withColumn("h", unix_micros(date_trunc("hour", col("ts"))))
-              .withColumn("ts_us", unix_micros(col("ts"))),
-            "user_id", "h", "ts_us", "event_id", "value")
-          .orderBy("user_id", "h"),
-      Some("""WITH e AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h,
-             |                  epoch_us(ts) AS ts_us, event_id, value
-             |           FROM events),
-             |r AS (SELECT user_id, h, value,
-             |        ROW_NUMBER() OVER (PARTITION BY user_id, h
-             |            ORDER BY ts_us ASC, event_id ASC) AS ra,
-             |        ROW_NUMBER() OVER (PARTITION BY user_id, h
-             |            ORDER BY ts_us DESC, event_id DESC) AS rd
-             |      FROM e)
-             |SELECT user_id, h, COUNT(*) AS n_events,
-             |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
-             |  MAX(value) AS high, MIN(value) AS low,
-             |  MAX(CASE WHEN rd = 1 THEN value END) AS close
-             |FROM r GROUP BY user_id, h
-             |ORDER BY user_id, h""".stripMargin)),
-
     // Current EWMA per entity (α = 1/2): the serving-side smoothed metric.
     // The recurrence runs in fixed-point integer cents with floor division
     // — floor((acc + x) / 2), spelled shiftright in Spark and // in DuckDB
