@@ -66,8 +66,11 @@ object ScaleSweep {
     "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
-    "rfm_segmentation", "sample_bottomk", "scd2_user_state",
+    "mv_affected_group_refresh", "retrieval_rrf_fusion",
+    "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
+    "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
+    "stream_ann_serve",
     "stream_stream_join", "stream_dedup_events",
     "stream_incremental_dedup_sink",
     "sql_lateral_topk", "sql_variant_extract",
@@ -94,6 +97,10 @@ object ScaleSweep {
     "events_user_features_bucketed",
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
     "islands_error_streaks",
+    // MV refresh / snapshot diff / RRF: delta-bounded probes, one
+    // full-outer key join, and fixed-size top-k lists respectively — all
+    // linear work with linear (or constant) output under replication.
+    "mv_affected_group_refresh", "retrieval_rrf_fusion", "s12_snapshot_diff",
     "pack_sequences", "rfm_segmentation", "sample_bottomk",
     "sample_cluster_quota",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
