@@ -188,7 +188,7 @@ object Relational {
     }
 
   /** Rewrite-and-swap for DML on immutable Parquet. */
-  private def copyOnWrite(
+  private[graft] def copyOnWrite(
       spark: SparkSession, tablePath: String)(f: DataFrame => DataFrame): Unit = {
     val next = f(spark.read.parquet(tablePath))
     val tmp = tablePath + ".cow"

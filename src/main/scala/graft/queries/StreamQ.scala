@@ -490,6 +490,40 @@ object StreamQ {
              |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
              |FROM nb GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // The MV maintenance loop in STREAMING form: the base is seeded with
+    // 4/5 of the events and its per-user aggregate written as the MV;
+    // the remaining events stream through Streams.mvRefreshSink, which
+    // appends each microbatch to the base and refreshes ONLY the touched
+    // user groups (untouched MV rows carry over verbatim through the
+    // rewrite-and-swap). After the drain the MV must equal the full
+    // aggregate over ALL events — the oracle.
+    Q("stream_mv_refresh",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_smv").toString
+        val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            graft.ops.Relational.sumExact(col("value")).as("sum_value"),
+            max(col("event_id")).as("last_event"))
+        val cols = Seq("event_id", "user_id", "value")
+        Streams.writeBatch(
+          Catalog.load(s, dir, "events")
+            .filter(col("user_id") % 5 =!= 0).select(cols.map(col): _*),
+          s"$root/base", -1L)
+        agg(s.read.parquet(s"$root/base")).write.parquet(s"$root/mv")
+        val stream = Streams.tableStream(s, dir, "events")
+          .filter(col("user_id") % 5 === 0).select(cols.map(col): _*)
+        Streams.mvRefreshSink(stream, s"$root/base", s"$root/mv",
+            "user_id", agg)
+          .awaitTermination()
+        s.read.parquet(s"$root/mv").orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MAX(event_id) AS last_event
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",

@@ -336,6 +336,38 @@ object Streams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming incrementally-maintained aggregate (MV) sink: each
+    * microbatch of new base rows appends as an idempotent `batch=<id>`
+    * dir, then the MV at `mvPath` refreshes by AFFECTED GROUPS only
+    * ([[graft.ops.Relational.refreshAffectedGroups]]): groups the batch
+    * touches are re-aggregated from the accumulated base, every other MV
+    * row carries over VERBATIM through the rewrite-and-swap. Seed
+    * `baseDir` (any `batch=*` dir) and `mvPath` (the seed's aggregate)
+    * before starting. Replay is idempotent: the batch dir overwrites
+    * itself and the refresh re-derives the same MV from the same base. At
+    * 100 TB untouched MV rows cost IO only, never re-aggregation — with
+    * the MV key-partitioned on disk, only affected partitions rewrite. */
+  def mvRefreshSink(
+      stream: DataFrame, baseDir: String, mvPath: String, keyCol: String,
+      aggregate: DataFrame => DataFrame,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().persist()
+        try {
+          writeBatch(b, baseDir, id)
+          val base = s.read.parquet(baseDir)
+          graft.ops.Relational.copyOnWrite(s, mvPath) { mv =>
+            graft.ops.Relational.refreshAffectedGroups(
+              mv, base, b.select(keyCol), keyCol)(aggregate)
+          }
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming ANN serve — online retrieval: each microbatch of query
     * vectors probes the DISK-persisted IVF index
     * ([[graft.ops.Similarity.writeIvfIndex]]) via

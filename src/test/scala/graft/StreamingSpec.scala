@@ -245,6 +245,56 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(kept.toSeq === Seq(0L, 11L, 21L))
   }
 
+  test("streaming MV refresh across microbatches equals the full aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_smv_spec")
+    val src = root.resolve("src"); val staged = root.resolve("staged")
+    java.nio.file.Files.createDirectories(src)
+    val agg: DataFrame => DataFrame =
+      df => df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // seed: keys 0..2
+    val seed = Seq((0L, 0L, 10L), (1L, 1L, 20L), (2L, 2L, 30L))
+      .toDF("id", "k", "v")
+    Streams.writeBatch(seed, root.toString + "/base", -1L)
+    agg(spark.read.parquet(root.toString + "/base"))
+      .write.parquet(root.toString + "/mv")
+
+    def addFile(tag: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = staged.resolve(tag).toString
+      rows.toDF("id", "k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, src.resolve(s"$tag.parquet"))
+      java.nio.file.Files.setLastModifiedTime(src.resolve(s"$tag.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch a touches existing key 1 and new key 7; batch b touches key 7
+    // again (must see batch a's rows in the accumulated base) and key 0
+    addFile("a", Seq((10L, 1L, 5L), (11L, 7L, 1L)), 1000000)
+    addFile("b", Seq((12L, 7L, 2L), (13L, 0L, 4L)), 2000000)
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    Streams.mvRefreshSink(stream, root.toString + "/base",
+        root.toString + "/mv", "k", agg)
+      .awaitTermination()
+
+    val got = spark.read.parquet(root.toString + "/mv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full aggregate over seed + both batches
+    val want = Set((0L, 2L, 14L), (1L, 2L, 25L), (2L, 1L, 30L), (7L, 2L, 3L))
+    assert(got === want)
+  }
+
   test("streaming ANN serve across microbatches equals the one-shot batch serve") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sann_spec")
