@@ -70,7 +70,7 @@ object ScaleSweep {
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
     "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
-    "stream_ann_serve",
+    "stream_ann_serve", "stream_mv_refresh",
     "stream_stream_join", "stream_dedup_events",
     "stream_incremental_dedup_sink",
     "sql_lateral_topk", "sql_variant_extract",
@@ -109,7 +109,7 @@ object ScaleSweep {
     // buffers / dedup keys expire), so 100x grows data volume, not
     // retained state. The incremental-dedup sink stays 10x-only — its
     // within-batch pair mining is quadratic in clone families.
-    "stream_stream_join", "stream_dedup_events",
+    "stream_stream_join", "stream_dedup_events", "stream_mv_refresh",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "text_quality", "text_token_count", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
