@@ -524,6 +524,43 @@ object StreamQ {
              |  MAX(event_id) AS last_event
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // The partitioned-MV variant: the aggregate lives bucket-partitioned
+    // on disk (mv_bucket = pmod(hash(key), 16)) and each microbatch
+    // rewrites ONLY the bucket partitions its keys touch via dynamic
+    // partition overwrite — untouched buckets are neither read nor
+    // rewritten (file-level pin in StreamingSpec). Same full-aggregate
+    // oracle as the whole-MV form.
+    Q("stream_mv_refresh_partitioned",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_smvp").toString
+        val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            graft.ops.Relational.sumExact(col("value")).as("sum_value"),
+            max(col("event_id")).as("last_event"))
+        val cols = Seq("event_id", "user_id", "value")
+        Streams.writeBatch(
+          Catalog.load(s, dir, "events")
+            .filter(col("user_id") % 5 =!= 0).select(cols.map(col): _*),
+          s"$root/base", -1L)
+        agg(s.read.parquet(s"$root/base"))
+          .withColumn("mv_bucket", Streams.mvBucket(col("user_id"), 16))
+          .write.partitionBy("mv_bucket").parquet(s"$root/mv")
+        val stream = Streams.tableStream(s, dir, "events")
+          .filter(col("user_id") % 5 === 0).select(cols.map(col): _*)
+        Streams.mvRefreshSinkPartitioned(stream, s"$root/base", s"$root/mv",
+            "user_id", 16, agg)
+          .awaitTermination()
+        s.read.parquet(s"$root/mv")
+          .select("user_id", "n_events", "sum_value", "last_event")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MAX(event_id) AS last_event
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // S-UPDATE (parser/UpdateQuery.java — parsed, never executed by the
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",

@@ -368,6 +368,49 @@ object Streams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** [[mvRefreshSink]] with a KEY-PARTITIONED MV: the aggregate is stored
+    * partitioned by `mv_bucket = pmod(hash(key), buckets)` and each
+    * microbatch rewrites ONLY the bucket partitions its keys touch
+    * (dynamic partition overwrite) — untouched buckets are not even read,
+    * let alone rewritten, closing [[mvRefreshSink]]'s whole-MV-IO gap. Per
+    * batch: affected buckets ≤ min(buckets, |batch keys|) (a bounded
+    * driver collect of bucket ids, ≤ `buckets` longs), every group inside
+    * an affected bucket re-aggregates from the base pruned to those
+    * buckets. Seed the MV with the same bucket column
+    * ([[mvBucket]]) and partitioning before starting. */
+  def mvRefreshSinkPartitioned(
+      stream: DataFrame, baseDir: String, mvDir: String, keyCol: String,
+      buckets: Int, aggregate: DataFrame => DataFrame,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().persist()
+        try {
+          writeBatch(b, baseDir, id)
+          val touched = b.select(mvBucket(col(keyCol), buckets).as("mv_bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (touched.nonEmpty) {
+            val affBase = s.read.parquet(baseDir)
+              .filter(mvBucket(col(keyCol), buckets).isin(touched: _*))
+            aggregate(affBase)
+              .withColumn("mv_bucket", mvBucket(col(keyCol), buckets))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("mv_bucket")
+              .parquet(mvDir)
+          }
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The MV bucket key for [[mvRefreshSinkPartitioned]] — also used to
+    * seed the MV with matching partitioning. */
+  def mvBucket(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(key), lit(buckets))
+
   /** Streaming ANN serve — online retrieval: each microbatch of query
     * vectors probes the DISK-persisted IVF index
     * ([[graft.ops.Similarity.writeIvfIndex]]) via

@@ -295,6 +295,70 @@ class StreamingSpec extends SparkSpec with SlowSuite {
     assert(got === want)
   }
 
+  test("partitioned MV refresh rewrites ONLY the touched bucket partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_smvp_spec")
+    val src = root.resolve("src"); val staged = root.resolve("staged")
+    java.nio.file.Files.createDirectories(src)
+    val B = 8
+    val agg: DataFrame => DataFrame =
+      df => df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // seed keys 0..7 — at B=8 with Murmur3 these spread over several buckets
+    val seed = (0L until 8L).map(k => (k, k, k * 10L)).toDF("id", "k", "v")
+    Streams.writeBatch(seed, root.toString + "/base", -1L)
+    agg(spark.read.parquet(root.toString + "/base"))
+      .withColumn("mv_bucket", Streams.mvBucket(col("k"), B))
+      .write.partitionBy("mv_bucket").parquet(root.toString + "/mv")
+
+    def addFile(tag: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = staged.resolve(tag).toString
+      rows.toDF("id", "k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, src.resolve(s"$tag.parquet"))
+      java.nio.file.Files.setLastModifiedTime(src.resolve(s"$tag.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def drain(): Unit =
+      Streams.mvRefreshSinkPartitioned(
+          spark.readStream.schema(schema).parquet(src.toString),
+          root.toString + "/base", root.toString + "/mv", "k", B, agg,
+          checkpoint = Some(root.toString + "/ckpt"))
+        .awaitTermination()
+
+    addFile("a", Seq((10L, 1L, 5L), (11L, 7L, 1L)), 1000000)
+    drain()
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(root.toString + "/mv").listFiles()
+        .filter(_.getName.startsWith("mv_bucket=")).map { d =>
+          d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified())
+            .toSet
+        }.toMap
+    val before = bucketFiles()
+    // batch b touches ONLY key 2 — exactly one bucket may change
+    addFile("b", Seq((12L, 2L, 4L)), 2000000)
+    drain()
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(d => before.get(d) != after.get(d))
+    assert(changed.size === 1, s"changed=$changed")
+    // and the MV still equals the full aggregate
+    val got = spark.read.parquet(root.toString + "/mv")
+      .select("k", "n", "sv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = agg(spark.read.parquet(root.toString + "/base"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("streaming ANN serve across microbatches equals the one-shot batch serve") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sann_spec")
