@@ -483,6 +483,59 @@ object PipelineQ {
       },
       Some(rollingZOracle)),
 
+    // Distribution-drift monitor: total-variation distance between the
+    // value distributions of two event cohorts (even/odd event_id), per
+    // event type, over fixed-width bins. The pipeline-monitoring op that
+    // catches a feature's distribution shifting between training and
+    // serving. Engine-exact by construction: the per-bin term is the
+    // INTEGER cross product |n_a·N_b − n_b·N_a| (order-independent BIGINT
+    // sum — no double is ever accumulated), and TVD divides the integer
+    // numerator by 2·N_a·N_b in ONE double op. Two hash aggregates; the
+    // bin table is bounded by |types| × |bins|, never the event count.
+    Q("drift_tvd_bins",
+      (s, dir) => {
+        val e = Catalog.load(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") / 5.0).cast("long").as("bin"),
+            (col("event_id") % 2 === 0).as("in_a"))
+        val bins = e.groupBy("event_type", "bin").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        bins
+          .withColumn("big_n_a", sum(col("n_a")).over(w))
+          .withColumn("big_n_b", sum(col("n_b")).over(w))
+          .groupBy("event_type")
+          .agg(
+            max(col("big_n_a")).as("cohort_a"),
+            max(col("big_n_b")).as("cohort_b"),
+            sum(abs(col("n_a") * col("big_n_b") - col("n_b") * col("big_n_a")))
+              .as("tvd_num"))
+          .withColumn("tvd", expr(
+            "CAST(tvd_num AS DOUBLE) / (2.0 * cohort_a * cohort_b)"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |         CAST(floor(value / 5.0) AS BIGINT) AS bin,
+             |         event_id % 2 = 0 AS in_a
+             |       FROM events),
+             |bins AS (SELECT event_type, bin,
+             |           SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+             |           SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b
+             |         FROM e GROUP BY event_type, bin),
+             |tot AS (SELECT event_type, bin, n_a, n_b,
+             |          SUM(n_a) OVER (PARTITION BY event_type) AS big_n_a,
+             |          SUM(n_b) OVER (PARTITION BY event_type) AS big_n_b
+             |        FROM bins)
+             |SELECT event_type,
+             |  CAST(MAX(big_n_a) AS BIGINT) AS cohort_a,
+             |  CAST(MAX(big_n_b) AS BIGINT) AS cohort_b,
+             |  CAST(SUM(abs(n_a * big_n_b - n_b * big_n_a)) AS BIGINT) AS tvd_num,
+             |  CAST(SUM(abs(n_a * big_n_b - n_b * big_n_a)) AS DOUBLE)
+             |    / (2.0 * MAX(big_n_a) * MAX(big_n_b)) AS tvd
+             |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Feature-store build: one wide per-user feature row from the event log
     // in a single hash aggregate (conditional aggs, not a pivot shuffle) —
     // per-type counts, exact purchase revenue, first/last activity span.
