@@ -16,7 +16,7 @@ object DedupQ {
   /** Shared oracle prelude: tokenized docs + hashed n-gram shingle sets
     * (DuckDB) — mirrors [[Dedup.hashedShingleSets]]'s two-level recurrence
     * (per-token char hash, then an unrolled window fold over token hashes). */
-  private def shingleCte(n: Int): String =
+  private[queries] def shingleCte(n: Int): String =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |dd AS (SELECT doc_id, w FROM d WHERE len(w) >= $n),
        |thx AS (SELECT doc_id, list_transform(w, t0 -> ${polyHashDuck("t0")}) AS th FROM dd),

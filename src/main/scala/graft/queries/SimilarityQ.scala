@@ -298,6 +298,92 @@ object SimilarityQ {
               |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
               |ORDER BY q_vec, rank""".stripMargin)),
 
+    // Batch hybrid retrieval — the probe-SET form of RRF: for EVERY probe
+    // (id % 100 == 0), fuse its cosine top-20 (embeddings) and its n-gram
+    // Jaccard top-20 (document text, the dedup family's shingle sets +
+    // codegen'd IntersectSize) with 1/(60+rank), full outer per (probe,
+    // doc), keep the fused top-10. Both sides are the brute-force
+    // exactness-baseline shape: probes broadcast, the corpus scanned once
+    // and ranked per probe — at 100 TB the vector side swaps in the IVF
+    // serve and the lexical side an impact-ordered index, but the fusion
+    // stage is IDENTICAL (rank lists in, rank lists out).
+    Q("retrieval_hybrid_batch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.expressions.IntersectSize.intersectSize
+        val vecs = Catalog.load(s, dir, "embeddings")
+        val vr = Similarity.knnBruteForce(vecs,
+            vecs.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", k = 20)
+          .select(col("q_vec"), col("neighbor"), col("rank").as("v_rank"))
+        val sh = graft.ops.Dedup.hashedShingleSets(
+          Catalog.load(s, dir, "documents"), "doc_id", "text", n = 2)
+        val qsh = broadcast(sh.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_doc"), col("s").as("qs")))
+        val lexW = Window.partitionBy("q_doc")
+          .orderBy(col("jacc").desc, col("doc_id").asc)
+        val lr = sh.crossJoin(qsh).filter(col("doc_id") =!= col("q_doc"))
+          .withColumn("ni", intersectSize(col("qs"), col("s")))
+          .withColumn("jacc",
+            expr("CAST(ni AS DOUBLE) / (size(qs) + size(s) - ni)"))
+          .withColumn("l_rank", row_number().over(lexW))
+          .filter(col("l_rank") <= 20)
+          .select(col("q_doc"), col("doc_id").as("l_doc"), col("l_rank"))
+        val fused = vr.join(lr,
+            vr("q_vec") === lr("q_doc") && vr("neighbor") === lr("l_doc"),
+            "full_outer")
+          .select(
+            coalesce(vr("q_vec"), lr("q_doc")).as("q_id"),
+            coalesce(vr("neighbor"), lr("l_doc")).as("doc_id"),
+            col("v_rank"), col("l_rank"),
+            (coalesce(expr("1.0 / (60.0 + CAST(v_rank AS DOUBLE))"), lit(0.0)) +
+              coalesce(expr("1.0 / (60.0 + CAST(l_rank AS DOUBLE))"), lit(0.0)))
+              .as("rrf"))
+        val fw = Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("fused_rank", row_number().over(fw))
+          .filter(col("fused_rank") <= 10)
+          .orderBy("q_id", "fused_rank")
+      },
+      Some(s"""WITH ${DedupQ.shingleCte(2)},
+              |e AS (SELECT vec_id, embedding,
+              |             ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+              |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+              |      WHERE vec_id % 100 = 0),
+              |vscored AS (SELECT q_vec, e.vec_id AS neighbor,
+              |              ${Similarity.dotDuck("q_emb", "e.embedding")} / (q_nrm * nrm) AS cos
+              |            FROM e, q WHERE e.vec_id <> q.q_vec),
+              |vr AS (SELECT q_vec, neighbor, CAST(rk AS INT) AS v_rank FROM (
+              |         SELECT q_vec, neighbor,
+              |                ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                    ORDER BY cos DESC, neighbor ASC) AS rk
+              |         FROM vscored) x WHERE rk <= 20),
+              |qsh AS (SELECT doc_id AS q_doc, s AS qs FROM sh
+              |        WHERE doc_id % 100 = 0),
+              |lscored AS (SELECT q_doc, sh.doc_id,
+              |              CAST(len(list_intersect(qs, s)) AS DOUBLE)
+              |                / (len(qs) + len(s) - len(list_intersect(qs, s))) AS jacc
+              |            FROM sh, qsh WHERE sh.doc_id <> qsh.q_doc),
+              |lr AS (SELECT q_doc, doc_id AS l_doc, CAST(rk AS INT) AS l_rank FROM (
+              |         SELECT q_doc, doc_id,
+              |                ROW_NUMBER() OVER (PARTITION BY q_doc
+              |                    ORDER BY jacc DESC, doc_id ASC) AS rk
+              |         FROM lscored) y WHERE rk <= 20),
+              |fused AS (SELECT COALESCE(vr.q_vec, lr.q_doc) AS q_id,
+              |            COALESCE(vr.neighbor, lr.l_doc) AS doc_id,
+              |            v_rank, l_rank,
+              |            COALESCE(1.0 / (60.0 + CAST(v_rank AS DOUBLE)), 0.0) +
+              |            COALESCE(1.0 / (60.0 + CAST(l_rank AS DOUBLE)), 0.0) AS rrf
+              |          FROM vr FULL OUTER JOIN lr
+              |            ON vr.q_vec = lr.q_doc AND vr.neighbor = lr.l_doc)
+              |SELECT q_id, doc_id, v_rank, l_rank, rrf,
+              |       CAST(frk AS INT) AS fused_rank
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |          ORDER BY rrf DESC, doc_id ASC) AS frk FROM fused) z
+              |WHERE frk <= 10
+              |ORDER BY q_id, fused_rank""".stripMargin)),
+
     // The serve path in STREAMING form — online retrieval: query vectors
     // arrive as a stream, each microbatch probes the persisted IVF index
     // (Streams.annServeSink → knnIvfPersisted: reps broadcast, cell join
