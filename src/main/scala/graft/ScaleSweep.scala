@@ -60,8 +60,9 @@ object ScaleSweep {
     "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_spans", "er_jaro_winkler", "er_resolve_entities",
-    "export_training_shards",
+    "dedup_spans", "drift_tvd_bins", "er_jaro_winkler",
+    "er_resolve_entities", "export_training_shards",
+    "retrieval_hybrid_batch",
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
     "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
@@ -70,7 +71,7 @@ object ScaleSweep {
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
     "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
-    "stream_ann_serve", "stream_mv_refresh",
+    "stream_ann_serve", "stream_mv_refresh", "stream_mv_refresh_partitioned",
     "stream_stream_join", "stream_dedup_events",
     "stream_incremental_dedup_sink",
     "sql_lateral_topk", "sql_variant_extract",
@@ -93,7 +94,8 @@ object ScaleSweep {
     "basket_part_pairs",
     "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
     "dedup_content_hash",
-    "dedup_exact", "embed_l2_normalize", "events_user_features",
+    "dedup_exact", "drift_tvd_bins", "embed_l2_normalize",
+    "events_user_features",
     "events_user_features_bucketed",
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
     "islands_error_streaks",
@@ -110,6 +112,7 @@ object ScaleSweep {
     // retained state. The incremental-dedup sink stays 10x-only — its
     // within-batch pair mining is quadratic in clone families.
     "stream_stream_join", "stream_dedup_events", "stream_mv_refresh",
+    "stream_mv_refresh_partitioned",
     "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
     "text_quality", "text_token_count", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
