@@ -59,10 +59,16 @@ object ScaleSweep {
     "bpe_pair_counts", "bpe_train_merges", "bpe_tokenize_corpus",
     "corpus_refinery",
     "dedup_clusters", "dedup_containment", "dedup_incremental",
+    // retrieval_hybrid_batch is NOT swept: like dedup_ngram_jaccard_exact
+    // it is an exactness baseline whose WORK is |P|·|V| — quadratic under
+    // replication by construction (measured once: med 56.8× at factor 10
+    // for 100× the pair scorings — sub-linear in work, super-linear in
+    // data). Its scale path swaps in the IVF serve + an impact-ordered
+    // index (see the row's comment); the fusion stage itself is
+    // rank-lists-in/rank-lists-out and scales with |P|·k.
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "drift_tvd_bins", "er_jaro_winkler",
     "er_resolve_entities", "export_training_shards",
-    "retrieval_hybrid_batch",
     "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
     "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
