@@ -371,12 +371,15 @@ object Streams {
   /** [[mvRefreshSink]] with a KEY-PARTITIONED MV: the aggregate is stored
     * partitioned by `mv_bucket = pmod(hash(key), buckets)` and each
     * microbatch rewrites ONLY the bucket partitions its keys touch
-    * (dynamic partition overwrite) — untouched buckets are not even read,
-    * let alone rewritten, closing [[mvRefreshSink]]'s whole-MV-IO gap. Per
-    * batch: affected buckets ≤ min(buckets, |batch keys|) (a bounded
-    * driver collect of bucket ids, ≤ `buckets` longs), every group inside
-    * an affected bucket re-aggregates from the base pruned to those
-    * buckets. Seed the MV with the same bucket column
+    * (dynamic partition overwrite) — untouched MV buckets are neither
+    * read nor rewritten (this path never reads the MV at all), closing
+    * [[mvRefreshSink]]'s whole-MV-IO gap. Per batch: affected buckets ≤
+    * min(buckets, |batch keys|) (a bounded driver collect of bucket ids,
+    * ≤ `buckets` ints), every group inside an affected bucket
+    * re-aggregates from the base FILTERED to those buckets — a scan-time
+    * predicate here; at 100 TB lay the base out bucketed/partitioned on
+    * the same key hash so the filter becomes a partition prune instead of
+    * a full scan. Seed the MV with the same bucket column
     * ([[mvBucket]]) and partitioning before starting. */
   def mvRefreshSinkPartitioned(
       stream: DataFrame, baseDir: String, mvDir: String, keyCol: String,
