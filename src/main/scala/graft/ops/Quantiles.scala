@@ -104,9 +104,27 @@ object Quantiles {
     * reporting, grouped winsorization) — the table depends only on the
     * data, not on which percentiles are asked of it. */
   def groupedRankedCounts(
-      df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol), col(keyCol))
-      .agg(count(lit(1)).as("_cnt"))
+      df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    rankAndTotal(
+      df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("_cnt")),
+      groupCol, keyCol)
+
+  /** [[groupedRankedCounts]] over PRE-AGGREGATED (group, key, weight)
+    * rows — for inputs that are already ranked/counted tables (e.g. a
+    * derived key like |cents − median| computed per DISTINCT value and
+    * re-ranked carrying its original multiplicity). The weight column is
+    * summed per (group, key); everything downstream is identical, so
+    * [[percentilesByGroupFromRanked]] serves both forms. */
+  def groupedRankedCountsWeighted(
+      df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String): DataFrame =
+    rankAndTotal(
+      df.groupBy(col(groupCol), col(keyCol))
+        .agg(sum(col(weightCol)).as("_cnt")),
+      groupCol, keyCol)
+
+  private def rankAndTotal(
+      counts: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
     val totals = counts.groupBy(col(groupCol)).agg(sum(col("_cnt")).as("_n"))
     counts

@@ -483,6 +483,103 @@ object PipelineQ {
       },
       Some(rollingZOracle)),
 
+    // Robust scaling — median/MAD outlier detection per event type: the
+    // robust-statistics alternative to z-scores (one extreme value moves a
+    // mean/stddev fence, but not the median/MAD one). Both statistics run
+    // through the distributed exact-percentile machinery (ranked counts,
+    // never a single-reducer exact aggregate): median over integer cents,
+    // then MAD = median of |cents − med| — every intermediate is an
+    // integer-valued (or half-integer) double ≤ 2^53, so the IEEE
+    // subtraction, the 3.5·MAD fence and the comparison are exact in both
+    // engines. Output is one bounded row per type. Serve-plan fp: hx=0
+    // (everything after the cached ranked builds aggregates bounded
+    // tables); the two cachedBroadcast hits are the med/mad tables — ONE
+    // ROW PER EVENT TYPE, bounded by the type domain, a classified-safe
+    // hit in the hazard inventory.
+    Q("feature_robust_scale",
+      (s, dir) => {
+        val c = Catalog.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        // Both ranked tables are persisted (bounded: |types|·|distinct|)
+        // because each has TWO consumers — without the persist the shared
+        // subtree duplicates per consumer and the corpus re-scans
+        // (measured: the un-persisted plan doubled its exchanges).
+        val cRanked = graft.ops.CacheRegistry.track(
+          Quantiles.groupedRankedCounts(c, "event_type", "cents")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val med = Quantiles.percentilesByGroupFromRanked(
+            cRanked, "event_type", "cents", Seq(0.5))
+          .select(col("event_type"), col("p0").as("med"))
+        // The corpus's ranked form also yields the dev distribution: dev
+        // depends only on (cents, med), so weighting |cents − med| by the
+        // ranked counts is exact — no second corpus scan at all.
+        val dev = cRanked.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+        // The ranked (type, dev) table serves BOTH the MAD bracket pick
+        // and the outlier count (Σ cnt over the fence); the dev ranking
+        // re-ranks the bounded distinct-cents rows WEIGHTED by their
+        // original multiplicity.
+        val devRanked = graft.ops.CacheRegistry.track(
+          Quantiles.groupedRankedCountsWeighted(
+              dev.select(col("event_type"), col("dev"), col("_cnt")),
+              "event_type", "dev", "_cnt")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val mad = Quantiles.percentilesByGroupFromRanked(
+            devRanked, "event_type", "dev", Seq(0.5))
+          .select(col("event_type"), col("p0").as("mad"))
+        devRanked.join(broadcast(mad), "event_type")
+          .join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(
+            min(col("med")).as("med_cents"),
+            min(col("mad")).as("mad_cents"),
+            sum(col("_cnt")).as("n"),
+            sum(when(col("dev") > lit(3.5) * col("mad"), col("_cnt"))
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some {
+        def medianCtes(src: String, key: String, out: String): String =
+          s"""g_$out AS (SELECT event_type, $key AS k,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt FROM $src
+             |  GROUP BY event_type, $key),
+             |r_$out AS (SELECT event_type, k, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY k)
+             |      AS BIGINT) AS cum FROM g_$out),
+             |t_$out AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+             |  FROM g_$out GROUP BY event_type),
+             |b_$out AS (SELECT r.event_type,
+             |    MIN(CASE WHEN cum - cnt <= CAST(floor(0.5 * (n - 1)) AS BIGINT)
+             |          AND CAST(floor(0.5 * (n - 1)) AS BIGINT) < cum
+             |        THEN k END) AS lo,
+             |    MIN(CASE WHEN cum - cnt <= CAST(ceil(0.5 * (n - 1)) AS BIGINT)
+             |          AND CAST(ceil(0.5 * (n - 1)) AS BIGINT) < cum
+             |        THEN k END) AS hi,
+             |    MIN(n) AS n
+             |  FROM r_$out r JOIN t_$out t ON r.event_type = t.event_type
+             |  GROUP BY r.event_type),
+             |$out AS (SELECT event_type,
+             |    CAST(lo AS DOUBLE) + ((0.5 * (n - 1)) - floor(0.5 * (n - 1)))
+             |      * (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) AS m
+             |  FROM b_$out)""".stripMargin
+        s"""WITH c AS (SELECT event_type,
+           |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+           |${medianCtes("c", "cents", "medt")},
+           |d AS (SELECT c.event_type, cents,
+           |        abs(CAST(cents AS DOUBLE) - m) AS dev
+           |      FROM c JOIN medt ON c.event_type = medt.event_type),
+           |${medianCtes("d", "dev", "madt")}
+           |SELECT d.event_type, MIN(medt.m) AS med_cents,
+           |  MIN(madt.m) AS mad_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN dev > 3.5 * madt.m THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers
+           |FROM d JOIN medt ON d.event_type = medt.event_type
+           |     JOIN madt ON d.event_type = madt.event_type
+           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+      }),
+
     // Distribution-drift monitor: total-variation distance between the
     // value distributions of two event cohorts (even/odd event_id), per
     // event type, over fixed-width bins. The pipeline-monitoring op that
