@@ -69,7 +69,8 @@ object ScaleSweep {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "drift_tvd_bins", "er_jaro_winkler",
     "er_resolve_entities", "export_training_shards",
-    "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
+    "feature_quantile_bin", "feature_robust_scale",
+    "funnel_conversion", "funnel_conversion_bucketed",
     "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
@@ -103,7 +104,8 @@ object ScaleSweep {
     "dedup_exact", "drift_tvd_bins", "embed_l2_normalize",
     "events_user_features",
     "events_user_features_bucketed",
-    "feature_quantile_bin", "funnel_conversion", "funnel_conversion_bucketed",
+    "feature_quantile_bin", "feature_robust_scale",
+    "funnel_conversion", "funnel_conversion_bucketed",
     "islands_error_streaks",
     // MV refresh / snapshot diff / RRF: delta-bounded probes, one
     // full-outer key join, and fixed-size top-k lists respectively — all
