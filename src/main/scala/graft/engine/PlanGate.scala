@@ -31,14 +31,12 @@ object PlanGate {
 
   final case class Fp(hashExchanges: Int, cachedBroadcasts: Int)
 
-  /** Bucketed rows whose designed-optimal plan needs exchanges the layout
-    * cannot supply. `tpch_q21_bucketed`: every join/DISTINCT/semi/anti in
-    * the chain keys on the orderkey and inherits the bucket distribution,
-    * but the final `groupBy(suppkey)` aggregate genuinely re-keys — one
-    * exchange, pinned by PlanShapeSpec ("bucketed q21 needs only the
-    * final suppkey aggregate's exchange"). Anything above the declared
-    * count is still a violation. */
-  val bucketedDesignHx: Map[String, Int] = Map("tpch_q21_bucketed" -> 1)
+  // Designed-exchange declarations live ON the row definitions
+  // (`graft.queries.Q.designHx`, assembled by `Q.designHxMap`) — a
+  // bucketed row whose designed plan genuinely re-keys (tpch_q21_bucketed's
+  // final suppkey aggregate) declares its count where the query is
+  // written, and the gate receives the assembled map. This module stays
+  // free of query knowledge.
 
   private val Row =
     """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"hx"\s*:\s*(\d+)\s*,\s*"cb"\s*:\s*(\d+)\s*\}""".r
@@ -58,9 +56,11 @@ object PlanGate {
     }.mkString("{\n", ",\n", "\n}")
 
   /** The gate: violation messages for `current` vs `baseline` (empty =
-    * clean). */
+    * clean). `designHx` carries the per-row designed-exchange declarations
+    * assembled from the query definitions (`Q.designHxMap`). */
   def violations(
-      current: Map[String, Fp], baseline: Map[String, Fp]): Seq[String] = {
+      current: Map[String, Fp], baseline: Map[String, Fp],
+      designHx: Map[String, Int] = Map.empty): Seq[String] = {
     val cbRises = current.toSeq.sortBy(_._1).flatMap { case (name, fp) =>
       baseline.get(name).collect {
         case b if fp.cachedBroadcasts > b.cachedBroadcasts =>
@@ -70,9 +70,9 @@ object PlanGate {
     }
     val bucketedHx = current.toSeq.sortBy(_._1).collect {
       case (name, fp) if name.endsWith("_bucketed") &&
-          fp.hashExchanges > bucketedDesignHx.getOrElse(name, 0) =>
+          fp.hashExchanges > designHx.getOrElse(name, 0) =>
         s"$name: bucketed row has ${fp.hashExchanges} hash exchange(s)," +
-          s" designed ${bucketedDesignHx.getOrElse(name, 0)}" +
+          s" designed ${designHx.getOrElse(name, 0)}" +
           " (layout regression — the bucketed scan no longer supplies the distribution)"
     }
     cbRises ++ bucketedHx

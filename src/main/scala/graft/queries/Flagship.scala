@@ -604,7 +604,9 @@ object Flagship {
     // semi/anti probe in this shape keys on the orderkey, so all of them
     // inherit the bucket distribution — the whole chain collapses from 7
     // hash exchanges to the ONE the final suppkey aggregate genuinely
-    // needs (plan-pinned). Same results, same oracle as the plain shape.
+    // needs (plan-pinned; declared to the plan gate via designHx — the
+    // layout cannot supply a suppkey distribution). Same results, same
+    // oracle as the plain shape.
     Q("tpch_q21_bucketed",
       (s, dir) => {
         bucketedOrderkeyLayout(s, dir)
@@ -626,7 +628,8 @@ object Flagship {
           .orderBy(col("numwait").desc, col("suppkey").asc)
           .limit(10)
       },
-      Some(q21Oracle)),
+      Some(q21Oracle),
+      designHx = 1),
 
     // Q13-shape: distribution of per-customer urgent-order counts — a LEFT
     // OUTER join whose extra condition lives in the JOIN clause (not WHERE,

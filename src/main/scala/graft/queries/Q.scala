@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    designHx: Int = 0)
 
 object Q {
   /** Assemble maps for SparkEntry from module query lists. */
@@ -22,4 +23,14 @@ object Q {
     qs.map(q => q.name -> q.run).toMap
   def oracleMap(qs: Seq[Q]): Map[String, String] =
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Designed hash-exchange declarations for the plan gate, assembled from
+    * the row definitions: a `*_bucketed` row whose designed-optimal plan
+    * includes exchanges the layout cannot supply (a final aggregate keyed
+    * off the bucket key) declares that count AT ITS DEFINITION SITE via
+    * [[Q.designHx]] — so when bucketed rows multiply, the declaration
+    * travels with the query instead of accreting in a far-away map
+    * (round-9 verdict lead). */
+  def designHxMap(qs: Seq[Q]): Map[String, Int] =
+    qs.filter(_.designHx > 0).map(q => q.name -> q.designHx).toMap
 }

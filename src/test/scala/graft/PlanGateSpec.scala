@@ -44,16 +44,29 @@ class PlanGateSpec extends AnyFunSuite {
 
   test("declared design exchanges pass; exceeding the declaration fires") {
     // tpch_q21_bucketed's final suppkey aggregate genuinely re-keys — its
-    // designed plan declares ONE exchange in PlanGate.bucketedDesignHx.
+    // designed plan declares ONE exchange via Q.designHx at the row
+    // definition; the gate consumes the assembled map.
+    val design = Map("tpch_q21_bucketed" -> 1)
     val withQ21 = baseline.updated("tpch_q21_bucketed", Fp(1, 0))
-    assert(PlanGate.violations(withQ21, baseline).isEmpty)
+    assert(PlanGate.violations(withQ21, baseline, design).isEmpty)
     val regressed = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
-    val v = PlanGate.violations(regressed, baseline)
+    val v = PlanGate.violations(regressed, baseline, design)
     assert(v.size === 1 && v.head.startsWith("tpch_q21_bucketed:"), v)
     // The declaration lives in code, not the measured baseline: a stale
     // baseline row at 2 still cannot grandfather the second exchange in.
     val stale = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
-    assert(PlanGate.violations(regressed, stale).size === 1)
+    assert(PlanGate.violations(regressed, stale, design).size === 1)
+    // Without the declaration, the single designed exchange itself fires —
+    // the default for a bucketed row is and stays ZERO.
+    assert(PlanGate.violations(withQ21, baseline).size === 1)
+  }
+
+  test("design declarations assemble from the row definitions") {
+    // The real map the bench passes: built by Q.designHxMap from
+    // SparkEntry.allQueries — q21_bucketed declares its one re-keying
+    // aggregate at the definition site, and nothing else declares any.
+    val design = graft.queries.Q.designHxMap(SparkEntry.allQueries)
+    assert(design === Map("tpch_q21_bucketed" -> 1))
   }
 
   test("non-bucketed hashExchange changes and new queries are not violations") {
