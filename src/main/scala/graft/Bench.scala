@@ -164,7 +164,8 @@ object Bench {
     // Truth is the same exact-L2 window the PQSpec recall pin uses; the
     // driver pull is |Q|·10 id pairs — bounded.
     val lifecycleServes = Seq(
-      "ann_ivf_pq_persisted", "ann_ivf_pq_append", "ann_ivf_pq_compacted")
+      "ann_ivf_pq_persisted", "ann_ivf_pq_full_probe",
+      "ann_ivf_pq_append", "ann_ivf_pq_compacted")
     val recall: Seq[(String, Double)] =
       if (!lifecycleServes.forall(selected.contains)) Seq.empty
       else try {
@@ -201,6 +202,7 @@ object Bench {
         }
         Seq(
           "ann_ivf_pq_persisted" -> hits("ann_ivf_pq_persisted", truthBase),
+          "ann_ivf_pq_full_probe" -> hits("ann_ivf_pq_full_probe", truthBase),
           "ann_ivf_pq_append" -> hits("ann_ivf_pq_append", truthUnion),
           "ann_ivf_pq_compacted" -> hits("ann_ivf_pq_compacted", truthUnion))
       } catch {
@@ -331,7 +333,8 @@ object Bench {
           println(s"[bench] no plan baseline at $p - gate skipped")
           Seq.empty
         } else graft.engine.PlanGate.violations(fpNums.toMap,
-          graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(p)))
+          graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(p)),
+          graft.queries.Q.designHxMap(SparkEntry.allQueries))
       } catch {
         case e: Throwable =>
           println(s"[bench] plan gate failed: ${e.getMessage}")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Catalog
-import graft.ops.{KMeans, PQ, Similarity}
+import graft.ops.{Dedup, KMeans, PQ, Similarity}
 
 /** Training-data-pipeline operators beyond the dedup/ANN/text families:
   * k-means coarse-quantizer training, int8 embedding quantization,
@@ -192,7 +192,11 @@ object TrainQ {
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
-  private def ivfPqOracle: String =
+  private def ivfPqOracle: String = ivfPqOracleAt(2)
+
+  /** The same oracle with the probe width as a parameter — the serve-time
+    * recall knob (`ann_ivf_pq_full_probe` pins nprobe = K, every cell). */
+  private def ivfPqOracleAt(nprobe: Int): String =
     s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
        |${PQ.oracleCtes("embeddings", "vec_id", "embedding", PqM, PqK, PqIters, Dims)},
        |q AS (SELECT vec_id AS q_vec, embedding FROM embeddings
@@ -202,7 +206,7 @@ object TrainQ {
        |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
        |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
        |                        c.cluster ASC) AS pr
-       |    FROM q, c$Iters c) z WHERE pr <= 2),
+       |    FROM q, c$Iters c) z WHERE pr <= $nprobe),
        |$pqTableCtes,
        |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
        |                  $pqAdistSql AS adist
@@ -642,6 +646,25 @@ object TrainQ {
             "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
           .orderBy("q_vec", "rank"),
       Some(ivfPqOracle)),
+
+    // The serve-time recall knob, pinned: the SAME persisted index served
+    // at nprobe = K (every coarse cell scored — exhaustive cell coverage),
+    // so the only recall loss left is PQ quantization resolution (m, k —
+    // retraining knobs, owned by the bench's recall/cost sweep on the join
+    // path). Together with ann_ivf_pq_persisted (nprobe=2) this splits the
+    // operating point's recall deficit into its two causes ON THE PINNED
+    // PATH: bench carries recall@10 for both rows, so cell-miss loss
+    // (full_probe − persisted) and code-resolution loss (1 − full_probe)
+    // are separately visible round-over-round. Nothing is retrained and no
+    // existing oracle moves: the probe width is a pure serve parameter,
+    // parameterized identically in the oracle (pr <= 4).
+    Q("ann_ivf_pq_full_probe",
+      (s, dir) =>
+        PQ.knnIvfPqPersisted(s, ivfPqIndex(s, dir),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", Dims, nprobe = K, kTop = 10)
+          .orderBy("q_vec", "rank"),
+      Some(ivfPqOracleAt(K))),
 
     // Cluster-balanced (diversity) selection — the curation op that keeps a
     // quota of the best documents PER EMBEDDING CLUSTER instead of a global
