@@ -884,6 +884,48 @@ object TrainQ {
            |SELECT doc_id, n_tokens, quality,
            |       running <= (SELECT v FROM budget) AS kept
            |FROM sel ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // near-duplicate candidates are bounded to LEARNED k-means cells — the
+    // session Lloyd model the ANN family already trains — and exact cosine
+    // runs only within a cell; a vector is dropped when a LOWER-id
+    // cell-mate exceeds tau (the cell's earliest doc survives), emitted
+    // with its canonical survivor. This differs from dedup_embedding_cosine
+    // (which blocks on the GIVEN label column): blocking here is the
+    // trained clustering itself, i.e. dedup works with no metadata at all.
+    // Scale: candidate work is Σ|cell|², so K grows with the corpus to
+    // hold cells at ~constant size (K ∝ n keeps it linear); the pair join
+    // re-uses Dedup.cosinePairs (norms once per vector, codegen'd dot).
+    // Exactness: the cosine is the same deterministic IEEE sequence both
+    // engines replay (pinned green on dedup_embedding_cosine since r5);
+    // min(struct(v1, cos)) picks the smallest-id survivor deterministically.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val (assigned, _) = trained(s, dir)
+        Dedup.cosinePairs(
+            assigned.select(col("vec_id"), col("cluster"), col("embedding")),
+            "vec_id", "embedding", "cluster", threshold = 0.4)
+          .groupBy(col("v2").as("vec_id"))
+          .agg(min(col("cluster")).as("cluster"),
+            min(struct(col("v1"), col("cos"))).as("_m"))
+          .select(col("vec_id"), col("cluster"),
+            col("_m.v1").as("dup_of"), col("_m.cos").as("cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+              |e AS (SELECT a.vec_id, a.cluster, m.embedding,
+              |             ${Similarity.normDuck("m.embedding")} AS nrm
+              |      FROM a$Iters a JOIN embeddings m ON m.vec_id = a.vec_id),
+              |p AS (SELECT l.vec_id AS v1, r.vec_id AS v2, l.cluster,
+              |             ${Similarity.dotDuck("l.embedding", "r.embedding")}
+              |               / (l.nrm * r.nrm) AS cos
+              |      FROM e l JOIN e r
+              |        ON l.cluster = r.cluster AND l.vec_id < r.vec_id),
+              |f AS (SELECT v2 AS vec_id, cluster, v1, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY v2 ORDER BY v1 ASC) AS rn
+              |      FROM p WHERE cos >= 0.4)
+              |SELECT vec_id, cluster, v1 AS dup_of, cos
+              |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }
