@@ -372,4 +372,48 @@ object Corpus {
       .select(col(idCol), col(byCol), col("n_copies"),
         explode(expr("sequence(1, n_copies)")).as("copy"))
   }
+
+  /** Temperature-scaled mixture sampling — the multilingual/multi-domain
+    * rebalancing rule (share^alpha renormalized, alpha = 1/2 here): domain
+    * quotas proportional to the square root of the domain's weight (token
+    * mass), so dominant domains are down-weighted and tail domains
+    * up-weighted relative to natural sampling.
+    *
+    * Exactness discipline: quota_d = (budget · ⌊√w_d⌋) div Σ⌊√w_t⌋ in pure
+    * BIGINT arithmetic — the ONLY float op is `floor(sqrt(double(w_d)))`,
+    * exact and engine-identical for w_d < 2^53 (sqrt is correctly rounded
+    * IEEE in both engines; every sum is an integer sum, so Spark's partial
+    * aggregation order can't perturb anything). A normalized-double
+    * formulation would instead sum 20 sqrt doubles in engine-dependent
+    * order. Selection inside a domain is the quota smallest (salted hash,
+    * id) rows — deterministic, uniform, and stable under corpus growth.
+    *
+    * Scale: the per-domain table is |domains| rows (broadcast); selection
+    * is one window partitioned by domain — at 100 TB the rank scan is the
+    * same per-key top-N every engine pays, and domains are numerous enough
+    * (thousands) that partitions stay balanced. */
+  def temperatureSample(
+      docs: DataFrame, idCol: String, byCol: String, weightCol: String,
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    import graft.functions.Hashing.polyHashSpark
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.groupBy(col(byCol))
+      .agg(sum(col(weightCol)).cast("long").as("_w"),
+        count(lit(1)).cast("long").as("_n"))
+      .withColumn("_r", expr("CAST(floor(sqrt(CAST(_w AS DOUBLE))) AS BIGINT)"))
+    val tot = w.agg(sum("_r").cast("long").as("_denom"),
+      sum("_n").cast("long").as("_total"))
+    val quota = w.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        expr(s"CAST(((_total * $budgetNum DIV $budgetDen) * _r) DIV _denom AS BIGINT)"))
+      .select(col(byCol), col("quota"))
+    val wRank = Window.partitionBy(byCol).orderBy(col("_h").asc, col(idCol).asc)
+    docs.select(col(idCol), col(byCol))
+      .withColumn("_h",
+        expr(polyHashSpark(s"'tsmp:' || CAST($idCol AS STRING)")))
+      .withColumn("rk", row_number().over(wRank).cast("int"))
+      .join(broadcast(quota), byCol)
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(byCol), col("quota"), col("rk"))
+  }
 }

@@ -372,6 +372,37 @@ object CorpusQ {
               |       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
               |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
 
+    // Temperature-scaled mixture sampling (share^alpha renormalized,
+    // alpha = 1/2 — the multilingual-LLM data-mixing rule): per-source
+    // quotas proportional to sqrt(token mass), budget = 2/5 of the corpus.
+    // All-integer quota arithmetic (floor-sqrt is the single, exactly
+    // rounded float op) — see Corpus.temperatureSample; selection is the
+    // quota smallest (salted hash, id) docs per source.
+    Q("sample_temperature",
+      (s, dir) =>
+        Corpus.temperatureSample(Catalog.load(s, dir, "documents"),
+            "doc_id", "source", "n_chars", budgetNum = 2, budgetDen = 5)
+          .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w,
+              |                 CAST(COUNT(*) AS BIGINT) AS n
+              |          FROM documents GROUP BY source),
+              |r AS (SELECT source, n,
+              |             CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS r
+              |      FROM w),
+              |t AS (SELECT CAST(SUM(r) AS BIGINT) AS denom,
+              |             CAST(SUM(n) AS BIGINT) AS total FROM r),
+              |q AS (SELECT r.source,
+              |             CAST(((t.total * 2 // 5) * r.r) // t.denom AS BIGINT) AS quota
+              |      FROM r, t),
+              |rk AS (SELECT doc_id, source,
+              |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              |           ORDER BY ${polyHashDuck("'tsmp:' || CAST(doc_id AS VARCHAR)")} ASC,
+              |                    doc_id ASC) AS INT) AS rk
+              |       FROM documents)
+              |SELECT rk.doc_id, rk.source, q.quota, rk.rk
+              |FROM rk JOIN q ON q.source = rk.source
+              |WHERE rk.rk <= q.quota ORDER BY doc_id""".stripMargin)),
+
     // Inverted-index build: per-term document frequency, collection
     // frequency, id range and a digest of the SORTED posting list (arrays
     // can't flow to the driver comparator; at 100 TB posting lists are
