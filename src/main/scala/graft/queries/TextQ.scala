@@ -235,6 +235,109 @@ object TextQ {
              |    regexp_replace(raw, '<script>.*?</script>', ' ', 'g'),
              |    '<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'),
              |    '&amp;', '&', 'g'), ' +', ' ', 'g')) AS clean
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Per-document top-3 characteristic terms by tf·idf, LINEAR-idf form:
+    // score = tf · N / df — the single IEEE division keeps both engines
+    // bit-identical (tf·N is an exact BIGINT product), where the textbook
+    // log-idf would pin the hash to two engines' ln() implementations.
+    // This is deliberately a different ORDERING than log-idf (log damps
+    // high-N/df ratios; linear does not) — the row claims a deterministic
+    // tf-idf-family scoring, not log-idf equivalence. Shape: one explode,
+    // two hash aggregates (tf on (doc,term), df on term — df reuses the tf
+    // table, no second corpus scan), a vocab-sized equi-join back, and a
+    // per-doc top-k window. At 100 TB the (doc,term) table is the classic
+    // index-build relation; df is |vocab| rows.
+    Q("text_tfidf_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Catalog.load(s, dir, "documents")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            expr("CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE)"))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |          FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM t GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |              CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+             |       FROM tf JOIN df USING (term), n),
+             |r AS (SELECT doc_id, term, tf, df, score,
+             |             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             |               ORDER BY score DESC, term ASC) AS INT) AS rk
+             |      FROM sc)
+             |SELECT doc_id, rk, term, tf, df, score
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Corpus-level collocation mining: top-20 adjacent bigrams by PMI.
+    // Rank is EXACT PMI rank: PMI = ln(p(ab)/(p(a)p(b))) and ln is
+    // monotone, so ordering by the raw ratio n_ab·N / (n_a·n_b) (one
+    // exact BIGINT product, one IEEE division) is the PMI ordering with
+    // no log in either engine; the emitted `ratio` is e^PMI (apply ln
+    // client-side for the textbook value). Min support n_ab >= 5 kills
+    // hapax noise. Shape: bigram + unigram hash aggregates, two
+    // vocab-sized equi-joins, distributed top-k (TakeOrdered — never a
+    // global sort). The BIGINT product n_ab·N needs ~2·10^13 here and
+    // headroom to ~9·10^18; a 100 TB corpus crosses that, so at that
+    // scale the product moves to DOUBLE (rank changes only where ratios
+    // tie within 1 ulp).
+    Q("text_collocations_pmi",
+      (s, dir) => {
+        val toks = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+        val u = toks.select(explode(col("w")).as("t"))
+        val uni = u.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        val ntok = u.agg(count(lit(1)).cast("long").as("ntok"))
+        val bg = toks.filter(expr("size(w) >= 2"))
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .join(uni.select(col("t").as("a"), col("n").as("n_a")), "a")
+          .join(uni.select(col("t").as("b"), col("n").as("n_b")), "b")
+          .crossJoin(broadcast(ntok))
+          .withColumn("ratio",
+            expr("CAST(n_ab * ntok AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"))
+          .orderBy(col("ratio").desc, col("a").asc, col("b").asc)
+          .limit(20)
+          .select("a", "b", "n_ab", "n_a", "n_b", "ratio")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |u AS (SELECT unnest(w) AS t FROM d),
+             |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY t),
+             |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntok FROM u),
+             |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+             |                i -> w[i] || ' ' || w[i + 1])) AS bgm
+             |       FROM d WHERE len(w) >= 2),
+             |nab AS (SELECT split_part(bgm, ' ', 1) AS a,
+             |               split_part(bgm, ' ', 2) AS b,
+             |               CAST(COUNT(*) AS BIGINT) AS n_ab
+             |        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |j AS (SELECT nab.a, nab.b, nab.n_ab, ua.n AS n_a, ub.n AS n_b,
+             |             CAST(nab.n_ab * ntok.ntok AS DOUBLE)
+             |               / CAST(ua.n * ub.n AS DOUBLE) AS ratio
+             |      FROM nab JOIN uni ua ON ua.t = nab.a
+             |               JOIN uni ub ON ub.t = nab.b, ntok)
+             |SELECT a, b, n_ab, n_a, n_b, ratio
+             |FROM j ORDER BY ratio DESC, a ASC, b ASC LIMIT 20""".stripMargin))
   )
 }
