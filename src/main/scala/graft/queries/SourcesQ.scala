@@ -335,6 +335,50 @@ object SourcesQ {
              |FROM documents
              |ORDER BY rule""".stripMargin)),
 
+    // One-pass column profiler — the ingestion-survey companion to the
+    // expectations suite: per column, null count, exact distinct count,
+    // and min/max (native-typed, THEN cast to string — lexicographic
+    // min("10") < min("9") bugs stay impossible). ONE scan: a single
+    // aggregate computes all 20 measures (the multi-COUNT(DISTINCT)
+    // becomes one Expand ×5 pass), then the 1-row result unpivots to a
+    // (column, ...) row per column. At 100 TB the same shape holds with
+    // approx_count_distinct swapped in for the exact distinct (the
+    // sketch_approx_stats row owns that trade); min/max/null-count come
+    // free from Parquet footers when the profile is narrowed to them.
+    Q("profile_columns",
+      (s, dir) => {
+        val d = Catalog.load(s, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val measures = cols.flatMap { c =>
+          Seq(
+            count(when(col(c).isNull, 1)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c"))
+        }
+        d.agg(measures.head, measures.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("column"),
+            col(s"nn_$c").as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_s"),
+            col(s"mx_$c").as("max_s"))): _*)).as("p"))
+          .select("p.*")
+          .orderBy("column")
+      },
+      Some {
+        val per = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+          s"""SELECT '$c' AS "column",
+             |  CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s,
+             |  CAST(MAX($c) AS VARCHAR) AS max_s
+             |FROM documents""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""$per
+           |ORDER BY "column"""".stripMargin
+      }),
+
     // Per-partition lineage via input_file_name(): read back a partitioned
     // write and recover each row's partition from its FILE PATH — the
     // debugging/lineage idiom; counts must match the logical grouping.
