@@ -52,6 +52,42 @@ object Pipeline {
     agg.withColumn("stage_reached", reached)
   }
 
+  /** Windowed (deadline) funnel: like [[funnel]], but each stage must land
+    * within `maxGapUs` of the PREVIOUS stage's chosen time — the
+    * "conversion window" of product analytics. Semantics are the
+    * deterministic greedy-from-earliest convention those tools use: stage
+    * i's time is the earliest event in (t_{i-1}, t_{i-1} + maxGapUs]; a
+    * user whose earliest anchor misses a later deadline does NOT retry a
+    * later anchor (the existential any-anchor variant is a different,
+    * per-anchor-quadratic operator — compose the range-join family for
+    * it). Plan shape identical to [[funnel]]: chained conditional MIN
+    * windows, one exchange on the user, no per-window sort. */
+  def funnelWindowed(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], maxGapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    var df = events.select(
+      col(userCol), unix_micros(col(tsCol)).as("_us"), col(typeCol).as("_t"))
+    var prev: Option[String] = None
+    stages.foreach { stage =>
+      val c = s"t_${stage}_us"
+      val cond = prev match {
+        case None    => col("_t") === stage
+        case Some(p) => col("_t") === stage && col("_us") > col(p) &&
+          col("_us") <= col(p) + lit(maxGapUs)
+      }
+      df = df.withColumn(c, min(when(cond, col("_us"))).over(w))
+      prev = Some(c)
+    }
+    val tCols = stages.map(s => min(col(s"t_${s}_us")).as(s"t_${s}_us"))
+    val agg = df.groupBy(col(userCol)).agg(tCols.head, tCols.tail: _*)
+    val reached = stages.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col(s"t_${s}_us").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    agg.withColumn("stage_reached", reached)
+  }
+
   /** SCD type-2 snapshot from a change log: each change row becomes a
     * validity interval [ts, next change ts) per key; the last interval is
     * open (valid_to_us NULL, is_current true). `tieCol` breaks equal

@@ -180,6 +180,42 @@ object PipelineQ {
           .orderBy("user_id"),
       Some(funnelOracle)),
 
+    // Deadline (windowed) funnel — the "conversion window" of product
+    // analytics: each stage must land within 48 h of the previous stage's
+    // chosen time, greedy-from-earliest convention (see
+    // Pipeline.funnelWindowed for why the existential any-anchor variant
+    // is a different operator). Same one-exchange plan as the plain
+    // funnel; the oracle extends each chained MIN with the deadline bound.
+    Q("funnel_strict_window",
+      (s, dir) =>
+        Pipeline.funnelWindowed(Catalog.load(s, dir, "events"),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+            maxGapUs = 48L * 3600 * 1000000)
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
+             |           FROM events),
+             |v AS (SELECT user_id,
+             |        MIN(CASE WHEN t = 'view' THEN us END) AS t_view_us
+             |      FROM e GROUP BY user_id),
+             |c AS (SELECT e.user_id,
+             |        MIN(CASE WHEN t = 'click' AND us > t_view_us
+             |                  AND us <= t_view_us + 172800000000 THEN us END)
+             |          AS t_click_us
+             |      FROM e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id),
+             |p AS (SELECT e.user_id,
+             |        MIN(CASE WHEN t = 'purchase' AND us > t_click_us
+             |                  AND us <= t_click_us + 172800000000 THEN us END)
+             |          AS t_purchase_us
+             |      FROM e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id)
+             |SELECT v.user_id, t_view_us, t_click_us, t_purchase_us,
+             |  CAST(CASE WHEN t_purchase_us IS NOT NULL THEN 3
+             |            WHEN t_click_us IS NOT NULL THEN 2
+             |            WHEN t_view_us IS NOT NULL THEN 1
+             |            ELSE 0 END AS INT) AS stage_reached
+             |FROM v JOIN c ON v.user_id = c.user_id
+             |       JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
     // Funnel served from the userkey layout: the stage windows take their
     // user_id distribution from the bucketed scan — zero hash exchange
     // (pinned in PlanShapeSpec alongside the rolling-z variant).
