@@ -926,6 +926,73 @@ object TrainQ {
               |             ROW_NUMBER() OVER (PARTITION BY v2 ORDER BY v1 ASC) AS rn
               |      FROM p WHERE cos >= 0.4)
               |SELECT vec_id, cluster, v1 AS dup_of, cos
-              |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+              |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // DPO-style preference-pair mining: within each semantic cluster (the
+    // session Lloyd model again), pair the highest-quality document
+    // (chosen) with the lowest (rejected) and carry the quality margin —
+    // the contrastive-pair construction preference-tuning pipelines run
+    // over response pools, here keyed by embedding cluster so pairs stay
+    // on-topic. Deterministic argmax/argmin via min(struct): chosen =
+    // min((−q, id)) (max quality, ties to the smaller id), rejected =
+    // min((q, id)); a cluster whose extremes coincide (single doc or all
+    // qualities equal) yields no pair. Quality is the shared
+    // TextAnalysis.qualityScore expression — the same three-term
+    // multiply-add sequence in both engines, so margins are bit-exact.
+    // Scale: one corpus aggregate per cluster (bounded output K rows);
+    // the quality scan fuses into the documents read.
+    Q("train_preference_pairs",
+      (s, dir) => {
+        import graft.functions.TextAnalysis.{StopEn, hitsSpark, qualityScore}
+        val (assigned, _) = trained(s, dir)
+        val q = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"),
+            expr("size(w)").as("n_tokens"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)")
+              .as("distinct_ratio"),
+            expr(s"CAST(${hitsSpark("w", StopEn)} AS DOUBLE) / size(w)")
+              .as("stop_ratio"))
+          .withColumn("quality", expr(qualityScore))
+          .select(col("doc_id"), col("quality"))
+        assigned.select(col("vec_id"), col("cluster"))
+          .join(q, col("doc_id") === col("vec_id"))
+          .groupBy(col("cluster"))
+          .agg(
+            min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
+              .as("_c"),
+            min(struct(col("quality").as("q"), col("doc_id").as("id")))
+              .as("_r"))
+          .select(col("cluster"),
+            col("_c.id").as("chosen_id"), (-col("_c.nq")).as("chosen_q"),
+            col("_r.id").as("rejected_id"), col("_r.q").as("rejected_q"))
+          .withColumn("margin", col("chosen_q") - col("rejected_q"))
+          .filter(col("chosen_id") =!= col("rejected_id"))
+          .orderBy("cluster")
+      },
+      Some {
+        import graft.functions.TextAnalysis.{StopEn, hitsDuck, qualityScore}
+        s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+           |qd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |qx AS (SELECT doc_id, len(w) AS n_tokens,
+           |              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           |              CAST(${hitsDuck("w", StopEn)} AS DOUBLE) / len(w) AS stop_ratio
+           |       FROM qd),
+           |q AS (SELECT doc_id, $qualityScore AS quality FROM qx),
+           |j AS (SELECT a.cluster, q.doc_id, q.quality
+           |      FROM a$Iters a JOIN q ON q.doc_id = a.vec_id),
+           |c AS (SELECT cluster, doc_id AS chosen_id, quality AS chosen_q,
+           |             ROW_NUMBER() OVER (PARTITION BY cluster
+           |               ORDER BY quality DESC, doc_id ASC) AS rn FROM j),
+           |r AS (SELECT cluster, doc_id AS rejected_id, quality AS rejected_q,
+           |             ROW_NUMBER() OVER (PARTITION BY cluster
+           |               ORDER BY quality ASC, doc_id ASC) AS rn FROM j)
+           |SELECT c.cluster, c.chosen_id, c.chosen_q,
+           |       r.rejected_id, r.rejected_q,
+           |       c.chosen_q - r.rejected_q AS margin
+           |FROM c JOIN r ON c.cluster = r.cluster
+           |WHERE c.rn = 1 AND r.rn = 1 AND c.chosen_id <> r.rejected_id
+           |ORDER BY c.cluster""".stripMargin
+      })
   )
 }
