@@ -53,6 +53,10 @@ object ScaleSweep {
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
+    // full_probe scores |Q|·|V| candidates by construction (every cell
+    // admitted) — swept at 10× like the bruteforce exactness baseline,
+    // excluded at 100× for the same |Q|-scales-with-corpus reason.
+    "ann_ivf_pq_full_probe",
     "ann_ivf_pq_compacted", "sample_cluster_quota",
     "anomaly_rolling_z", "anomaly_rolling_z_bucketed",
     "basket_part_pairs",
@@ -66,18 +70,29 @@ object ScaleSweep {
     // data). Its scale path swaps in the IVF serve + an impact-ordered
     // index (see the row's comment); the fusion stage itself is
     // rank-lists-in/rank-lists-out and scales with |P|·k.
+    // dedup_semantic is NOT swept — like dedup_ngram_jaccard_exact and
+    // retrieval_hybrid_batch it is quadratic under replication BY
+    // CONSTRUCTION: the session model's K is fixed, so 10× replication
+    // grows every cell 10× (pairs ×100) and clones form cosine-1.0
+    // cliques. Measured once for transparency: med 0.32 s → 15.08 s at
+    // factor 10 (×47.7 wall for ×100 pair scorings — sub-linear in WORK).
+    // The scale path is the row's own: K grows with the corpus to hold
+    // cells at constant size.
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "drift_tvd_bins", "er_jaro_winkler",
     "er_resolve_entities", "export_training_shards",
     "feature_quantile_bin", "feature_robust_scale",
     "funnel_conversion", "funnel_conversion_bucketed",
+    "funnel_strict_window",
     "graph_bfs_distance",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
+    "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
-    "scd2_user_state",
+    "sample_temperature", "scd2_user_state",
     "sessionize_events", "stats_percentiles_distributed",
+    "text_collocations_pmi", "text_tfidf_topk", "train_preference_pairs",
     "stream_ann_serve", "stream_mv_refresh", "stream_mv_refresh_partitioned",
     "stream_stream_join", "stream_dedup_events",
     "stream_incremental_dedup_sink",
@@ -106,13 +121,14 @@ object ScaleSweep {
     "events_user_features_bucketed",
     "feature_quantile_bin", "feature_robust_scale",
     "funnel_conversion", "funnel_conversion_bucketed",
+    "funnel_strict_window",
     "islands_error_streaks",
     // MV refresh / snapshot diff / RRF: delta-bounded probes, one
     // full-outer key join, and fixed-size top-k lists respectively — all
     // linear work with linear (or constant) output under replication.
     "mv_affected_group_refresh", "retrieval_rrf_fusion", "s12_snapshot_diff",
-    "pack_sequences", "rfm_segmentation", "sample_bottomk",
-    "sample_cluster_quota",
+    "pack_sequences", "profile_columns", "rfm_segmentation", "sample_bottomk",
+    "sample_cluster_quota", "sample_temperature",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",
     // Micro-batch rows with linear work: state is watermark-bounded (join
@@ -121,8 +137,10 @@ object ScaleSweep {
     // within-batch pair mining is quadratic in clone families.
     "stream_stream_join", "stream_dedup_events", "stream_mv_refresh",
     "stream_mv_refresh_partitioned",
-    "stats_percentiles_grouped", "text_bm25_topk", "text_inverted_index",
-    "text_quality", "text_token_count", "tpch_q1_pricing_summary",
+    "stats_percentiles_grouped", "text_bm25_topk",
+    "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
+    "text_quality", "text_token_count", "train_preference_pairs",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q9_profit_proxy",
     "tpch_q18_large_orders", "tpch_q18_bucketed",

@@ -142,4 +142,31 @@ class CorpusSpec extends SparkSpec {
     // aaaba: m1 → " aa a b a ", m2 → " aa ab a ", m3 → " aaab a "
     assert(got("aaaba") === ((2, "aaab a")), got("aaaba"))
   }
+
+  test("temperatureSample: sqrt-quota allocation, exact per-source counts") {
+    import spark.implicits._
+    // Three domains with weight masses 10000, 2500, 100 (isqrt 100, 50, 10;
+    // denom 160). Budget = 2/5 of 320 docs = 128 →
+    // quotas: 128·100/160 = 80, 128·50/160 = 40, 128·10/160 = 8.
+    // Natural shares are 79/20/1 % — temperature lifts the tail (1 % of
+    // mass → 6.25 % of the sample) and trims the head (79 → 62.5 %).
+    val docs = ((0L until 200L).map(i => (i, "big", 50L)) ++
+        (200L until 300L).map(i => (i, "mid", 25L)) ++
+        (300L until 320L).map(i => (i, "tail", 5L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.temperatureSample(docs, "doc_id", "source", "n_chars",
+      budgetNum = 2, budgetDen = 5)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("quota").as("q"), max("rk").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(bySrc("big") === ((80L, 80L, 80)))
+    assert(bySrc("mid") === ((40L, 40L, 40)))
+    assert(bySrc("tail") === ((8L, 8L, 8)))
+    // Determinism: same selection under a different physical layout.
+    val again = Corpus.temperatureSample(docs.repartition(7, col("doc_id")),
+      "doc_id", "source", "n_chars", budgetNum = 2, budgetDen = 5)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
