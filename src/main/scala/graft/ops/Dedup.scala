@@ -805,6 +805,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded-round k-core peel over the near-dup graph: `rounds` synchronous
+    * rounds of discarding nodes whose ALIVE-degree < k — the density filter
+    * that isolates template/boilerplate cliques no single triangle count
+    * can. The operator is DEFINED as the bounded peel (like
+    * [[labelPropagation]]'s fixed rounds): it equals the true k-core iff a
+    * full round removes nothing, which near-dup graphs (tiny components,
+    * diameter ≤ ~4) reach well inside 4 rounds; an unconverged peel is a
+    * superset of the core. Each round is two equi-joins against the alive
+    * set + one count aggregate — at 100 TB, per-round checkpointing caps
+    * the plan depth exactly as [[connectedComponents]] does. Output:
+    * (idCol, in_core) for every node. */
+  def kCore(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val sym = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .union(edges.select(col("d2").as("a"), col("d1").as("b")))
+    var alive = nodes.select(col(idCol).as("id"))
+    (1 to rounds).foreach { _ =>
+      val deg = sym
+        .join(alive.select(col("id").as("b")), "b")
+        .join(alive.select(col("id").as("a")), "a")
+        .groupBy(col("a")).agg(count(lit(1)).as("_deg"))
+      alive = deg.filter(col("_deg") >= k).select(col("a").as("id"))
+    }
+    nodes.select(col(idCol))
+      .join(alive.select(col("id").as(idCol), lit(1).as("_in")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("_in").isNotNull.as("in_core"))
+  }
+
   /** Blocked edit-distance pair mining — fuzzy ENTITY dedup (near-identical
     * names/titles differing by typos), the short-string complement of the
     * shingle-based DOCUMENT dedup above. Candidates come from an equi-join

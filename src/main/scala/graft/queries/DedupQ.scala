@@ -424,6 +424,46 @@ object DedupQ {
            |FROM rk ORDER BY doc_id""".stripMargin
       }),
 
+    // k-core density filter over the near-dup graph (k=2, 4 synchronous
+    // peel rounds — the bounded-round semantics Dedup.kCore documents):
+    // nodes surviving repeated removal of degree-<2 endpoints are the
+    // template/boilerplate cliques; degree-1 pendant pairs drop out. The
+    // oracle replays the identical staged peel over the same LSH edges.
+    Q("graph_kcore",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        Dedup.kCore(docs.select("doc_id"), lshPairs(s, dir), "doc_id",
+            k = 2, rounds = 4)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        val peelCtes = (1 to 4).map { r =>
+          val degFrom =
+            if (r == 1) "FROM sym s"
+            else s"FROM sym s JOIN a${r - 1} x ON s.b = x.id" +
+              s" JOIN a${r - 1} y ON s.a = y.id"
+          s"""d$r AS (SELECT s.a AS id, COUNT(*) AS c $degFrom GROUP BY s.a),
+             |a$r AS (SELECT id FROM d$r WHERE c >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |$peelCtes
+           |SELECT d.doc_id, a4.id IS NOT NULL AS in_core
+           |FROM documents d LEFT JOIN a4 ON a4.id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Graph cohesion over the near-dup graph: triangle count via oriented
     // wedge join on the canonical MinHash-LSH edges (a<b<c counted once).
     Q("graph_triangles",
