@@ -85,8 +85,12 @@ object ScaleSweep {
     "funnel_conversion", "funnel_conversion_bucketed",
     "funnel_strict_window",
     "graph_bfs_distance",
+    "graph_kcore",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
+    // Two brute-force passes (|Q|·|V| each) — swept at 10× with the same
+    // work-scales-with-output attribution as ann_bruteforce_topk.
+    "embed_matryoshka_topk",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",

@@ -145,6 +145,67 @@ object SimilarityQ {
               |SELECT q_vec, rank, neighbor, cos FROM r WHERE rank <= 10
               |ORDER BY q_vec, rank""".stripMargin)),
 
+    // Matryoshka-truncation serving trade (MRL-style): top-10 cosine over
+    // the FIRST-16-DIM prefix of each embedding, with every truncated hit
+    // flagged against the full-64-dim top-10 — the measurement behind
+    // "serve the cheap prefix, rerank with the full vector": per probe,
+    // the in_full_topk count IS prefix recall@10, carried per row so the
+    // trade is visible at any corpus. Cost shape: two brute-force passes
+    // (probe-bounded broadcasts, |Q|·|V| work by construction — excluded
+    // from sweeps like ann_bruteforce_topk); at scale the prefix pass is
+    // the IVF serve over a 16-dim index, same composition. The prefix
+    // cosine is the identical left-fold IEEE sequence on the sliced
+    // array, so both engines agree bit-for-bit.
+    Q("embed_matryoshka_topk",
+      (s, dir) => {
+        val vecs = Catalog.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val t = vecs.select(col("vec_id"),
+          expr("slice(embedding, 1, 16)").as("emb16"))
+        val topT = Similarity.knnBruteForce(t,
+          t.filter(col("vec_id") % 100 === 0), "vec_id", "emb16", k = 10)
+        val topF = Similarity.knnBruteForce(vecs,
+            vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+          .select(col("q_vec").as("_qf"), col("neighbor").as("_nf"),
+            lit(1).as("_hit"))
+        topT.join(topF,
+            col("q_vec") === col("_qf") && col("neighbor") === col("_nf"),
+            "left")
+          .select(col("q_vec"), col("rank"), col("neighbor"),
+            col("cos").as("cos16"), col("_hit").isNotNull.as("in_full_topk"))
+          .orderBy("q_vec", "rank")
+      },
+      Some(s"""WITH t AS (SELECT vec_id, list_slice(embedding, 1, 16) AS e16
+              |           FROM embeddings),
+              |tn AS (SELECT vec_id, e16, ${Similarity.normDuck("e16")} AS nrm FROM t),
+              |tq AS (SELECT vec_id AS q_vec, e16 AS q16, nrm AS q_nrm FROM tn
+              |       WHERE vec_id % 100 = 0),
+              |ts AS (SELECT q_vec, tn.vec_id AS neighbor,
+              |              ${Similarity.dotDuck("q16", "tn.e16")} / (q_nrm * tn.nrm) AS cos16
+              |       FROM tn, tq WHERE tn.vec_id <> tq.q_vec),
+              |tr AS (SELECT q_vec, neighbor, cos16,
+              |              ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                ORDER BY cos16 DESC, neighbor ASC) AS rank
+              |       FROM ts),
+              |f AS (SELECT vec_id, embedding,
+              |             ${Similarity.normDuck("embedding")} AS nrm FROM embeddings),
+              |fq AS (SELECT vec_id AS q_vec, embedding AS q_emb, nrm AS q_nrm
+              |       FROM f WHERE vec_id % 100 = 0),
+              |fs AS (SELECT q_vec, f.vec_id AS neighbor,
+              |              ${Similarity.dotDuck("q_emb", "f.embedding")} / (q_nrm * f.nrm) AS cos
+              |       FROM f, fq WHERE f.vec_id <> fq.q_vec),
+              |fr AS (SELECT q_vec, neighbor,
+              |              ROW_NUMBER() OVER (PARTITION BY q_vec
+              |                ORDER BY cos DESC, neighbor ASC) AS rank
+              |       FROM fs),
+              |ff AS (SELECT q_vec, neighbor FROM fr WHERE rank <= 10)
+              |SELECT tr.q_vec, tr.rank, tr.neighbor, tr.cos16,
+              |       ff.neighbor IS NOT NULL AS in_full_topk
+              |FROM tr LEFT JOIN ff
+              |  ON ff.q_vec = tr.q_vec AND ff.neighbor = tr.neighbor
+              |WHERE tr.rank <= 10
+              |ORDER BY tr.q_vec, tr.rank""".stripMargin)),
+
     // Retrieval capstone: ANN top-3 per probe JOINED back to the documents
     // table (vec_id aligns with doc_id) — the retrieve step of a RAG
     // pipeline: embed → search → fetch text metadata. Exercises the ops
