@@ -416,4 +416,40 @@ object Corpus {
       .filter(col("rk") <= col("quota"))
       .select(col(idCol), col(byCol), col("quota"), col("rk"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007) — weighted
+    * sampling WITHOUT replacement with unbiased Horvitz–Thompson
+    * subset-sum estimates and no transcendental anywhere: item priority
+    * q_i = w_i / u_i with u_i = (h_i + 1)/P an exact rational from the
+    * salted polynomial hash (h_i ∈ [0, P)); the sample is the top-k by
+    * priority and each sampled item's estimation weight is max(w_i, τ)
+    * with τ the (k+1)-th priority — E[Σ est over any subset] = Σ w, the
+    * property that makes the sample a drop-in for downstream weighted
+    * sums. The only float ops are one exact BIGINT→DOUBLE conversion of
+    * the w·P product (< 2^53 here) and ONE IEEE division, so rank and
+    * estimate are engine-exact.
+    *
+    * Scale: top-(k+1) is a distributed TakeOrdered (per-partition heaps,
+    * never a global sort); τ is one scalar; the rank window runs on the
+    * collected ≤ k+1 rows. When w approaches 2^53/P the product moves to
+    * DOUBLE (rank changes only where priorities tie within 1 ulp). */
+  def prioritySample(
+      docs: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    import graft.functions.Hashing.{polyHashSpark, P}
+    import org.apache.spark.sql.expressions.Window
+    val topk1 = docs
+      .withColumn("_h", expr(polyHashSpark(s"'psmp:' || CAST($idCol AS STRING)")))
+      .withColumn("priority",
+        expr(s"CAST($weightCol * $P AS DOUBLE) / CAST(_h + 1 AS DOUBLE)"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+    val tau = topk1.agg(min("priority").as("tau"))
+    val w = Window.orderBy(col("priority").desc, col(idCol).asc)
+    topk1.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_w", expr(s"greatest(CAST($weightCol AS DOUBLE), tau)"))
+      .select(col(idCol), col("rk"), col(weightCol), col("priority"), col("est_w"))
+      .orderBy("rk")
+  }
 }

@@ -805,6 +805,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Common-neighbor similarity over a canonical (d1 < d2) edge set: every
+    * node pair sharing ≥ `minCommon` neighbors, with the shared count and
+    * the Jaccard of the two neighborhood sets — co-citation structure the
+    * per-edge similarity can't see (two docs never directly compared can
+    * share an entire template family; the classic link-prediction
+    * baseline). Wedges (x—a, x—b, a<b) come from ONE self-join of the
+    * symmetric edge list keyed on the shared endpoint — bounded by Σ deg²,
+    * the budget the triangle join already pays — and degrees join back on
+    * the surviving pairs. The probe side goes through the measured
+    * broadcast gate, never planner stats on a cached edge set. */
+  def commonNeighbors(edges: DataFrame, minCommon: Int): DataFrame = {
+    val sym = edges.select(col("d1").as("x"), col("d2").as("y"))
+      .union(edges.select(col("d2").as("x"), col("d1").as("y")))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val symB = Skew.broadcastIfBounded(sym)
+    val wedges = sym.as("l")
+      .join(symB.as("r"),
+        col("l.x") === col("r.x") && col("l.y") < col("r.y"))
+      .select(col("l.y").as("n1"), col("r.y").as("n2"))
+    wedges.groupBy(col("n1"), col("n2")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(deg.select(col("x").as("n1"), col("deg").as("deg_a")), "n1")
+      .join(deg.select(col("x").as("n2"), col("deg").as("deg_b")), "n2")
+      .withColumn("jacc",
+        expr("CAST(cn AS DOUBLE) / CAST(deg_a + deg_b - cn AS DOUBLE)"))
+      .select(col("n1").as("d1"), col("n2").as("d2"),
+        col("cn"), col("deg_a"), col("deg_b"), col("jacc"))
+  }
+
   /** Bounded-round k-core peel over the near-dup graph: `rounds` synchronous
     * rounds of discarding nodes whose ALIVE-degree < k — the density filter
     * that isolates template/boilerplate cliques no single triangle count

@@ -403,6 +403,73 @@ object CorpusQ {
               |FROM rk JOIN q ON q.source = rk.source
               |WHERE rk.rk <= q.quota ORDER BY doc_id""".stripMargin)),
 
+    // Priority sampling (Duffield–Lund–Thorup): weighted-without-replacement
+    // sample of 200 docs by character mass, with the Horvitz–Thompson
+    // estimation weight max(w, τ) carried per row (τ = the 201st priority)
+    // so any subset-sum over the sample unbiasedly estimates the corpus
+    // total. Priority = w·P/(h+1) — the salted-hash rational; one BIGINT
+    // product + one IEEE division, hash-exact in both engines. Top-(k+1)
+    // is a TakeOrdered, never a global sort (see Corpus.prioritySample).
+    Q("sample_priority_weighted",
+      (s, dir) =>
+        Corpus.prioritySample(Catalog.load(s, dir, "documents"),
+          "doc_id", "n_chars", k = 200),
+      Some(s"""WITH p AS (SELECT doc_id, n_chars,
+              |    CAST(n_chars * $P AS DOUBLE)
+              |      / CAST(${polyHashDuck("'psmp:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+              |      AS priority
+              |  FROM documents),
+              |r AS (SELECT doc_id, n_chars, priority,
+              |             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS INT) AS rk
+              |      FROM p),
+              |t AS (SELECT MIN(priority) AS tau FROM r WHERE rk <= 201)
+              |SELECT doc_id, rk, n_chars, priority,
+              |       greatest(CAST(n_chars AS DOUBLE), tau) AS est_w
+              |FROM r, t WHERE rk <= 200 ORDER BY rk""".stripMargin)),
+
+    // Pareto-front (skyline) corpus selection: the docs not dominated on
+    // (lexical diversity, length) — doc A dominates B iff A is ≥ on both
+    // dims and > on at least one; equal points don't dominate, so exact
+    // ties all survive. The multi-objective "best of the corpus" cut that
+    // needs no weighting function. 2-D skyline needs NO pairwise join:
+    // group to the per-diversity max length (bounded: |distinct ratios| ≤
+    // |(n_distinct, n_tokens) pairs|, a small-int domain), one window pass
+    // over that bounded table ordered by diversity desc gives the
+    // strictly-higher-diversity running max, and a doc survives iff it
+    // holds its group's max AND beats that running max. Dim values are one
+    // identical IEEE division in both engines, so the double equality
+    // join/group is exact.
+    Q("select_pareto_front",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val x = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+          .select(col("doc_id"), expr("size(w)").as("n_tokens"),
+            expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("dr"))
+        val g = x.groupBy(col("dr")).agg(max(col("n_tokens")).as("gmax"))
+        val ws = Window.orderBy(col("dr").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val gs = g.withColumn("smax", max(col("gmax")).over(ws))
+        x.join(gs, "dr")
+          .filter(col("n_tokens") === col("gmax") &&
+            col("n_tokens") > coalesce(col("smax"), lit(-1L)))
+          .select(col("doc_id"), col("dr"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |x AS (SELECT doc_id, len(w) AS n_tokens,
+             |             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
+             |      FROM d),
+             |g AS (SELECT dr, MAX(n_tokens) AS gmax FROM x GROUP BY dr),
+             |gs AS (SELECT dr, gmax,
+             |              MAX(gmax) OVER (ORDER BY dr DESC
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax
+             |       FROM g)
+             |SELECT x.doc_id, x.dr, x.n_tokens
+             |FROM x JOIN gs ON gs.dr = x.dr
+             |WHERE x.n_tokens = gs.gmax AND x.n_tokens > COALESCE(gs.smax, -1)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Inverted-index build: per-term document frequency, collection
     // frequency, id range and a digest of the SORTED posting list (arrays
     // can't flow to the driver comparator; at 100 TB posting lists are

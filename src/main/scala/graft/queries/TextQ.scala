@@ -338,6 +338,62 @@ object TextQ {
              |      FROM nab JOIN uni ua ON ua.t = nab.a
              |               JOIN uni ub ON ub.t = nab.b, ntok)
              |SELECT a, b, n_ab, n_a, n_b, ratio
-             |FROM j ORDER BY ratio DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+             |FROM j ORDER BY ratio DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Skip-gram (target, context) training-pair mining — the word2vec /
+    // embedding-pretraining data layer: every token's contexts are the
+    // tokens within ±2 positions, emitted as symmetric (t, c) pairs with
+    // support counts plus the unigram counts that parameterize the
+    // negative-sampling distribution. Pairs are generated ARRAY-LOCALLY
+    // per document (fixed-offset transforms over the token array — never a
+    // positional self-join, which would be |doc|²-prone), so the pair
+    // stream is linear in tokens (≤ 2 per token per direction); the count
+    // table is vocab²-bounded and min-support 3 keeps it sparse. Top-50 by
+    // (support, t, c) via distributed top-k (TakeOrdered, never a global
+    // sort). Distinct from text_collocations_pmi in both semantics and
+    // output: collocations rank ADJACENT bigrams by association strength;
+    // this emits the windowed, symmetrized pair table a trainer consumes.
+    Q("train_skipgram_pairs",
+      (s, dir) => {
+        val toks = Catalog.load(s, dir, "documents")
+          .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+        val uni = toks.select(explode(col("w")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+        val fw = toks.filter(expr("size(w) >= 2"))
+          .select(explode(expr(
+            "filter(flatten(transform(sequence(1, size(w) - 1), i -> array(" +
+              "struct(element_at(w, i) AS a, element_at(w, i + 1) AS b), " +
+              "IF(i + 2 <= size(w), struct(element_at(w, i) AS a, element_at(w, i + 2) AS b), NULL)))), " +
+              "p -> p IS NOT NULL)")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val sym = fw.select(col("a").as("t"), col("b").as("c"))
+          .unionAll(fw.select(col("b").as("t"), col("a").as("c")))
+        sym.groupBy(col("t"), col("c")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 3)
+          .join(uni, "t")
+          .join(uni.select(col("t").as("c"), col("n_t").as("n_c")), "c")
+          .orderBy(col("cnt").desc, col("t").asc, col("c").asc)
+          .limit(50)
+          .select("t", "c", "cnt", "n_t", "n_c")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t
+             |        FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+             |f1 AS (SELECT unnest(list_transform(range(1, len(w)),
+             |                i -> w[i] || ' ' || w[i + 1])) AS p
+             |       FROM d WHERE len(w) >= 2),
+             |f2 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i + 2])) AS p
+             |       FROM d WHERE len(w) >= 3),
+             |fw AS (SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b
+             |       FROM (SELECT p FROM f1 UNION ALL SELECT p FROM f2)),
+             |sym AS (SELECT a AS t, b AS c FROM fw
+             |        UNION ALL SELECT b AS t, a AS c FROM fw),
+             |cnt AS (SELECT t, c, CAST(COUNT(*) AS BIGINT) AS cnt
+             |        FROM sym GROUP BY t, c HAVING COUNT(*) >= 3)
+             |SELECT cnt.t, cnt.c, cnt.cnt, ut.n_t, uc.n_t AS n_c
+             |FROM cnt JOIN uni ut ON ut.t = cnt.t
+             |         JOIN uni uc ON uc.t = cnt.c
+             |ORDER BY cnt DESC, t ASC, c ASC LIMIT 50""".stripMargin))
   )
 }
