@@ -173,6 +173,10 @@ object ScaleSweep {
     // the SAME (sfDir, factor) — the replication is deterministic, so the
     // bytes are identical and the (expensive) rebuild can be skipped.
     val dst = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR", {
+      // Deliberately NOT TempDirs.create (delete-at-exit): the replica is
+      // the one session artifact MEANT to outlive the JVM — a later sweep
+      // at the same (sfDir, factor) reuses it via SPARK_GRAFT_REPLICA_DIR
+      // to skip the expensive rebuild. The caller owns its lifetime.
       val d = java.nio.file.Files.createTempDirectory(s"graft_${factor}x").toString
       Catalog.tableNames.foreach { t =>
         // Raw read (no ts normalization) so the replica round-trips bytes;

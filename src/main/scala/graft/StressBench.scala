@@ -179,7 +179,7 @@ object StressBench {
     println(s"[stress] refinery keepers: $nRef")
 
     val (nIvf, _) = timed("persisted IVF build + pruned probe, embeddings") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+      val tmp = graft.engine.TempDirs.create("graft_sivf")
       val vecs = Catalog.load(spark, sfDir, "embeddings")
       graft.ops.Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
       graft.ops.Similarity.knnIvfPersisted(spark, tmp,

@@ -14,15 +14,34 @@ package graft.engine
   *     audited, measured-or-bounded broadcast (SURVEY §9 inventory); a
   *     rise means a new planning-time cached-stats broadcast nobody
   *     sized — the OOM-at-scale class.
-  *   - `*_bucketed` rows must keep ZERO hash exchanges — their whole
-  *     point is that the layout supplies the distribution; any exchange
-  *     is a layout regression, baseline or not. The sole escape hatch is
-  *     [[bucketedDesignHx]]: a row whose DESIGNED plan includes exchanges
-  *     the layout cannot supply (a final aggregate keyed off the bucket
-  *     key) declares that count in code — exceeding it still fires, and
-  *     a stale measured baseline can never grandfather a regression in.
+  *   - Bucketed-layout serve rows must keep ZERO hash exchanges — their
+  *     whole point is that the layout supplies the distribution; any
+  *     exchange is a layout regression, baseline or not. Which rows are
+  *     bucketed serves is DECLARED at the row definition
+  *     (`Q.servesLayout`, round-10: keyed to the
+  *     [[graft.ops.Bucketing.sessionLayout]] registration it serves, not
+  *     to a `*_bucketed` name pattern — `src_bucketed_join` never matched
+  *     the name rule). Two guards close the bypass directions: a declared
+  *     row must reference a layout that actually REGISTERED this session,
+  *     and a row whose name SAYS bucketed but carries no declaration is
+  *     itself a violation. The designed-exchange escape hatch
+  *     (`Q.designHx`) is unchanged: a row whose designed plan includes
+  *     exchanges the layout cannot supply (a final aggregate keyed off
+  *     the bucket key) declares that count in code — exceeding it still
+  *     fires, and a stale measured baseline can never grandfather a
+  *     regression in.
   *   - other `hashExchanges` changes are NOT violations (AQE may
   *     legitimately re-stage); they stay visible in the artifact diff.
+  *   - TIME channel (round 10): a row whose warm median exceeds its
+  *     committed clean-box baseline median by more than
+  *     [[TimeRegressionFactor]] is a violation even when its plan
+  *     fingerprint is bit-identical — the r9 `dedup_ngram_jaccard` ×2.3
+  *     regression class, which fingerprint diffs are structurally blind
+  *     to. Spread-aware: rows whose warm reps disagreed by more than
+  *     [[TimeSpreadCeiling]] are exempt (that is box contention, and the
+  *     bench self-heal already re-measures them), as are rows under
+  *     [[TimeFloorS]] baseline seconds (relative time on a 50 ms row is
+  *     scheduler noise).
   *
   * New queries (no baseline row) pass — the gate guards regressions, not
   * coverage; the baseline is re-authored each round from the clean box.
@@ -30,6 +49,14 @@ package graft.engine
 object PlanGate {
 
   final case class Fp(hashExchanges: Int, cachedBroadcasts: Int)
+
+  /** Committed clean-box baseline row: fingerprint + warm median seconds
+    * (med < 0 = no time baseline, e.g. a hand-edited row). */
+  final case class Base(fp: Fp, medianS: Double)
+
+  val TimeRegressionFactor = 2.0
+  val TimeSpreadCeiling = 0.5
+  val TimeFloorS = 0.3
 
   // Designed-exchange declarations live ON the row definitions
   // (`graft.queries.Q.designHx`, assembled by `Q.designHxMap`) — a
@@ -39,42 +66,80 @@ object PlanGate {
   // free of query knowledge.
 
   private val Row =
-    """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"hx"\s*:\s*(\d+)\s*,\s*"cb"\s*:\s*(\d+)\s*\}""".r
+    ("\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"hx\"\\s*:\\s*(\\d+)\\s*,\\s*" +
+      "\"cb\"\\s*:\\s*(\\d+)\\s*(?:,\\s*\"med\"\\s*:\\s*([0-9.]+)\\s*)?\\}").r
 
-  /** Parse a baseline JSON of shape {"query":{"hx":N,"cb":N},...}. The
-    * format is this module's own (written by [[render]]); a regex scan
+  /** Parse a baseline JSON of shape {"query":{"hx":N,"cb":N,"med":X},...}
+    * ("med" optional — pre-round-10 baselines parse with no time channel).
+    * The format is this module's own (written by [[render]]); a regex scan
     * keeps the library free of any JSON dependency. */
-  def parseBaseline(json: String): Map[String, Fp] =
+  def parseBaseline(json: String): Map[String, Base] =
     Row.findAllMatchIn(json).map { m =>
-      m.group(1) -> Fp(m.group(2).toInt, m.group(3).toInt)
+      m.group(1) -> Base(Fp(m.group(2).toInt, m.group(3).toInt),
+        Option(m.group(4)).map(_.toDouble).getOrElse(-1.0))
     }.toMap
 
-  /** Render a current fingerprint map as baseline JSON (sorted, stable). */
-  def render(current: Map[String, Fp]): String =
+  /** Render current fingerprints + warm medians as baseline JSON (sorted,
+    * stable). Rows with no timing (e.g. failed) get no "med" field. */
+  def render(current: Map[String, Fp],
+      medians: Map[String, Double] = Map.empty): String =
     current.toSeq.sortBy(_._1).map { case (name, fp) =>
-      s""""$name":{"hx":${fp.hashExchanges},"cb":${fp.cachedBroadcasts}}"""
+      val med = medians.get(name).filter(_ >= 0)
+        .map(m => s""","med":${math.round(m * 1000.0) / 1000.0}""").getOrElse("")
+      s""""$name":{"hx":${fp.hashExchanges},"cb":${fp.cachedBroadcasts}$med}"""
     }.mkString("{\n", ",\n", "\n}")
 
   /** The gate: violation messages for `current` vs `baseline` (empty =
-    * clean). `designHx` carries the per-row designed-exchange declarations
-    * assembled from the query definitions (`Q.designHxMap`). */
+    * clean).
+    *  - `designHx`: per-row designed-exchange declarations (`Q.designHxMap`)
+    *  - `layoutRows`: row name → served layout name (`Q.layoutRowsMap`)
+    *  - `registeredLayouts`: layout names actually registered this session
+    *    ([[graft.ops.Bucketing.registeredLayouts]])
+    *  - `times`: per-row (warm median s, warm spread) from this run
+    */
   def violations(
-      current: Map[String, Fp], baseline: Map[String, Fp],
-      designHx: Map[String, Int] = Map.empty): Seq[String] = {
+      current: Map[String, Fp], baseline: Map[String, Base],
+      designHx: Map[String, Int] = Map.empty,
+      layoutRows: Map[String, String] = Map.empty,
+      registeredLayouts: Set[String] = Set.empty,
+      times: Map[String, (Double, Double)] = Map.empty): Seq[String] = {
     val cbRises = current.toSeq.sortBy(_._1).flatMap { case (name, fp) =>
       baseline.get(name).collect {
-        case b if fp.cachedBroadcasts > b.cachedBroadcasts =>
-          s"$name: cachedBroadcast ${b.cachedBroadcasts} -> ${fp.cachedBroadcasts}" +
+        case b if fp.cachedBroadcasts > b.fp.cachedBroadcasts =>
+          s"$name: cachedBroadcast ${b.fp.cachedBroadcasts} -> ${fp.cachedBroadcasts}" +
             " (new cached-stats broadcast nobody sized)"
       }
     }
+    val undeclared = current.keys.toSeq.sorted.collect {
+      case name if name.contains("_bucketed") && !layoutRows.contains(name) =>
+        s"$name: name says bucketed but the row declares no servesLayout" +
+          " (gate bypass — declare the layout it serves, or rename)"
+    }
+    val unregistered = layoutRows.toSeq.sortBy(_._1).collect {
+      case (name, layout)
+          if current.contains(name) && registeredLayouts.nonEmpty &&
+            !registeredLayouts.contains(layout) =>
+        s"$name: declares servesLayout '$layout' but no such layout" +
+          " registered this session (stale or misspelled declaration)"
+    }
     val bucketedHx = current.toSeq.sortBy(_._1).collect {
-      case (name, fp) if name.endsWith("_bucketed") &&
+      case (name, fp) if layoutRows.contains(name) &&
           fp.hashExchanges > designHx.getOrElse(name, 0) =>
         s"$name: bucketed row has ${fp.hashExchanges} hash exchange(s)," +
           s" designed ${designHx.getOrElse(name, 0)}" +
           " (layout regression — the bucketed scan no longer supplies the distribution)"
     }
-    cbRises ++ bucketedHx
+    val timeRegressions = times.toSeq.sortBy(_._1).flatMap {
+      case (name, (med, spread)) =>
+        baseline.get(name).collect {
+          case b if b.medianS >= TimeFloorS && med > 0 &&
+              spread <= TimeSpreadCeiling &&
+              med > TimeRegressionFactor * b.medianS =>
+            f"$name: warm median ${med}%.2f s vs baseline ${b.medianS}%.2f s" +
+              f" (>${TimeRegressionFactor}%.1fx at warm spread ${spread}%.2f" +
+              " — a pure-time regression the fingerprint diff cannot see)"
+        }
+    }
+    cbRises ++ undeclared ++ unregistered ++ bucketedHx ++ timeRegressions
   }
 }

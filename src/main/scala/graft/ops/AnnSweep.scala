@@ -257,6 +257,35 @@ object AnnSweep {
       .select(col("q_vec"), col("rank"), col(idCol).as("neighbor"), col("adist"))
   }
 
+  /** Persist a join-path IVF-PQ index (the large-codebook layout the
+    * literal-path [[PQ.writeIvfPqIndex]] cannot carry: codebooks stay DATA,
+    * codes stay a map column): cluster-partitioned codes + centroid and
+    * codebook tables beside them. Same layout contract as the literal
+    * index — serving reads ONLY these three dirs, never a raw vector. */
+  def writeIndexJoin(
+      enc: DataFrame, cents: DataFrame, books: DataFrame, path: String): Unit = {
+    cents.select(col("cluster"), col("cent"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/cents")
+    books.select(col("subspace"), col("code"), col("cent"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/books")
+    enc.repartition(col("cluster"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cluster").parquet(s"$path/cells")
+  }
+
+  /** Serve ADC top-k from a [[writeIndexJoin]] index — [[serveAdc]] over
+    * the three on-disk relations. */
+  def serveIndexJoin(
+      spark: SparkSession, path: String, probes: DataFrame,
+      idCol: String, vecCol: String, m: Int, sub: Int,
+      nprobe: Int, kTop: Int): DataFrame =
+    serveAdc(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/cents"),
+      spark.read.parquet(s"$path/books"),
+      probes, idCol, vecCol, m, sub, nprobe, kTop)
+
   /** Exact L2 top-k truth set as (q_vec, neighbor) pairs — the recall
     * denominator. |Q|·kTop driver scalars. */
   def truthPairs(

@@ -37,6 +37,15 @@ object Bucketing {
   private val layoutSpecs = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, String, String)], Map[String, Seq[String]])]()
 
+  /** Layout names registered this session — the plan gate cross-checks
+    * every `Q.servesLayout` declaration against this set, so a misspelled
+    * or stale declaration fails loudly instead of silently un-gating the
+    * row. */
+  def registeredLayouts: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    layoutSpecs.keySet().asScala.toSet
+  }
+
   /** Session-scoped bucketed layout: build the named bucketed tables ONCE
     * per (session, data dir) and let every later query serve from the
     * catalog with zero Exchange. This is THE entry point for layout builds —
@@ -67,7 +76,7 @@ object Bucketing {
     val cache = layoutCaches.computeIfAbsent(
       layout, _ => new graft.queries.SessionCache[Unit](_ => ()))
     cache.getOrElseUpdate(spark, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$layout").toString
+      val tmp = graft.engine.TempDirs.create(s"graft_$layout")
       val n = spark.sparkContext.defaultParallelism
       tables.foreach { case (table, source, key) =>
         writeBucketed(spark, graft.engine.Catalog.load(spark, dir, source),

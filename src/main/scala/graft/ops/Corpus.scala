@@ -429,6 +429,11 @@ object Corpus {
     * the w·P product (< 2^53 here) and ONE IEEE division, so rank and
     * estimate are engine-exact.
     *
+    * When the input has ≤ k rows there is no genuine (k+1)-th priority and
+    * DLT defines τ = 0 (every item is sampled with certainty, est_w = w);
+    * taking the minimum SAMPLED priority instead would bias every
+    * subset-sum estimate upward.
+    *
     * Scale: top-(k+1) is a distributed TakeOrdered (per-partition heaps,
     * never a global sort); τ is one scalar; the rank window runs on the
     * collected ≤ k+1 rows. When w approaches 2^53/P the product moves to
@@ -443,7 +448,10 @@ object Corpus {
         expr(s"CAST($weightCol * $P AS DOUBLE) / CAST(_h + 1 AS DOUBLE)"))
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k + 1)
-    val tau = topk1.agg(min("priority").as("tau"))
+    val tau = topk1
+      .agg(min("priority").as("_min"), count(lit(1)).as("_n"))
+      .select(when(col("_n") === (k + 1), col("_min"))
+        .otherwise(lit(0.0)).as("tau"))
     val w = Window.orderBy(col("priority").desc, col(idCol).asc)
     topk1.withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= k)

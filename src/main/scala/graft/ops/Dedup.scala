@@ -842,22 +842,40 @@ object Dedup {
     * full round removes nothing, which near-dup graphs (tiny components,
     * diameter ≤ ~4) reach well inside 4 rounds; an unconverged peel is a
     * superset of the core. Each round is two equi-joins against the alive
-    * set + one count aggregate — at 100 TB, per-round checkpointing caps
-    * the plan depth exactly as [[connectedComponents]] does. Output:
+    * set + one count aggregate; the alive set feeds BOTH joins, so every
+    * round ends in an eager localCheckpoint that materializes it once and
+    * truncates the lineage — plan depth stays constant in `rounds`, exactly
+    * as [[connectedComponents]]'s loop does. The checkpoint job yields the
+    * alive count for free, so a round that removes nothing short-circuits
+    * the remaining rounds (the peel is a fixed point: once every survivor
+    * has alive-degree ≥ k, further rounds are identity). Output:
     * (idCol, in_core) for every node. */
   def kCore(
       nodes: DataFrame, edges: DataFrame, idCol: String,
       k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("d1").as("a"), col("d2").as("b"))
       .union(edges.select(col("d2").as("a"), col("d1").as("b")))
-    var alive = nodes.select(col(idCol).as("id"))
-    (1 to rounds).foreach { _ =>
-      val deg = sym
+      .persist(MEMORY_AND_DISK)
+    var alive = nodes.select(col(idCol).as("id")).localCheckpoint()
+    var prevN = alive.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < rounds) {
+      val next = sym
         .join(alive.select(col("id").as("b")), "b")
         .join(alive.select(col("id").as("a")), "a")
         .groupBy(col("a")).agg(count(lit(1)).as("_deg"))
-      alive = deg.filter(col("_deg") >= k).select(col("a").as("id"))
+        .filter(col("_deg") >= k).select(col("a").as("id"))
+        .localCheckpoint()
+      val n = next.count()
+      alive.unpersist()
+      alive = next
+      converged = n == prevN
+      prevN = n
+      i += 1
     }
+    sym.unpersist()
     nodes.select(col(idCol))
       .join(alive.select(col("id").as(idCol), lit(1).as("_in")),
         Seq(idCol), "left")

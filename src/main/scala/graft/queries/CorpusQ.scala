@@ -422,7 +422,8 @@ object CorpusQ {
               |r AS (SELECT doc_id, n_chars, priority,
               |             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS INT) AS rk
               |      FROM p),
-              |t AS (SELECT MIN(priority) AS tau FROM r WHERE rk <= 201)
+              |t AS (SELECT CASE WHEN COUNT(*) = 201 THEN MIN(priority)
+              |             ELSE 0 END AS tau FROM r WHERE rk <= 201)
               |SELECT doc_id, rk, n_chars, priority,
               |       greatest(CAST(n_chars AS DOUBLE), tau) AS est_w
               |FROM r, t WHERE rk <= 200 ORDER BY rk""".stripMargin)),

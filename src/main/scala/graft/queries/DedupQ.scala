@@ -120,7 +120,7 @@ object DedupQ {
 
   private def dedupIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     dedupIndexCache.getOrElseUpdate(s, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dix").toString
+      val tmp = graft.engine.TempDirs.create("graft_dix")
       Dedup.writeDedupIndex(
         Catalog.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", n = 3, path = tmp)
@@ -486,6 +486,43 @@ object DedupQ {
            |JOIN edges e3 ON e1.d1 = e3.d1 AND e2.d2 = e3.d2""".stripMargin
       }),
 
+    // Common-neighbor link prediction over the near-dup graph: node pairs
+    // sharing >= 1 neighbor plus the neighbor-set Jaccard — the
+    // "transitive near-dup" signal that proposes edges LSH missed (two docs
+    // each near-dup of the same family members are family members). Wedges
+    // come from ONE self-join of the symmetric edge list on the shared
+    // endpoint (bounded by Σ deg², the triangle join's budget); degrees
+    // join back on the surviving >= minCommon pairs only.
+    Q("graph_common_neighbors",
+      (s, dir) => Dedup.commonNeighbors(lshPairs(s, dir), minCommon = 1)
+        .orderBy("d1", "d2"),
+      Some {
+        val bandSelects = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandSigDuck("H", b)} AS sig FROM hs")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${shingleCte(3)},
+           |hs AS (SELECT doc_id, s AS H FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |$jaccCtes,
+           |edges AS (SELECT d1, d2 FROM j WHERE jacc >= 0.5),
+           |sym AS (SELECT d1 AS x, d2 AS y FROM edges
+           |        UNION ALL SELECT d2, d1 FROM edges),
+           |deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY x),
+           |wedges AS (SELECT l.y AS n1, r.y AS n2
+           |           FROM sym l JOIN sym r ON l.x = r.x AND l.y < r.y),
+           |cnx AS (SELECT n1, n2, CAST(COUNT(*) AS BIGINT) AS cn
+           |        FROM wedges GROUP BY n1, n2 HAVING COUNT(*) >= 1)
+           |SELECT cnx.n1 AS d1, cnx.n2 AS d2, cnx.cn,
+           |       da.deg AS deg_a, db.deg AS deg_b,
+           |       CAST(cnx.cn AS DOUBLE) / CAST(da.deg + db.deg - cnx.cn AS DOUBLE) AS jacc
+           |FROM cnx JOIN deg da ON da.x = cnx.n1
+           |         JOIN deg db ON db.x = cnx.n2
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     // PageRank (3 damped iterations) over the near-dup graph — hub scores
     // for boilerplate families. The recurrence is pure fixed-point integer
     // arithmetic (scale 1e12, 0.85 = 17/20, integer division), so Spark and
@@ -735,8 +772,7 @@ object DedupQ {
     // kept-only projection of dedup_incremental's.
     Q("stream_incremental_dedup_sink",
       (s, dir) => {
-        val corpusDir = java.nio.file.Files
-          .createTempDirectory("graft_sdedup").toString + "/corpus"
+        val corpusDir = graft.engine.TempDirs.create("graft_sdedup") + "/corpus"
         graft.streaming.Streams.writeBatch(
           Catalog.load(s, dir, "documents")
             .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),

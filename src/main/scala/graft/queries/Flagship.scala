@@ -311,7 +311,8 @@ object Flagship {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
           .limit(20)
       },
-      Some(q18Oracle)),
+      Some(q18Oracle),
+      servesLayout = Some("orderkey")),
 
     // Q19-shape: disjunction of brand/size/quantity conjuncts — the OR-tree
     // the reference's conjunctive-only dialect cannot express (SURVEY §2.2
@@ -629,7 +630,8 @@ object Flagship {
           .limit(10)
       },
       Some(q21Oracle),
-      designHx = 1),
+      designHx = 1,
+      servesLayout = Some("orderkey")),
 
     // Q13-shape: distribution of per-customer urgent-order counts — a LEFT
     // OUTER join whose extra condition lives in the JOIN clause (not WHERE,

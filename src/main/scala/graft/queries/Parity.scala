@@ -311,7 +311,7 @@ object Parity {
     // conformance check (the oracle recomputes the appended multiset).
     Q("s7_insert_sink",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_s7") + "/t"
         val c = t(s, dir, "customer")
         insertInto(c.filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey", "c_acctbal"), tmp)
@@ -332,7 +332,7 @@ object Parity {
     // executes it, QueryProcessor.java:162-172).
     Q("s8_delete_sink",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_s8") + "/t"
         insertInto(t(s, dir, "orders")
           .select("o_orderkey", "o_totalprice"), tmp)
         deleteWhere(s, tmp, col("o_totalprice") < 100000.0)

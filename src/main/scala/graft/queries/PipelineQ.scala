@@ -226,7 +226,8 @@ object PipelineQ {
             "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
           .orderBy("user_id")
       },
-      Some(funnelOracle)),
+      Some(funnelOracle),
+      servesLayout = Some("userkey")),
 
     // SCD2 snapshot from the event change log: per-user validity intervals
     // [ts, next ts), open-ended current row, event_id tiebreak.
@@ -517,7 +518,8 @@ object PipelineQ {
           .select("event_id", "user_id", "cents", "n_prev", "dev_sq", "bound")
           .orderBy("event_id")
       },
-      Some(rollingZOracle)),
+      Some(rollingZOracle),
+      servesLayout = Some("userkey")),
 
     // Robust scaling — median/MAD outlier detection per event type: the
     // robust-statistics alternative to z-scores (one extreme value moves a
@@ -685,7 +687,8 @@ object PipelineQ {
         userkeyLayout(s, dir)
         userFeatures(s.table("graft_bkt_events"))
       },
-      Some(userFeaturesOracle)),
+      Some(userFeaturesOracle),
+      servesLayout = Some("userkey")),
 
     // Power-of-2 histogram of document lengths: floor(log2(n_chars)) via
     // the binary-string length (no libm log — transcendentals are not

@@ -15,7 +15,8 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    designHx: Int = 0)
+    designHx: Int = 0,
+    servesLayout: Option[String] = None)
 
 object Q {
   /** Assemble maps for SparkEntry from module query lists. */
@@ -25,7 +26,7 @@ object Q {
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Designed hash-exchange declarations for the plan gate, assembled from
-    * the row definitions: a `*_bucketed` row whose designed-optimal plan
+    * the row definitions: a bucketed serve row whose designed-optimal plan
     * includes exchanges the layout cannot supply (a final aggregate keyed
     * off the bucket key) declares that count AT ITS DEFINITION SITE via
     * [[Q.designHx]] — so when bucketed rows multiply, the declaration
@@ -33,4 +34,12 @@ object Q {
     * (round-9 verdict lead). */
   def designHxMap(qs: Seq[Q]): Map[String, Int] =
     qs.filter(_.designHx > 0).map(q => q.name -> q.designHx).toMap
+
+  /** Bucketed-serve declarations for the plan gate (round 10): row name →
+    * the [[graft.ops.Bucketing.sessionLayout]] name it serves. The gate's
+    * zero-exchange rule keys on THIS map (plus the registered-layout set),
+    * not on a `*_bucketed` name pattern — `src_bucketed_join` never
+    * matched the pattern, so a layout regression there was invisible. */
+  def layoutRowsMap(qs: Seq[Q]): Map[String, String] =
+    qs.flatMap(q => q.servesLayout.map(q.name -> _)).toMap
 }

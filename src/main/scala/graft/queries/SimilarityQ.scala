@@ -327,7 +327,7 @@ object SimilarityQ {
     // identical SQL.
     Q("ann_ivf_persisted",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val tmp = graft.engine.TempDirs.create("graft_ivf")
         val vecs = Catalog.load(s, dir, "embeddings")
         Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
         Similarity.knnIvfPersisted(s, tmp,
@@ -454,8 +454,7 @@ object SimilarityQ {
     // ann_ivf_persisted's identical SQL.
     Q("stream_ann_serve",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sann").toString
+        val tmp = graft.engine.TempDirs.create("graft_sann")
         Similarity.writeIvfIndex(Catalog.load(s, dir, "embeddings"),
           "vec_id", "embedding", "label", s"$tmp/index")
         val probes = graft.streaming.Streams.tableStream(s, dir, "embeddings")

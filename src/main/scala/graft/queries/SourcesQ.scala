@@ -31,8 +31,7 @@ object SourcesQ {
   private def zorderLayout(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     zorderCache.getOrElseUpdate(s, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zlayout")
-        .toString + "/lineitem_z"
+      val tmp = graft.engine.TempDirs.create("graft_zlayout") + "/lineitem_z"
       // No int-narrowing on the dimensions: writeZOrdered quantizes via
       // long min/max rank, and replicated key domains (ScaleSweep offsets
       // keys by k·10⁹) overflow an INT cast under ANSI.
@@ -54,8 +53,7 @@ object SourcesQ {
   private def xmlExport(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     xmlCache.getOrElseUpdate(s, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xml")
-        .toString + "/x"
+      val tmp = graft.engine.TempDirs.create("graft_xml") + "/x"
       Catalog.load(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
         .write.option("rowTag", "row").format("xml").save(tmp)
@@ -74,7 +72,7 @@ object SourcesQ {
     // JSON sink + source round trip (schema re-inferred on read).
     Q("src_json_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_json") + "/t"
         Catalog.load(s, dir, "nation").write.json(tmp)
         s.read.json(tmp)
           .select("n_nationkey", "n_name", "n_regionkey")
@@ -87,7 +85,7 @@ object SourcesQ {
     // new column. The lakehouse append-with-evolving-schema path.
     Q("src_schema_evolution",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_evo") + "/t"
         val n = Catalog.load(s, dir, "nation")
         n.filter(col("n_nationkey") < 10)
           .select("n_nationkey", "n_name")
@@ -120,7 +118,7 @@ object SourcesQ {
     // CSV sink + source round trip with explicit schema.
     Q("src_csv_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_csv") + "/t"
         val sup = Catalog.load(s, dir, "supplier")
         sup.write.option("header", "true").csv(tmp)
         s.read.schema(sup.schema).option("header", "true").csv(tmp)
@@ -136,7 +134,7 @@ object SourcesQ {
     // partition directory (PartitionFilters — pinned in PlanShapeSpec).
     Q("src_partitioned_write",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_part") + "/t"
         Catalog.load(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
           .write.partitionBy("l_returnflag").parquet(tmp)
@@ -154,7 +152,7 @@ object SourcesQ {
     // pushdown/pruning; schema preserved exactly (no re-inference needed).
     Q("src_orc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_orc") + "/t"
         Catalog.load(s, dir, "part").write.orc(tmp)
         s.read.orc(tmp)
           .filter(col("p_size") >= 25)
@@ -185,7 +183,15 @@ object SourcesQ {
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      // The co-located join itself is exchange-free (pinned in
+      // PlanShapeSpec); the ONE designed exchange is the final mktsegment
+      // aggregate — a key the custkey layout cannot supply (q21's suppkey
+      // situation). Declared the moment the gate started keying bucketed
+      // rows off servesLayout instead of the *_bucketed name pattern,
+      // which had silently skipped this row since round 7.
+      designHx = 1,
+      servesLayout = Some("custkey")),
 
     // Z-order clustered layout: lineitem rewritten sorted by the Morton
     // value of (partkey, suppkey); the box-predicate read-back then prunes
@@ -249,7 +255,7 @@ object SourcesQ {
 
     Q("src_text_gzip_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_text") + "/t"
         Catalog.load(s, dir, "documents")
           .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
           .write.option("compression", "gzip").text(tmp)
@@ -384,7 +390,7 @@ object SourcesQ {
     // debugging/lineage idiom; counts must match the logical grouping.
     Q("src_file_lineage",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_lin").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_lin") + "/t"
         Catalog.load(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_returnflag")
           .write.partitionBy("l_returnflag").parquet(tmp)

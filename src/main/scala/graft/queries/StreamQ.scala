@@ -158,7 +158,7 @@ object StreamQ {
     Q("stream_e2e_incremental",
       (s, dir) => {
         val sinkDir =
-          java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/bronze"
+          graft.engine.TempDirs.create("graft_e2e") + "/bronze"
         val ev = Streams.eventStream(s, dir)
           .filter(col("value") > 0)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -358,7 +358,7 @@ object StreamQ {
     // merge over the sources.
     Q("s10_merge_sink",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_s10") + "/t"
         val c = Catalog.load(s, dir, "customer")
         graft.ops.Relational.insertInto(
           c.filter(col("c_custkey") < 300).select("c_custkey", "c_name", "c_acctbal"), tmp)
@@ -499,8 +499,7 @@ object StreamQ {
     // aggregate over ALL events — the oracle.
     Q("stream_mv_refresh",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_smv").toString
+        val root = graft.engine.TempDirs.create("graft_smv")
         val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           df => df.groupBy("user_id").agg(
             count(lit(1)).as("n_events"),
@@ -532,8 +531,7 @@ object StreamQ {
     // oracle as the whole-MV form.
     Q("stream_mv_refresh_partitioned",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_smvp").toString
+        val root = graft.engine.TempDirs.create("graft_smvp")
         val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           df => df.groupBy("user_id").agg(
             count(lit(1)).as("n_events"),
@@ -565,7 +563,7 @@ object StreamQ {
     // reference): copy-on-write column rewrite on a Parquet table.
     Q("s9_update_sink",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString + "/t"
+        val tmp = graft.engine.TempDirs.create("graft_s9") + "/t"
         graft.ops.Relational.insertInto(
           Catalog.load(s, dir, "orders")
             .select("o_orderkey", "o_totalprice", "o_orderpriority"), tmp)

@@ -394,6 +394,6 @@ object TextQ {
              |SELECT cnt.t, cnt.c, cnt.cnt, ut.n_t, uc.n_t AS n_c
              |FROM cnt JOIN uni ut ON ut.t = cnt.t
              |         JOIN uni uc ON uc.t = cnt.c
-             |ORDER BY cnt DESC, t ASC, c ASC LIMIT 50""".stripMargin))
+             |ORDER BY cnt.cnt DESC, cnt.t ASC, cnt.c ASC LIMIT 50""".stripMargin))
   )
 }

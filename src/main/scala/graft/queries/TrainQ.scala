@@ -44,7 +44,7 @@ object TrainQ {
   private def kmeansIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate(s, dir) {
       val (assigned, cents) = trained(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_kivf").toString
+      val tmp = graft.engine.TempDirs.create("graft_kivf")
       Similarity.writeKmeansIvfIndex(assigned, cents, "vec_id", "embedding", tmp)
       tmp
     }
@@ -56,6 +56,105 @@ object TrainQ {
   private val PqK = 8
   private val PqIters = 2
   private val PqSub = Dims / PqM
+
+  // ------------------------------------------------------- promoted point
+  // The round-9 recall/cost sweep measured where quality lives
+  // (clu_np4_m16_k256: recall@10 = 0.565 on a clustered corpus); the
+  // lifecycle rows above deliberately keep serving the documented
+  // COST-FLOOR configuration (m=4, 8 codes — their oracles are pinned and
+  // never perturbed). This block PROMOTES the swept operating point to a
+  // pinned, hash-green lifecycle row of its own: a persisted join-path
+  // index at (kc=20, nprobe=4, m=16, 256 codes) over a corpus with real
+  // cluster structure, served from disk and replayed exactly by DuckDB.
+  //
+  // The sweep's own corpus hashes with xxhash64 — engine-native, so no
+  // oracle can replay it. The promoted corpus keeps the sweep corpus's
+  // statistics but derives from the `embeddings` TABLE with the portable
+  // polyhash: center(vec_id % 20, d) uniform in [-1,1) via the char-level
+  // polyhash of 'ctr:<(cluster·997)+d>' (injective index combine FIRST,
+  // then one avalanche-ish string hash — the per-dim center differences of
+  // two clusters ride different decimal digit patterns, so no cluster pair
+  // collapses; pinned empirically in PQSpec), plus the REAL embedding
+  // coordinates as noise (std ≈ 0.125 per coord → noise norm ≈ 1.0 vs
+  // center separation ≈ 6.5, the sweep corpus's ratio). Every arithmetic
+  // step is one integer recurrence + the same IEEE op sequence in both
+  // engines, so the corpus — and everything trained on it — is bit-exact
+  // cross-engine.
+  private val PromC = 20 // mixture components (vec_id % PromC)
+  private val PromKc = 20 // coarse cells
+  private val PromNprobe = 4
+  private val PromM = 16
+  private val PromKcode = 256
+  private val PromIters = 2 // coarse AND pq Lloyd rounds (the sweep's setting)
+  private val PromSub = Dims / PromM
+
+  /** The center+noise coordinate formula, one dialect each — identical
+    * token-for-token IEEE sequence. `d` is the 1-based dimension lambda
+    * var.
+    *
+    * The raw char-polyhash of 'ctr:<(cluster·997)+d>' is NOT enough: for
+    * two clusters c, c' and any same-digit-length d the hash difference is
+    * one constant (the prefix difference times a fixed base power mod P),
+    * so one unlucky pair of the 190 lands near-identical centers in EVERY
+    * such dimension at once — the AnnSweepSpec separation pin measured min
+    * pairwise d² = 0.057 on the raw scheme, the exact trap the sweep
+    * corpus's scaladoc documents for affine mixers. Squaring mod P fixes
+    * it with one portable integer op: (h² mod P) differences carry the
+    * factor 2·h·Δ + Δ², and h varies per dimension, so per-dim differences
+    * decorrelate (re-pinned: min d² = 24.9). h < P ≈ 1e9 keeps h² < 2^63. */
+  private def promCoordSpark: String = {
+    val P = graft.functions.Hashing.P
+    val ph = graft.functions.Hashing.polyHashSpark(
+      s"'ctr:' || CAST((vec_id % $PromC) * 997 + d AS STRING)")
+    s"(CAST((($ph) * ($ph)) % $P % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0" +
+      " + CAST(element_at(embedding, d) AS DOUBLE)"
+  }
+
+  private def promCoordDuck: String = {
+    val P = graft.functions.Hashing.P
+    val ph = graft.functions.Hashing.polyHashDuck(
+      s"'ctr:' || CAST((vec_id % $PromC) * 997 + d AS VARCHAR)")
+    s"(CAST((($ph) * ($ph)) % $P % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0" +
+      " + CAST(embedding[CAST(d AS INT)] AS DOUBLE)"
+  }
+
+  /** The derived clustered corpus (vec_id, embedding: array<double>). */
+  private[graft] def promotedCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Catalog.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(s"transform(sequence(1, $Dims), d -> $promCoordSpark)").as("embedding"))
+
+  /** DuckDB CTE body computing the same corpus from the embeddings view. */
+  private def promotedCorpusCte: String =
+    s"""cc AS (SELECT vec_id,
+       |  list_transform(range(1, ${Dims + 1}), d -> $promCoordDuck) AS embedding
+       |  FROM embeddings)""".stripMargin
+
+  /** Session-scoped persisted PROMOTED index — the join-path build
+    * ([[graft.ops.AnnSweep.lloydJoin]]/[[graft.ops.AnnSweep.trainBooksJoin]],
+    * the large-codebook trainers the sweep validated against the literal
+    * path) written to disk once, served many. */
+  private val promotedIndexCache = new SessionCache[String](_ => ())
+
+  private def promotedIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    promotedIndexCache.getOrElseUpdate(s, dir) {
+      import graft.ops.AnnSweep
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val corpus = promotedCorpus(s, dir)
+        .persist(MEMORY_AND_DISK)
+      val (assigned, cents) = AnnSweep.lloydJoin(
+        corpus, "vec_id", "embedding", PromKc, PromIters, Dims)
+      val books = AnnSweep.trainBooksJoin(
+        corpus, "vec_id", "embedding", PromM, PromKcode, PromIters, Dims)
+      val enc = AnnSweep.encodeJoin(assigned, "vec_id", "embedding",
+        books, PromM, PromSub)
+      val tmp = graft.engine.TempDirs.create("graft_ivfpq_prom")
+      AnnSweep.writeIndexJoin(enc, cents, books, tmp)
+      books.unpersist()
+      corpus.unpersist()
+      tmp
+    }
 
   /** Session-scoped PQ codebooks — trained once, consumed by the encode and
     * ADC-search queries (O(k·dims) driver scalars, the centroid budget). */
@@ -97,7 +196,7 @@ object TrainQ {
   private def ivfPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfPqIndexCache.getOrElseUpdate(s, dir) {
       val (assigned, cents) = trained(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val tmp = graft.engine.TempDirs.create("graft_ivfpq")
       PQ.writeIvfPqIndex(assigned, cents, pqBooks(s, dir),
         "vec_id", "embedding", Dims, tmp)
       tmp
@@ -151,8 +250,7 @@ object TrainQ {
       val batch = Catalog.load(s, dir, "embeddings")
         .filter(col("vec_id") % 10 === 3)
         .select((col("vec_id") + 1000000000000000L).as("vec_id"), col("embedding"))
-      val delta = java.nio.file.Files.createTempDirectory("graft_ivfpq_delta")
-        .toString + "/cells"
+      val delta = graft.engine.TempDirs.create("graft_ivfpq_delta") + "/cells"
       PQ.writeCells(KMeans.assign(batch, "vec_id", "embedding", centSeq),
         books, "vec_id", "embedding", Dims, delta)
       delta
@@ -170,8 +268,7 @@ object TrainQ {
     ivfPqCompactCache.getOrElseUpdate(s, dir) {
       val base = ivfPqIndex(s, dir)
       val delta = ivfPqDelta(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact")
-        .toString + "/cells"
+      val out = graft.engine.TempDirs.create("graft_ivfpq_compact") + "/cells"
       s.read.parquet(s"$base/cells").unionByName(s.read.parquet(delta))
         .repartition(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
@@ -188,7 +285,8 @@ object TrainQ {
       "ivf_pq_index" -> ((s, d) => { ivfPqIndex(s, d); () }),
       "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }),
       "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }),
-      "ivf_pq_compact" -> ((s, d) => { ivfPqCompacted(s, d); () }))
+      "ivf_pq_compact" -> ((s, d) => { ivfPqCompacted(s, d); () }),
+      "ivf_pq_promoted" -> ((s, d) => { promotedIndex(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
@@ -222,6 +320,66 @@ object TrainQ {
        |      FROM scored)
        |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
        |ORDER BY q_vec, rank""".stripMargin
+
+  /** Oracle for the promoted operating point: the derived clustered corpus
+    * CTE, the coarse + per-subspace trainings replayed at the promoted
+    * shape (the same [[KMeans.oracleCtes]]/[[PQ.oracleCtes]] machinery —
+    * the join-path trainers are pinned equal to the literal path in
+    * AnnSweepSpec, so one replay covers both), then the nprobe=4 ADC serve.
+    * Probe lookup tables are re-derived here at PromM/PromSub (the shared
+    * [[pqTableCtes]] fragments are fixed at the cost-floor shape).
+    *
+    * Every CTE is forced MATERIALIZED: at m=16 this oracle carries ~200
+    * CTEs whose default inlining made DuckDB's optimizer re-expand the
+    * shared training chains per reference — the plan exploded to
+    * spill-to-disk scale on a 50-VECTOR input (measured: >300 s / GBs of
+    * temp at sf0.001; materialized: 6 s at sf0.01, 15 s at sf0.1). The
+    * smaller cost-floor oracles (m=4) stay on the default — their pinned
+    * SQL text never moves. */
+  private def promotedOracle: String = {
+    def materialize(sql: String): String =
+      """(\b[A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
+        .replaceAllIn(sql, "$1 MATERIALIZED (")
+    materialize(promotedOracleRaw)
+  }
+
+  private def promotedOracleRaw: String = {
+    val tabCtes = (0 until PromM).map { j =>
+      s"""pqs$j AS (SELECT q_vec, ${PQ.subDuck("embedding", j, PromSub)} AS sub FROM q),
+         |pt$j AS (SELECT q_vec, c.cluster AS code,
+         |               ${KMeans.distDuck("v.sub", "c.cent", PromSub)} AS dd
+         |        FROM pqs$j v, p${j}c$PromIters c)""".stripMargin
+    }.mkString(",\n")
+    val tabJoins = (0 until PromM)
+      .map(j => s"JOIN pt$j ON pt$j.q_vec = q.q_vec AND pt$j.code = enc.code$j")
+      .mkString("\n           ")
+    val adist = (0 until PromM).map(j => s"pt$j.dd").mkString(" + ")
+    s"""WITH $promotedCorpusCte,
+       |${KMeans.oracleCtes("cc", "vec_id", "embedding", PromKc, PromIters, Dims)},
+       |${PQ.oracleCtes("cc", "vec_id", "embedding", PromM, PromKcode, PromIters, Dims)},
+       |q AS (SELECT vec_id AS q_vec, embedding FROM cc WHERE vec_id % 100 = 0),
+       |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
+       |    SELECT q.q_vec, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+       |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+       |                        c.cluster ASC) AS pr
+       |    FROM q, c$PromIters c) z WHERE pr <= $PromNprobe),
+       |$tabCtes,
+       |scored AS (SELECT q.q_vec, enc.vec_id AS neighbor,
+       |                  $adist AS adist
+       |           FROM q
+       |           JOIN pp ON pp.q_vec = q.q_vec
+       |           JOIN a$PromIters a ON a.cluster = pp.p_cluster
+       |                         AND a.vec_id <> q.q_vec
+       |           JOIN enc ON enc.vec_id = a.vec_id
+       |           $tabJoins),
+       |r AS (SELECT q_vec, neighbor, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY q_vec
+       |                                ORDER BY adist ASC, neighbor ASC) AS rank
+       |      FROM scored)
+       |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+       |ORDER BY q_vec, rank""".stripMargin
+  }
 
   /** Oracle for the append-maintenance path: coarse + PQ training on the
     * ORIGINAL corpus only (the batch must not influence either), the batch
@@ -665,6 +823,24 @@ object TrainQ {
             "vec_id", "embedding", Dims, nprobe = K, kTop = 10)
           .orderBy("q_vec", "rank"),
       Some(ivfPqOracleAt(K))),
+
+    // The PROMOTED operating point as a pinned lifecycle row (round-10,
+    // closing the round-9 sweep's lead): the persisted join-path index at
+    // (kc=20, nprobe=4, m=16, 256 codes) — the clu_np4_m16_k256 sweep point
+    // that measured recall@10 = 0.565 — served from disk over the derived
+    // clustered corpus. The cost-floor rows above are untouched (pinned
+    // oracles never move; knob changes get NEW rows); this row is the
+    // higher-recall default a deployment picks off the sweep curve, now
+    // hash-green like the rest of the lifecycle. Bench carries its
+    // recall@10 against the exact L2 truth on the same corpus.
+    Q("ann_ivf_pq_promoted",
+      (s, dir) =>
+        graft.ops.AnnSweep.serveIndexJoin(s, promotedIndex(s, dir),
+            promotedCorpus(s, dir).filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", PromM, PromSub,
+            nprobe = PromNprobe, kTop = 10)
+          .orderBy("q_vec", "rank"),
+      Some(promotedOracle)),
 
     // Cluster-balanced (diversity) selection — the curation op that keeps a
     // quota of the best documents PER EMBEDDING CLUSTER instead of a global

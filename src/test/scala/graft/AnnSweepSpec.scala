@@ -103,4 +103,32 @@ class AnnSweepSpec extends SparkSpec with SlowSuite {
     }
     books.unpersist()
   }
+
+  test("promoted corpus: polyhash centers are pairwise well-separated") {
+    // The promoted lifecycle row (ann_ivf_pq_promoted) derives its
+    // clustered corpus from the embeddings table with polyhash CENTERS —
+    // the one replayable-in-DuckDB substitute for the sweep corpus's
+    // xxhash64. The separation invariant that makes recall measure the
+    // INDEX (not the corpus) must hold for the string-polyhash scheme
+    // too: no two of the 20 cluster centers may come close, else
+    // between-cluster confusion is baked into the corpus. Empirical pin:
+    // min pairwise center distance-squared across all 190 pairs stays an
+    // order of magnitude above the noise norm (~1.0). Expected scale:
+    // E[d2] = 2 * Var(U[-1,1)) * 64 ~ 42.7.
+    import graft.functions.Hashing
+    val ph = Hashing.polyHashSpark("'ctr:' || CAST(c * 997 + d AS STRING)")
+    val centers = spark.range(20).select(col("id").as("c"),
+      expr(s"transform(sequence(1, 64), d -> " +
+        s"(CAST((($ph) * ($ph)) % ${Hashing.P} % 1000003 AS DOUBLE)" +
+        s" / 1000003.0) * 2.0 - 1.0)").as("v"))
+    val d2 = centers.as("a").crossJoin(centers.as("b"))
+      .filter(col("a.c") < col("b.c"))
+      .select(expr(
+        """aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin).as("d2"))
+      .agg(org.apache.spark.sql.functions.min("d2"),
+        org.apache.spark.sql.functions.avg("d2")).head()
+    assert(d2.getDouble(0) > 10.0, s"min center d2 = ${d2.getDouble(0)}")
+    assert(d2.getDouble(1) > 30.0, s"mean center d2 = ${d2.getDouble(1)}")
+  }
 }

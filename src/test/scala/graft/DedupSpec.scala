@@ -222,4 +222,38 @@ class DedupSpec extends SparkSpec {
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(out === Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L, 5L -> -1L))
   }
+
+  test("kCore: peels tails, keeps the clique; converged peel equals deeper peel") {
+    import spark.implicits._
+    // triangle 1-2-3 (the 2-core) with tail 3-4-5; 6 isolated.
+    // Round 1 drops 5 (deg 1) and 6; round 2 drops 4 (its only alive
+    // neighbor left is 3); round 3 removes nothing — the peel has hit its
+    // fixed point, so rounds=3 and rounds=10 must return identical rows
+    // (the early exit makes the deeper call cost no extra rounds).
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    def run(rounds: Int) = graft.ops.Dedup.kCore(nodes, edges, "id", k = 2,
+        rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = run(3)
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false))
+    assert(run(10) === got)
+  }
+
+  test("commonNeighbors: wedge counts, degrees and neighbor-Jaccard") {
+    import spark.implicits._
+    // 1 and 2 share neighbors {3, 4}; 3 and 4 share {1, 2}; every other
+    // pair shares at most one. deg(1)=deg(2)=deg(3)=deg(4)=2 (the 4-cycle
+    // 1-3-2-4-1), so jacc = 2 / (2 + 2 - 2) = 1.0 for both pairs.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("d1", "d2")
+    val got = graft.ops.Dedup.commonNeighbors(edges, minCommon = 2)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 2L, 2L, 1.0),
+      (3L, 4L, 2L, 2L, 2L, 1.0)))
+  }
 }

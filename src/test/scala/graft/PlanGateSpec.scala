@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.PlanGate
-import graft.engine.PlanGate.Fp
+import graft.engine.PlanGate.{Base, Fp}
 
 /** The plan-fingerprint regression gate must actually FIRE — the round-8
   * workflow relied on a human diffing the artifact columns; these tests
@@ -11,35 +11,49 @@ import graft.engine.PlanGate.Fp
   * (Pure logic — no SparkSession.) */
 class PlanGateSpec extends AnyFunSuite {
 
-  private val baseline = Map(
+  private val baselineFp = Map(
     "dedup_containment" -> Fp(3, 2),
     "basket_part_pairs" -> Fp(2, 0),
     "tpch_q18_bucketed" -> Fp(0, 0),
     "plain_query" -> Fp(5, 0))
+  private val baseline = baselineFp.map { case (k, fp) => k -> Base(fp, 1.0) }
+
+  // The bucketed-serve declarations the bench passes (here: just q18; the
+  // layout is registered). Tests that inject other bucketed rows extend it.
+  private val q18Layout = Map("tpch_q18_bucketed" -> "orderkey")
+  private val layouts = Set("orderkey")
+
+  private def gate(
+      current: Map[String, Fp], base: Map[String, Base] = baseline,
+      design: Map[String, Int] = Map.empty,
+      layoutRows: Map[String, String] = q18Layout,
+      registered: Set[String] = layouts,
+      times: Map[String, (Double, Double)] = Map.empty) =
+    PlanGate.violations(current, base, design, layoutRows, registered, times)
 
   test("clean run (equal or improved fingerprints) passes") {
-    assert(PlanGate.violations(baseline, baseline).isEmpty)
-    val improved = baseline
+    assert(gate(baselineFp).isEmpty)
+    val improved = baselineFp
       .updated("dedup_containment", Fp(2, 1)) // fewer exchanges, fewer cb
-    assert(PlanGate.violations(improved, baseline).isEmpty)
+    assert(gate(improved).isEmpty)
   }
 
   test("injected cachedBroadcast rise is flagged (red test)") {
     // The basket_part_pairs class: a query acquires a broadcast of a
     // cached, corpus-sized relation that planner stats mis-sized.
-    val regressed = baseline.updated("basket_part_pairs", Fp(2, 1))
-    val v = PlanGate.violations(regressed, baseline)
+    val regressed = baselineFp.updated("basket_part_pairs", Fp(2, 1))
+    val v = gate(regressed)
     assert(v.size === 1 && v.head.startsWith("basket_part_pairs: cachedBroadcast 0 -> 1"), v)
   }
 
   test("bucketed row acquiring a hash exchange is flagged even if baseline had one") {
-    // Rule is absolute for *_bucketed: the layout must supply the
-    // distribution; a stale baseline must not grandfather an exchange in.
-    val regressed = baseline.updated("tpch_q18_bucketed", Fp(1, 0))
-    val v = PlanGate.violations(regressed, baseline)
+    // Rule is absolute for declared bucketed serves: the layout must supply
+    // the distribution; a stale baseline must not grandfather an exchange in.
+    val regressed = baselineFp.updated("tpch_q18_bucketed", Fp(1, 0))
+    val v = gate(regressed)
     assert(v.size === 1 && v.head.startsWith("tpch_q18_bucketed:"), v)
-    val staleBaseline = baseline.updated("tpch_q18_bucketed", Fp(1, 0))
-    assert(PlanGate.violations(regressed, staleBaseline).size === 1)
+    val staleBaseline = baseline.updated("tpch_q18_bucketed", Base(Fp(1, 0), 1.0))
+    assert(gate(regressed, staleBaseline).size === 1)
   }
 
   test("declared design exchanges pass; exceeding the declaration fires") {
@@ -47,37 +61,90 @@ class PlanGateSpec extends AnyFunSuite {
     // designed plan declares ONE exchange via Q.designHx at the row
     // definition; the gate consumes the assembled map.
     val design = Map("tpch_q21_bucketed" -> 1)
-    val withQ21 = baseline.updated("tpch_q21_bucketed", Fp(1, 0))
-    assert(PlanGate.violations(withQ21, baseline, design).isEmpty)
-    val regressed = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
-    val v = PlanGate.violations(regressed, baseline, design)
+    val lr = q18Layout + ("tpch_q21_bucketed" -> "orderkey")
+    val withQ21 = baselineFp.updated("tpch_q21_bucketed", Fp(1, 0))
+    assert(gate(withQ21, design = design, layoutRows = lr).isEmpty)
+    val regressed = baselineFp.updated("tpch_q21_bucketed", Fp(2, 0))
+    val v = gate(regressed, design = design, layoutRows = lr)
     assert(v.size === 1 && v.head.startsWith("tpch_q21_bucketed:"), v)
     // The declaration lives in code, not the measured baseline: a stale
     // baseline row at 2 still cannot grandfather the second exchange in.
-    val stale = baseline.updated("tpch_q21_bucketed", Fp(2, 0))
-    assert(PlanGate.violations(regressed, stale, design).size === 1)
+    val stale = baseline.updated("tpch_q21_bucketed", Base(Fp(2, 0), 1.0))
+    assert(gate(regressed, stale, design, lr).size === 1)
     // Without the declaration, the single designed exchange itself fires —
-    // the default for a bucketed row is and stays ZERO.
-    assert(PlanGate.violations(withQ21, baseline).size === 1)
+    // the default for a bucketed serve row is and stays ZERO.
+    assert(gate(withQ21, layoutRows = lr).size === 1)
   }
 
-  test("design declarations assemble from the row definitions") {
-    // The real map the bench passes: built by Q.designHxMap from
-    // SparkEntry.allQueries — q21_bucketed declares its one re-keying
-    // aggregate at the definition site, and nothing else declares any.
+  test("gate keys on servesLayout declarations, not the name pattern") {
+    // src_bucketed_join never matched the old *_bucketed name rule — with
+    // the declaration map it is gated like any other layout serve.
+    val lr = Map("src_bucketed_join" -> "custkey")
+    val current = Map("src_bucketed_join" -> Fp(1, 0))
+    val v = gate(current, layoutRows = lr, registered = Set("custkey"))
+    assert(v.size === 1 && v.head.contains("bucketed row has 1 hash exchange"), v)
+    assert(gate(Map("src_bucketed_join" -> Fp(0, 0)),
+      layoutRows = lr, registered = Set("custkey")).isEmpty)
+  }
+
+  test("bucketed-looking name without a declaration is itself a violation") {
+    val current = Map("new_thing_bucketed" -> Fp(0, 0))
+    val v = gate(current, layoutRows = Map.empty)
+    assert(v.size === 1 && v.head.contains("declares no servesLayout"), v)
+  }
+
+  test("declaration referencing an unregistered layout is a violation") {
+    val lr = Map("tpch_q18_bucketed" -> "orderkye") // typo
+    val v = gate(baselineFp, layoutRows = lr)
+    assert(v.size === 1 && v.head.contains("no such layout registered"), v)
+    // ...but with no registration info at all (dev subset), the check skips.
+    assert(gate(baselineFp, layoutRows = lr, registered = Set.empty).isEmpty)
+  }
+
+  test("declarations assemble from the row definitions and name real layouts") {
+    // The real maps the bench passes: built by Q.designHxMap /
+    // Q.layoutRowsMap from SparkEntry.allQueries.
     val design = graft.queries.Q.designHxMap(SparkEntry.allQueries)
-    assert(design === Map("tpch_q21_bucketed" -> 1))
+    assert(design === Map(
+      "tpch_q21_bucketed" -> 1,   // final suppkey aggregate
+      "src_bucketed_join" -> 1))  // final mktsegment aggregate
+    val lr = graft.queries.Q.layoutRowsMap(SparkEntry.allQueries)
+    assert(lr === Map(
+      "tpch_q18_bucketed" -> "orderkey",
+      "tpch_q21_bucketed" -> "orderkey",
+      "src_bucketed_join" -> "custkey",
+      "funnel_conversion_bucketed" -> "userkey",
+      "anomaly_rolling_z_bucketed" -> "userkey",
+      "events_user_features_bucketed" -> "userkey"))
+    // Every row whose NAME says bucketed is declared (the bypass guard
+    // can't fire on the real surface).
+    val named = SparkEntry.allQueries.map(_.name).filter(_.contains("_bucketed"))
+    assert(named.forall(lr.contains), named.filterNot(lr.contains))
   }
 
-  test("non-bucketed hashExchange changes and new queries are not violations") {
-    val moved = baseline
-      .updated("plain_query", Fp(7, 0)) // AQE re-staging: visible, not fatal
-      .updated("brand_new_query", Fp(9, 3)) // no baseline row: coverage, not regression
-    assert(PlanGate.violations(moved, baseline).isEmpty)
+  test("time channel: >2x warm median at low spread fires; exemptions hold") {
+    val times = Map("plain_query" -> (2.5, 0.1)) // baseline med 1.0
+    val v = gate(baselineFp, times = times)
+    assert(v.size === 1 && v.head.contains("pure-time regression"), v)
+    // Same ratio at high warm spread = box contention, exempt.
+    assert(gate(baselineFp, times = Map("plain_query" -> (2.5, 0.8))).isEmpty)
+    // Tiny-row exemption: baseline under the floor never fires.
+    val tinyBase = baseline.updated("plain_query", Base(Fp(5, 0), 0.05))
+    assert(gate(baselineFp, tinyBase,
+      times = Map("plain_query" -> (0.2, 0.0))).isEmpty)
+    // Pre-round-10 baselines (no med field) have no time channel.
+    val noMed = baseline.updated("plain_query", Base(Fp(5, 0), -1.0))
+    assert(gate(baselineFp, noMed, times = times).isEmpty)
+    // Within 2x passes.
+    assert(gate(baselineFp, times = Map("plain_query" -> (1.9, 0.1))).isEmpty)
   }
 
-  test("baseline render/parse round-trips") {
-    val parsed = PlanGate.parseBaseline(PlanGate.render(baseline))
+  test("baseline render/parse round-trips, with and without medians") {
+    val meds = baselineFp.keys.map(_ -> 1.0).toMap
+    val parsed = PlanGate.parseBaseline(PlanGate.render(baselineFp, meds))
     assert(parsed === baseline)
+    // med-less render parses as med = -1 (no time channel).
+    val parsedNoMed = PlanGate.parseBaseline(PlanGate.render(baselineFp))
+    assert(parsedNoMed === baselineFp.map { case (k, fp) => k -> Base(fp, -1.0) })
   }
 }
