@@ -86,17 +86,24 @@ object ScaleSweep {
     "funnel_strict_window",
     "graph_bfs_distance",
     "graph_kcore",
+    // Σ deg² wedge budget, same attribution as graph_triangles: near-dup
+    // family degrees grow with clone replication, so 10×-only.
+    "graph_common_neighbors",
     "graph_label_propagation", "graph_weighted_distance",
     "graph_pagerank", "graph_triangles", "pack_sequences",
+    // Promoted IVF-PQ serve: |Q| scales with the corpus (every 100th id
+    // probes), so 10×-only like the other ann_* serve shapes.
+    "ann_ivf_pq_promoted",
     // Two brute-force passes (|Q|·|V| each) — swept at 10× with the same
     // work-scales-with-output attribution as ann_bruteforce_topk.
     "embed_matryoshka_topk",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
-    "sample_temperature", "scd2_user_state",
+    "sample_temperature", "scd2_user_state", "select_dsir_importance",
     "sessionize_events", "stats_percentiles_distributed",
     "text_collocations_pmi", "text_tfidf_topk", "train_preference_pairs",
+    "train_skipgram_pairs", "sample_priority_weighted", "select_pareto_front",
     "stream_ann_serve", "stream_mv_refresh", "stream_mv_refresh_partitioned",
     "stream_stream_join", "stream_dedup_events",
     "stream_incremental_dedup_sink",
@@ -132,7 +139,7 @@ object ScaleSweep {
     // linear work with linear (or constant) output under replication.
     "mv_affected_group_refresh", "retrieval_rrf_fusion", "s12_snapshot_diff",
     "pack_sequences", "profile_columns", "rfm_segmentation", "sample_bottomk",
-    "sample_cluster_quota", "sample_temperature",
+    "sample_cluster_quota", "sample_temperature", "select_dsir_importance",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",
     // Micro-batch rows with linear work: state is watermark-bounded (join
@@ -144,6 +151,10 @@ object ScaleSweep {
     "stats_percentiles_grouped", "text_bm25_topk",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
     "text_quality", "text_token_count", "train_preference_pairs",
+    // Skip-gram pairs: array-local window transforms, linear in tokens;
+    // priority sample: TakeOrdered top-(k+1), constant output; Pareto
+    // front: one group + one window over the bounded distinct-ratio table.
+    "train_skipgram_pairs", "sample_priority_weighted", "select_pareto_front",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q9_profit_proxy",
@@ -160,7 +171,12 @@ object ScaleSweep {
     "zorder_layout", "xml_export", "minhash_dedup_index",
     "lloyd_kmeans", "kmeans_ivf_index", "pq_codebooks", "ivf_pq_index",
     "pq_resid_codebooks", "ivf_pq_delta", "ivf_pq_compact",
-    "bpe_model", "cents_ranks")
+    // ivf_pq_promoted is 10×-only like the LSH builds, but for COST not
+    // shape: the build is linear (n·k·m-row broadcast joins, measured
+    // ratio 7.34 at 10×) yet carries a 128× constant vs the cost-floor
+    // build (k 8→256, m 4→16), so the 100× point is ~50 min of wall for a
+    // slope the 10× point already pins.
+    "bpe_model", "cents_ranks", "cents_ranks_grouped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

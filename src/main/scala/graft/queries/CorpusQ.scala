@@ -471,6 +471,65 @@ object CorpusQ {
              |WHERE x.n_tokens = gs.gmax AND x.n_tokens > COALESCE(gs.smax, -1)
              |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-shape importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc by
+    // how much more likely its tokens are under a TARGET distribution (the
+    // 'en' slice — the curated-domain proxy) than under the raw corpus,
+    // then keep the top-100. Per-token importance ratio with add-1
+    // smoothing, all-integer numerator/denominator
+    // ((cnt_t+1)·(N_s+V)) / ((cnt_s+1)·(N_t+V)) — ONE IEEE division per
+    // vocab entry (products < 2^53 even at the 100× replica), and the
+    // per-doc score is the ratio product folded in SORTED token order
+    // (array_sort of (tok, r) structs — binary string collation in both
+    // engines), so the float sequence is identical and the hash exact.
+    // DSIR proper exponentiates a log-ratio sum; the sorted product IS
+    // e^(that sum) with no libm anywhere. Shape: two hash aggregates
+    // (vocab-bounded), one broadcast-able vocab join back to the exploded
+    // tokens, one per-doc fold — at 100 TB the vocab table shards by hash
+    // and the join stays the explode side's partitioning; top-100 is a
+    // TakeOrdered, never a global sort.
+    Q("select_dsir_importance",
+      (s, dir) => {
+        val docs = Catalog.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(expr("split(text, ' ')")).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(
+          count(lit(1)).as("cs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = uni.agg(sum(col("cs")).as("ns"), sum(col("ct")).as("nt"),
+          count(lit(1)).as("v"))
+        val r = uni.crossJoin(broadcast(tot))
+          .select(col("tok"), expr(
+            "CAST((ct + 1) * (ns + v) AS DOUBLE) / CAST((cs + 1) * (nt + v) AS DOUBLE)")
+            .as("r"))
+        toks.join(r, "tok")
+          .groupBy(col("doc_id"))
+          .agg(expr(
+            "aggregate(transform(array_sort(collect_list(struct(tok, r))), p -> p.r), " +
+              "CAST(1.0 AS DOUBLE), (a, x) -> a * x)").as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(100)
+          .select("doc_id", "score")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |             FROM documents),
+             |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+             |               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             |        FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt,
+             |               CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+             |r AS (SELECT tok,
+             |        CAST((ct + 1) * (ns + v) AS DOUBLE) / CAST((cs + 1) * (nt + v) AS DOUBLE) AS r
+             |      FROM uni, tot),
+             |sc AS (SELECT t.doc_id,
+             |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |           list_transform(list_sort(list({'t': t.tok, 'r': r.r})), p -> p.r)),
+             |           (a, x) -> a * x) AS score
+             |       FROM toks t JOIN r ON r.tok = t.tok
+             |       GROUP BY t.doc_id)
+             |SELECT doc_id, score FROM sc
+             |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
     // Inverted-index build: per-term document frequency, collection
     // frequency, id range and a digest of the SORTED posting list (arrays
     // can't flow to the driver comparator; at 100 TB posting lists are
