@@ -101,6 +101,7 @@ object ScaleSweep {
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
     "sample_temperature", "scd2_user_state", "select_dsir_importance",
+    "text_decontaminate_surgical",
     "sessionize_events", "stats_percentiles_distributed",
     "text_collocations_pmi", "text_tfidf_topk", "train_preference_pairs",
     "train_skipgram_pairs", "sample_priority_weighted", "select_pareto_front",
@@ -140,6 +141,7 @@ object ScaleSweep {
     "mv_affected_group_refresh", "retrieval_rrf_fusion", "s12_snapshot_diff",
     "pack_sequences", "profile_columns", "rfm_segmentation", "sample_bottomk",
     "sample_cluster_quota", "sample_temperature", "select_dsir_importance",
+    "text_decontaminate_surgical",
     "scd2_user_state", "sessionize_events", "sql_lateral_topk",
     "sql_variant_extract", "stats_percentiles_distributed",
     // Micro-batch rows with linear work: state is watermark-bounded (join

@@ -80,4 +80,62 @@ object WindowFold {
   /** Column-API entry: hashed n-gram shingle set from a token-hash array. */
   def windowFold(c: Column, n: Int): Column =
     Bridge.column(WindowFold(Bridge.expression(c), n))
+
+  /** Column-API entry: POSITIONAL window folds ([[WindowFoldPos]]). */
+  def windowFoldPos(c: Column, n: Int): Column =
+    Bridge.column(WindowFoldPos(Bridge.expression(c), n))
+}
+
+/** The POSITIONAL sibling of [[WindowFold]]: every `n`-window fold in
+  * document order, NOT sorted, NOT deduplicated — `out_i` is the hash of
+  * the window starting at token i (0-based). The set form answers "is this
+  * document contaminated"; this form answers "WHERE" — the surgical
+  * decontamination op maps each matched hash back to the token span it
+  * covers. Same compiled one-pass loop, same recurrence, mirrored by
+  * [[graft.functions.Hashing.windowFoldPosDuck]]. */
+case class WindowFoldPos(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "window width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_fold_pos"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowFoldPos.compute(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.WindowFoldPos.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowFoldPos {
+
+  /** Positional window folds; empty when fewer than `n` elements. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 31 + arr.getLong(i + j)) % graft.functions.Hashing.P
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -69,6 +69,16 @@ object Hashing {
     s"list_distinct(list_transform(range(1, len($th)-${n - 2}), i -> $fold))"
   }
 
+  /** POSITIONAL window folds — [[windowFoldDuck]] without the distinct:
+    * element i (1-based list) is the hash of the window starting at token
+    * i. Oracle dialect of [[graft.expressions.WindowFoldPos]]. */
+  def windowFoldPosDuck(th: String, n: Int): String = {
+    val fold = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc*31 + $th[CAST(i AS INT)+$j]) % $P)"
+    }
+    s"list_transform(range(1, len($th)-${n - 2}), i -> $fold)"
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** i-th minhash of a hash-array expression `hArr`. */

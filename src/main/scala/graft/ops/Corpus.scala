@@ -45,6 +45,57 @@ object Corpus {
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
 
+  /** SURGICAL benchmark decontamination — remove the contaminated SPANS
+    * instead of dropping the document (the production variant: a 50k-token
+    * web page with one quoted benchmark question is salvageable; binary
+    * drop wastes it). Every positional n-gram window of a train doc whose
+    * hash appears anywhere in the benchmark set marks its n covered token
+    * positions; overlapping windows merge naturally (position-set union),
+    * and the cleaned text is the original token sequence with covered
+    * positions deleted.
+    *
+    * Shape: one compiled positional window fold per document
+    * ([[graft.expressions.WindowFoldPos]] — the set form can't say WHERE),
+    * a broadcast of the distinct benchmark shingles (bounded by the eval
+    * SUITE, small by construction at any corpus scale), and the span
+    * union + text reconstruction run ARRAY-LOCALLY per document (sorted
+    * covered-position set vs the token array — never a per-token join).
+    * Output: (idCol, n_tokens, n_removed, clean_text) for every train doc.
+    */
+  def decontaminateSurgical(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      benchmarkPred: Column): DataFrame = {
+    import graft.expressions.{PolyHash, WindowFold}
+    // Both the benchmark and the train branch scan the positional folds —
+    // persist so tokenize+hash+fold runs once (same discipline as
+    // [[decontaminate]]'s shingle sets; tracked for session release).
+    val base = CacheRegistry.track(docs
+      .select(col(idCol), col(textCol), expr(s"split($textCol, ' ')").as("w"))
+      .select(col(idCol), col(textCol), col("w"),
+        WindowFold.windowFoldPos(
+          transform(col("w"), t => PolyHash.polyHash(t)), n).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bench = base.filter(benchmarkPred)
+      .select(explode(col("ws")).as("h")).distinct()
+    val train = base.filter(!benchmarkPred)
+    // (doc, 0-based window start) for every window whose hash is in the
+    // benchmark set; covered 1-based token positions are start+1..start+n.
+    val cov = train
+      .select(col(idCol), posexplode(col("ws")).as(Seq("wpos", "h")))
+      .join(broadcast(bench), "h")
+      .select(col(idCol), explode(expr(s"sequence(wpos + 1, wpos + $n)")).as("tpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("tpos"))).as("cov"))
+    train.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("w")).as("n_tokens"),
+        when(col("cov").isNull, 0L)
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        expr("array_join(filter(transform(sequence(1, size(w)), " +
+          "i -> IF(cov IS NOT NULL AND array_contains(cov, i), NULL, element_at(w, i))), " +
+          "x -> x IS NOT NULL), ' ')").as("clean_text"))
+  }
+
   /** Deterministic uniform k-per-group sample: keep the k rows with the
     * smallest salted id-hash per group. Ordering by a salted hash IS uniform
     * sampling (the hash is a fixed pseudo-random permutation of ids), and —

@@ -172,6 +172,45 @@ object CorpusQ {
               |  CAST(SUM(hit) AS DOUBLE) / n_shingles >= 0.2 AS contaminated
               |FROM j GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin)),
 
+    // SURGICAL decontamination — the production variant of the row above:
+    // instead of DROPPING a contaminated doc, remove exactly the token
+    // spans covered by benchmark-matching 5-gram windows and keep the
+    // rest (a long page with one quoted benchmark question is
+    // salvageable). Positional window folds (the compiled WindowFoldPos
+    // sibling of the shingle-set fold), benchmark shingles broadcast
+    // (bounded by the eval suite at any corpus scale), span union and
+    // text reconstruction array-local per doc. Sanity invariant pinned by
+    // construction: n_removed = 0 ⟹ clean_text = text.
+    Q("text_decontaminate_surgical",
+      (s, dir) =>
+        Corpus.decontaminateSurgical(Catalog.load(s, dir, "documents"),
+            "doc_id", "text", n = 5,
+            benchmarkPred = col("doc_id") % 97 === 0)
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+              |thx AS (SELECT doc_id, text, w,
+              |          list_transform(w, t0 -> ${polyHashDuck("t0")}) AS th FROM d),
+              |ws AS (SELECT doc_id, text, w, ${windowFoldPosDuck("th", 5)} AS ws FROM thx),
+              |bench AS (SELECT DISTINCT unnest(ws) AS h FROM ws WHERE doc_id % 97 = 0),
+              |train AS (SELECT * FROM ws WHERE doc_id % 97 <> 0),
+              |hits AS (SELECT z.doc_id, z.x.p AS i FROM (
+              |           SELECT t.doc_id, unnest(list_transform(range(1, len(t.ws) + 1),
+              |               i -> {'p': i, 'h': t.ws[CAST(i AS INT)]})) AS x
+              |           FROM train t) z
+              |         JOIN bench b ON b.h = z.x.h),
+              |cov AS (SELECT doc_id, list_sort(list(DISTINCT tp)) AS cov FROM (
+              |          SELECT doc_id, i + jj AS tp
+              |          FROM hits, range(0, 5) rr(jj)) GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+              |  COALESCE(array_to_string(list_filter(list_transform(range(1, len(t.w) + 1),
+              |      i -> CASE WHEN c.cov IS NOT NULL
+              |                     AND list_contains(c.cov, i) THEN NULL
+              |                ELSE t.w[CAST(i AS INT)] END),
+              |    x -> x IS NOT NULL), ' '), '') AS clean_text
+              |FROM train t LEFT JOIN cov c ON c.doc_id = t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
     // Deterministic uniform 20-per-source sample via the bounded top-k
     // aggregate over a salted id hash — reservoir sampling's scalable,
     // reproducible replacement (|groups|·k shuffle rows; same sample on any

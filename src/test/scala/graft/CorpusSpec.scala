@@ -169,4 +169,32 @@ class CorpusSpec extends SparkSpec {
     assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("decontaminateSurgical removes exactly the covered spans, merges overlaps") {
+    import spark.implicits._
+    // Benchmark doc 0: "q1 q2 q3 q4 q5 q6" — its 3-gram windows are
+    // (q1 q2 q3)(q2 q3 q4)(q3 q4 q5)(q4 q5 q6).
+    // Doc 1 quotes "q1..q4" mid-text: windows (q1 q2 q3) and (q2 q3 q4)
+    // match, covering token positions 3..5 and 4..6 — merged span 3..6,
+    // 4 tokens (overlap-union, not per-window duplication).
+    // Doc 2 quotes two DISJOINT benchmark windows.
+    // Doc 3 is clean (clean_text must equal text verbatim).
+    // Doc 4 is shorter than the window (never contaminated).
+    val docs = Seq(
+      (0L, "q1 q2 q3 q4 q5 q6"),
+      (1L, "aa bb q1 q2 q3 q4 cc dd"),
+      (2L, "q1 q2 q3 xx yy q4 q5 q6 zz"),
+      (3L, "aa bb cc dd ee"),
+      (4L, "q1 q2")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.decontaminateSurgical(
+        docs, "doc_id", "text", n = 3, benchmarkPred = col("doc_id") === 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 8, 4L, "aa bb cc dd"),
+      (2L, 9, 6L, "xx yy zz"),
+      (3L, 5, 0L, "aa bb cc dd ee"),
+      (4L, 2, 0L, "q1 q2")))
+  }
 }

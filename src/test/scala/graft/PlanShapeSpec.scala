@@ -447,4 +447,32 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
       s"walk=$walked grep=$grepped — cache-boundary stop not effective")
     assert(walked <= 6, s"serve exchanges = $walked")
   }
+
+  test("surgical decontamination broadcasts the bench set; no cartesian") {
+    // The benchmark shingle dictionary is bounded by the eval SUITE at any
+    // corpus scale — it must reach the positional-window probe as a
+    // broadcast, and nothing in the span machinery may plan a cartesian.
+    val p = plan(SparkEntry.queries("text_decontaminate_surgical")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("DSIR importance scoring joins the vocab back without a cartesian") {
+    // Shape contract: two hash aggregates (vocab-bounded), the one-row
+    // totals as a broadcast, the vocab ratio table equi-joined back to the
+    // exploded tokens — never a cartesian, never a nested loop.
+    val p = plan(SparkEntry.queries("select_dsir_importance")(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The ONE BroadcastNestedLoopJoin is the designed scalar broadcast of
+    // the 1-row totals (ns, nt, v) into the vocab ratio projection — the
+    // same shape as every scalar-row cross join in the suite. The vocab
+    // table itself must come back as a hash equi-join.
+    // (formatted explain prints each node twice: tree line + detail header)
+    assert(p.linesIterator.count(
+      l => l.contains("- BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-100, never a global sort
+  }
 }
