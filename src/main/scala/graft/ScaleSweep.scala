@@ -97,6 +97,14 @@ object ScaleSweep {
     // Two brute-force passes (|Q|·|V| each) — swept at 10× with the same
     // work-scales-with-output attribution as ann_bruteforce_topk.
     "embed_matryoshka_topk",
+    // retrieval_maxsim_topk is NOT swept (the hybrid_batch class): both
+    // the probe-token set AND the per-(query token, doc) max-group
+    // cardinality scale with the corpus, so factor 10 is 100× the work
+    // AND 100× the aggregation state by construction — measured once for
+    // transparency (1× 1.4 s; the factor-10 point aborted past 16 min,
+    // dominated by the ~100M-group partial max). The scale path is the
+    // row's own: each query token probes a token-level IVF index and the
+    // MAX/fold runs on candidates only.
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",

@@ -206,6 +206,99 @@ object SimilarityQ {
               |WHERE tr.rank <= 10
               |ORDER BY tr.q_vec, tr.rank""".stripMargin)),
 
+    // Late-interaction (ColBERT-style MaxSim) retrieval — the third
+    // retrieval paradigm beside single-vector dense search and rank-level
+    // hybrid fusion: score(q, d) = Σ over q's token positions of the MAX
+    // similarity between that query token and ANY token of d, so a doc
+    // matching every query term somewhere beats one matching a single
+    // term everywhere. Token vectors here are the deterministic
+    // pseudo-embedding stub (4 dims from the token polyhash through the
+    // minhash affine family — the multimodal-decode stub discipline: the
+    // Spark-side plumbing is real, the encoder is swapped at deployment).
+    // Exactness discipline: per-pair sim is one fixed-order 4-term
+    // expression; per-token MAX is order-independent; the per-doc SUM of
+    // maxes folds in query-token-position order over a sorted struct list
+    // (a shuffled double sum would be partitioning-dependent). Cost shape:
+    // probe-bounded broadcast cross (|Q_tokens|·|corpus_tokens|, the
+    // exactness baseline like ann_bruteforce_topk — at scale each query
+    // token probes a token-level IVF index and the same MAX/fold
+    // aggregation runs on candidates only).
+    Q("retrieval_maxsim_topk",
+      (s, dir) => {
+        import graft.expressions.PolyHash.polyHash
+        import graft.functions.Hashing.{A, B, P}
+        import org.apache.spark.sql.expressions.Window
+        val docs = Catalog.load(s, dir, "documents")
+        def dims(c: String) = (0 until 4).map(i =>
+          expr(s"CAST(($c * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0").as(s"v$i"))
+        // Explicit-count repartition of the corpus-token side: the explode
+        // inherits the documents scan's file partitioning (ONE task on a
+        // single-file corpus), which serializes the probe-broadcast cross
+        // behind it — measured 24.6 s vs 2-3 s spread (the same
+        // low-parallelism trap the ngram miner documented; the count must
+        // be explicit or AQE coalesces the small token table to one
+        // partition and re-serializes everything downstream).
+        val ct = docs
+          .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+          .select(Seq(col("doc_id"), polyHash(col("tok")).as("h")): _*)
+          .select(col("doc_id") +: dims("h"): _*)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val qt = docs.filter(col("doc_id") % 250 === 0)
+          .select(col("doc_id").as("q_doc"),
+            posexplode(expr("split(text, ' ')")).as(Seq("qpos", "tok")))
+          .select(Seq(col("q_doc"), col("qpos"), polyHash(col("tok")).as("h")): _*)
+          .select(col("q_doc") +: col("qpos") +: (0 until 4).map(i =>
+            expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0").as(s"q$i")): _*)
+        val sim = (0 until 4).map(i => col(s"q$i") * col(s"v$i")).reduce(_ + _)
+        val maxes = ct.join(broadcast(qt), col("doc_id") =!= col("q_doc"))
+          .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
+          .agg(max(sim).as("ms"))
+        val scores = maxes.groupBy(col("q_doc"), col("doc_id"))
+          .agg(expr("aggregate(transform(array_sort(collect_list(struct(qpos, ms))), " +
+            "p -> p.ms), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("score"))
+        val w = Window.partitionBy("q_doc")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scores.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_doc", "rank", "doc_id", "score")
+          .orderBy("q_doc", "rank")
+      },
+      Some {
+        import graft.functions.Hashing.{polyHashDuck, A, B, P}
+        val cdims = (0 until 4)
+          .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0 AS v$i")
+          .mkString(", ")
+        val qdims = (0 until 4)
+          .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0 AS q$i")
+          .mkString(", ")
+        val simSql = (0 until 4).map(i => s"q.q$i * c.v$i").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |th AS (SELECT doc_id, ${polyHashDuck("t")} AS h FROM tok),
+           |ct AS (SELECT doc_id, $cdims FROM th),
+           |q0 AS (SELECT doc_id AS q_doc, string_split(text, ' ') AS w
+           |       FROM documents WHERE doc_id % 250 = 0),
+           |q1 AS (SELECT q_doc, z.x.p AS qpos, z.x.t AS t FROM (
+           |         SELECT q_doc, unnest(list_transform(range(1, len(w) + 1),
+           |             i -> {'p': i, 't': w[CAST(i AS INT)]})) AS x
+           |         FROM q0) z),
+           |qh AS (SELECT q_doc, qpos, ${polyHashDuck("t")} AS h FROM q1),
+           |qv AS (SELECT q_doc, qpos, $qdims FROM qh),
+           |mx AS (SELECT q.q_doc, q.qpos, c.doc_id, MAX($simSql) AS ms
+           |       FROM qv q, ct c WHERE c.doc_id <> q.q_doc
+           |       GROUP BY q.q_doc, q.qpos, c.doc_id),
+           |sc AS (SELECT q_doc, doc_id,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(list_sort(list({'p': qpos, 'm': ms})), x -> x.m)),
+           |           (a, b) -> a + b) AS score
+           |       FROM mx GROUP BY q_doc, doc_id),
+           |r AS (SELECT q_doc, doc_id, score,
+           |             ROW_NUMBER() OVER (PARTITION BY q_doc
+           |               ORDER BY score DESC, doc_id ASC) AS rank
+           |      FROM sc)
+           |SELECT q_doc, rank, doc_id, score FROM r WHERE rank <= 10
+           |ORDER BY q_doc, rank""".stripMargin
+      }),
+
     // Retrieval capstone: ANN top-3 per probe JOINED back to the documents
     // table (vec_id aligns with doc_id) — the retrieve step of a RAG
     // pipeline: embed → search → fetch text metadata. Exercises the ops

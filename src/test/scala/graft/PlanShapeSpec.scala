@@ -475,4 +475,18 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-100, never a global sort
   }
+
+  test("MaxSim retrieval: one probe-bounded broadcast, partial max aggregation") {
+    // The |Q_tokens| probe table broadcasts across the corpus token scan
+    // (the designed exactness-baseline cross, like ann_bruteforce_topk) —
+    // exactly ONE nested-loop join, never a CartesianProduct; the
+    // per-(query-token, doc) MAX must split partial/final so the broadcast
+    // cross collapses map-side before any shuffle.
+    val p = plan(SparkEntry.queries("retrieval_maxsim_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(
+      l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
+    assert(p.contains("partial_max") || p.contains("partial max") ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
 }
