@@ -503,10 +503,17 @@ object Bench {
     def render(entries: Seq[String]): String =
       s"""{"metric":"total","value":${r3(total)},$fixed,""" +
         s""""queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // takeWhile semantics: stop at the FIRST entry that doesn't fit, so the
+    // surviving prefix is an unambiguous "first N headline rows" (a per-
+    // entry filter could drop an oversized middle row while appending later
+    // ones, making the drop-count message ambiguous about which survived).
     val keptEntries = {
       var acc = List.empty[String]
-      for (e <- headlineEntries if render((e :: acc).reverse).length <= budget)
-        acc = e :: acc
+      var full = false
+      for (e <- headlineEntries if !full) {
+        if (render((e :: acc).reverse).length <= budget) acc = e :: acc
+        else full = true
+      }
       acc.reverse
     }
     if (keptEntries.size < headlineEntries.size)

@@ -66,18 +66,31 @@ object PlanGate {
   // free of query knowledge.
 
   private val Row =
-    ("\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"hx\"\\s*:\\s*(\\d+)\\s*,\\s*" +
-      "\"cb\"\\s*:\\s*(\\d+)\\s*(?:,\\s*\"med\"\\s*:\\s*([0-9.]+)\\s*)?\\}").r
+    ("\"([A-Za-z0-9_:]+)\"\\s*:\\s*\\{\\s*\"hx\"\\s*:\\s*(\\d+)\\s*,\\s*" +
+      "\"cb\"\\s*:\\s*(\\d+)\\s*(?:,\\s*\"med\"\\s*:\\s*([0-9.eE+-]+)\\s*)?\\}").r
 
   /** Parse a baseline JSON of shape {"query":{"hx":N,"cb":N,"med":X},...}
     * ("med" optional — pre-round-10 baselines parse with no time channel).
     * The format is this module's own (written by [[render]]); a regex scan
-    * keeps the library free of any JSON dependency. */
-  def parseBaseline(json: String): Map[String, Base] =
-    Row.findAllMatchIn(json).map { m =>
+    * keeps the library free of any JSON dependency.
+    *
+    * Two hardenings (round-11 advice): the med pattern accepts scientific
+    * notation (an unparseable med degrades to "no time baseline" for that
+    * row instead of dropping the ROW from both channels), and the parsed
+    * row count is asserted against a simple `"hx"` occurrence count — a
+    * hand-edited row that stops matching the row regex fails LOUDLY here
+    * rather than silently vanishing from the gate. */
+  def parseBaseline(json: String): Map[String, Base] = {
+    val rows = Row.findAllMatchIn(json).map { m =>
       m.group(1) -> Base(Fp(m.group(2).toInt, m.group(3).toInt),
-        Option(m.group(4)).map(_.toDouble).getOrElse(-1.0))
+        Option(m.group(4)).flatMap(_.toDoubleOption).getOrElse(-1.0))
     }.toMap
+    val expected = "\"hx\"".r.findAllMatchIn(json).size
+    require(rows.size == expected,
+      s"plan baseline parse dropped rows: matched ${rows.size} of $expected" +
+        " \"hx\" entries — a hand-edited row no longer fits the row format")
+    rows
+  }
 
   /** Render current fingerprints + warm medians as baseline JSON (sorted,
     * stable). Rows with no timing (e.g. failed) get no "med" field. */

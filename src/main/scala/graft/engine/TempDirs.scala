@@ -31,8 +31,15 @@ object TempDirs {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    // Never descend through a directory SYMLINK: File.listFiles follows
+    // links, so a session artifact containing a link into the source data
+    // dir would get the link TARGET's contents deleted. Deleting the link
+    // itself (File.delete removes the link, not the target) is the whole
+    // cleanup obligation.
+    if (!Files.isSymbolicLink(f.toPath)) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete(); ()
   }
 

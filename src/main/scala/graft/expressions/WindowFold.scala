@@ -91,7 +91,9 @@ object WindowFold {
   * the window starting at token i (0-based). The set form answers "is this
   * document contaminated"; this form answers "WHERE" — the surgical
   * decontamination op maps each matched hash back to the token span it
-  * covers. Same compiled one-pass loop, same recurrence, mirrored by
+  * covers. Same compiled per-WINDOW fold (each window rehashed in full —
+  * O(n·len), the right cost at n=5; the modular hash has no cheap rolling
+  * inverse, so a rolling recurrence is not carried over), mirrored by
   * [[graft.functions.Hashing.windowFoldPosDuck]]. */
 case class WindowFoldPos(child: Expression, n: Int) extends UnaryExpression {
 

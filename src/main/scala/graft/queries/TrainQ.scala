@@ -337,9 +337,13 @@ object TrainQ {
     * smaller cost-floor oracles (m=4) stay on the default — their pinned
     * SQL text never moves. */
   private def promotedOracle: String = {
+    // Anchored to CTE positions: an `<ident> AS (` is a CTE definition only
+    // right after `WITH` or a top-level comma — anchoring keeps any future
+    // non-CTE `AS (` construct pasted into this oracle (a WINDOW clause, a
+    // parenthesized alias) out of the rewrite's reach.
     def materialize(sql: String): String =
-      """(\b[A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
-        .replaceAllIn(sql, "$1 MATERIALIZED (")
+      """((?:\bWITH\b|,)\s*)([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
+        .replaceAllIn(sql, "$1$2 MATERIALIZED (")
     materialize(promotedOracleRaw)
   }
 

@@ -139,6 +139,26 @@ class PlanGateSpec extends AnyFunSuite {
     assert(gate(baselineFp, times = Map("plain_query" -> (1.9, 0.1))).isEmpty)
   }
 
+  test("hardened parse: sci-notation med degrades to no-time-channel; " +
+      "dropped rows fail loudly; pipeline: names parse") {
+    // A hand-edited med in scientific notation must not drop the ROW —
+    // it parses with med = -1 (fingerprint rules intact, time rule off).
+    val sci = """{"q":{"hx":1,"cb":0,"med":1.5e-2}}"""
+    assert(PlanGate.parseBaseline(sci) === Map("q" -> Base(Fp(1, 0), 0.015)))
+    // Garbage that still matches the widened med charclass -> med -1.
+    val junk = """{"q":{"hx":1,"cb":0,"med":e+-}}"""
+    assert(PlanGate.parseBaseline(junk) === Map("q" -> Base(Fp(1, 0), -1.0)))
+    // A row mangled past the ROW regex (hx present but unparseable) must
+    // throw, not silently vanish from both gate channels.
+    val mangled = """{"q":{"hx":one,"cb":0},"r":{"hx":2,"cb":0}}"""
+    assertThrows[IllegalArgumentException](PlanGate.parseBaseline(mangled))
+    // Pipeline time-channel rows (round 11) carry a colon in the name.
+    val pl = PlanGate.parseBaseline(
+      PlanGate.render(Map("pipeline:lloyd_kmeans" -> Fp(0, 0)),
+        Map("pipeline:lloyd_kmeans" -> 1.62)))
+    assert(pl === Map("pipeline:lloyd_kmeans" -> Base(Fp(0, 0), 1.62)))
+  }
+
   test("baseline render/parse round-trips, with and without medians") {
     val meds = baselineFp.keys.map(_ -> 1.0).toMap
     val parsed = PlanGate.parseBaseline(PlanGate.render(baselineFp, meds))
