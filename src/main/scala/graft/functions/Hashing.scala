@@ -44,6 +44,15 @@ object Hashing {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), " +
       s"i -> CAST(unicode(substr($s, CAST(i AS INT), 1)) AS BIGINT))), (a, x) -> (a*31 + x) % $P)"
 
+  /** The same recurrence evaluated driver-side over a Scala string — for
+    * computing the index BUCKET of a literal query term so the serving scan
+    * can partition-prune before any job runs (the BM25 impact index). Must
+    * stay in lock-step with [[polyHashSpark]]/[[polyHashDuck]] (chars are
+    * ASCII in every emitted key; `ascii()`/`unicode()` both return the code
+    * point of the first char). */
+  def polyHashLocal(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+
   // ------------------------------------------- hashed shingles (two-level)
   // (The one-level string-shingle emitters that lived here — build the
   // window string, char-hash it — were retired in round 4: per-window cost

@@ -511,4 +511,131 @@ object Corpus {
       .select(col(idCol), col("rk"), col(weightCol), col("priority"), col("est_w"))
       .orderBy("rk")
   }
+
+  // ---------------------------------------------- BM25 impact-ordered serve
+
+  /** BM25 constants shared by the exact ranker (`text_bm25_topk`) and the
+    * impact index: k1 = 1.2, b = 0.75, spelled as literals in BOTH engines
+    * so neither depends on constant folding; ratio idf (no log) keeps the
+    * score libm-free. The per-(term, doc) CONTRIBUTION below is the whole
+    * serve-time unit of the impact index — precomputable at build because
+    * every input (tf, dl, df, avgdl, n_docs) is known once the corpus is
+    * fixed. */
+  val Bm25K1 = "1.2"
+  val Bm25K1p1 = "2.2"
+
+  /** One term's BM25 contribution as a SQL fragment (identical text in
+    * Spark and DuckDB): ratio-idf(df) · saturated-tf(tf, dl/avgdl). Free
+    * column refs: `n_docs`, `dl`, `avgdl`. */
+  def bm25Term(tf: String, df: String): String =
+    s"(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * " +
+      s"(($tf * $Bm25K1p1) / ($tf + $Bm25K1 * (0.25 + 0.75 * (dl / avgdl)))))"
+
+  /** The full impact-ordered posting table for `docs(textCol)`:
+    * (bkt, term, doc_id, dl, tf, impact, irank) where `impact` is the exact
+    * BM25 contribution of (term, doc) and `irank` ranks a term's postings by
+    * (impact DESC, doc_id ASC) — the impact ORDER a WAND-style serve reads
+    * prefixes of. `bkt` = polyhash(term) mod `buckets` is the partition key:
+    * a query's scan prunes to its terms' buckets before any posting is read.
+    *
+    * Scale shape: one explode + one (doc, term) count aggregate, one
+    * vocabulary-keyed df aggregate joined back on `term` (shuffle bounded by
+    * |postings|), one 1-row totals broadcast, and a per-term rank window —
+    * the window's sort is the same (term, impact) order the layout needs on
+    * disk anyway. No driver state, no driver collect. */
+  def bm25ImpactPostings(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    import graft.functions.Hashing.polyHashSpark
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), expr(s"split($textCol, ' ')").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("impact").desc, col("doc_id").asc)
+    tf.join(dfT, "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .withColumn("impact", expr(bm25Term("tf", "df")))
+      .withColumn("irank", row_number().over(w))
+      .withColumn("bkt",
+        expr(s"CAST(${polyHashSpark("term")} % $buckets AS INT)"))
+      .select("bkt", "term", "doc_id", "dl", "tf", "impact", "irank")
+  }
+
+  /** Persist the impact index partitioned by term bucket, each file sorted
+    * by (term, impact DESC): directory pruning kills non-query buckets and
+    * Parquet row-group stats on `irank` let a prefix read (`irank <= k`)
+    * skip the deep tail of every posting list — the on-disk analog of an
+    * impact-ordered inverted file. */
+  def writeBm25ImpactIndex(docs: DataFrame, textCol: String, path: String,
+      buckets: Int): Unit = {
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    bm25ImpactPostings(docs, textCol, buckets)
+      // Explicit-count repartition (the AQE single-partition trap): the
+      // bucket key has only `buckets` distinct values, and sorting within
+      // partitions needs real parallelism behind it.
+      .repartition(math.min(n, buckets), col("bkt"))
+      .sortWithinPartitions(col("bkt"), col("term"), col("impact").desc)
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("bkt").parquet(path)
+  }
+
+  /** WAND-style threshold-pruned BM25 top-k over a persisted impact index —
+    * the serving path whose results are PROVABLY identical to the exact
+    * full-corpus ranker, so its oracle is the exact SQL itself:
+    *
+    *   1. Candidate seed: the top-`k` impact PREFIX of each query term's
+    *      posting list (irank <= k — a row-group-pruned prefix read), fully
+    *      scored. theta = the k-th best full score among them (fewer than k
+    *      seeds => theta = -inf, degrading to exact full scoring).
+    *   2. Safe prune: any doc outside {exists term with impact >= theta/m}
+    *      has ALL m query-term impacts strictly below theta/m, so its score
+    *      is strictly below theta and it cannot displace the seed top-k.
+    *      The surviving candidate set provably contains the true top-k.
+    *   3. Exact rescore of the survivors, top-k.
+    *
+    * At 100 TB the work is: a prefix read per query term (k postings), one
+    * bounded candidate-set scoring join, then a threshold scan of the query
+    * terms' lists that the impact-sorted layout turns into ANOTHER prefix
+    * read (row groups whose max impact < theta/m never leave disk) — the
+    * set-oriented restatement of WAND's pointer walk. theta itself rides a
+    * 1-row broadcast; no driver collect anywhere. */
+  def bm25ImpactTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int, buckets: Int): DataFrame = {
+    import graft.functions.Hashing.polyHashLocal
+    require(terms.nonEmpty && terms.distinct == terms, "distinct query terms")
+    val bkts = terms.map(t => (polyHashLocal(t) % buckets).toInt).distinct
+    val idx = spark.read.parquet(path)
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    // Fixed-order rescore: one conditional MAX per query term (a doc has at
+    // most one posting per term), summed in QUERY order — the identical
+    // IEEE sequence the exact ranker's term1 + term2 + term3 evaluates, so
+    // scores hash-match the oracle bit-for-bit (a missing term contributes
+    // +0.0 exactly as a tf=0 term does in the exact ranker).
+    def rescore(cands: DataFrame): DataFrame = {
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("impact"))).as(s"_i$i")
+      }
+      cands.join(idx, "doc_id")
+        .groupBy("doc_id", "dl")
+        .agg(perTerm.head, perTerm.tail: _*)
+        .withColumn("score", terms.indices
+          .map(i => coalesce(col(s"_i$i"), lit(0.0))).reduce(_ + _))
+        .select("doc_id", "dl", "score")
+    }
+    val seeds = idx.filter(col("irank") <= k).select("doc_id").distinct()
+    val theta = rescore(seeds)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .agg(count(lit(1)).as("_n"), min(col("score")).as("_kth"))
+      .select(when(col("_n") < k, lit(Double.MinValue))
+        .otherwise(col("_kth")).as("theta"))
+    val survivors = idx.crossJoin(broadcast(theta))
+      .filter(col("impact") >= col("theta") / lit(terms.size.toDouble))
+      .select("doc_id").distinct()
+    rescore(survivors)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
 }

@@ -13,15 +13,12 @@ import graft.ops.Corpus
   * recurrences; IEEE double arithmetic in identical expression order). */
 object CorpusQ {
 
-  /** BM25 constants: k1+1 and k1 spelled as literals, and 1−b / b spelled
-    * as 0.25 / 0.75 in BOTH engines so neither side depends on constant
-    * folding. Ratio idf (no log) keeps the score libm-free. */
-  private val K1 = "1.2"
-  private val K1p1 = "2.2"
-
+  /** The canonical BM25 term contribution ([[graft.ops.Corpus.bm25Term]]):
+    * ONE definition shared by the exact ranker, the hybrid fusion rows, and
+    * the impact index, so the impact serve's provable-equality argument
+    * rests on literally the same expression text. */
   private def bm25Term(tf: String, df: String): String =
-    s"(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * " +
-      s"(($tf * $K1p1) / ($tf + $K1 * (0.25 + 0.75 * (dl / avgdl)))))"
+    Corpus.bm25Term(tf, df)
 
   /** k-round sequential BPE-training oracle: one (pairs → argmax →
     * contract) CTE stage per merge, replayed exactly as
@@ -44,9 +41,27 @@ object CorpusQ {
       Corpus.bpeTrain(Catalog.load(s, dir, "documents"), "text", k = 8)
     }
 
+  /** Session-scoped persisted BM25 impact index (train-once / serve-many,
+    * the kmeansIndex discipline): the full impact-ordered posting table
+    * written bucket-partitioned to a session temp dir. The serve row
+    * (`text_bm25_impact_topk`) reads ONLY this. */
+  private val bm25IndexCache = new SessionCache[String](_ => ())
+
+  private val Bm25Buckets = 32
+
+  private def bm25Index(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate(s, dir) {
+      val tmp = graft.engine.TempDirs.create("graft_bm25idx")
+      Corpus.writeBm25ImpactIndex(Catalog.load(s, dir, "documents"), "text",
+        tmp, Bm25Buckets)
+      tmp
+    }
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
-    Seq("bpe_model" -> ((s, d) => { bpeModel(s, d); () }))
+    Seq(
+      "bpe_model" -> ((s, d) => { bpeModel(s, d); () }),
+      "bm25_impact_index" -> ((s, d) => { bm25Index(s, d); () }))
 
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
@@ -716,6 +731,44 @@ object CorpusQ {
               |         n_docs, df1, df2, df3
               |       FROM tf, st)
               |SELECT doc_id, dl, tf1, tf2, tf3,
+              |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |  ${bm25Term("tf3", "df3")} AS score
+              |FROM sc
+              |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |      ${bm25Term("tf3", "df3")} > 0
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Impact-ordered (WAND-style) BM25 serve — the lexical retrieval
+    // paradigm's 100 TB story, the twin of the dense-ANN index serves:
+    // postings persisted bucket-partitioned and impact-SORTED at build
+    // (pipeline:bm25_impact_index), served with a safe two-phase threshold
+    // prune (top-k prefix seeds -> theta -> impact >= theta/m survivors;
+    // safety proof at ops/Corpus.bm25ImpactTopK). Because the prune is
+    // provably lossless, the oracle is the EXACT full-corpus BM25 SQL —
+    // a stronger pin than any overlap metric: the serve must reproduce the
+    // exact ranking bit-for-bit while reading only bucket-pruned prefix
+    // row groups.
+    Q("text_bm25_impact_topk",
+      (s, dir) =>
+        Corpus.bm25ImpactTopK(s, bm25Index(s, dir),
+            Seq("spark", "vector", "customer"), k = 20, Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |tf AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM d),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |       FROM tf),
+              |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+              |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+              |         n_docs, df1, df2, df3
+              |       FROM tf, st)
+              |SELECT doc_id, dl,
               |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
               |  ${bm25Term("tf3", "df3")} AS score
               |FROM sc

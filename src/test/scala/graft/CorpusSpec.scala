@@ -197,4 +197,61 @@ class CorpusSpec extends SparkSpec {
       (3L, 5, 0L, "aa bb cc dd ee"),
       (4L, 2, 0L, "q1 q2")))
   }
+
+  test("bm25 impact serve equals the exact ranker — prune is lossless, " +
+      "and the under-k edge degrades to full scoring") {
+    import spark.implicits._
+    // A corpus engineered so phase-1 seeds do NOT already contain every
+    // scoring doc at k=2: 'spark'-heavy docs dominate the spark posting
+    // list, but a doc scoring via two medium terms must still surface.
+    val docs = Seq(
+      (0L, "spark spark spark spark filler filler"),
+      (1L, "spark vector filler filler"),
+      (2L, "vector customer filler"),
+      (3L, "customer filler filler filler filler filler filler filler"),
+      (4L, "spark filler"),
+      (5L, "filler filler filler"),
+      (6L, "vector spark customer")
+    ).toDF("doc_id", "text")
+    val tmp = graft.engine.TempDirs.create("graft_bm25spec")
+    Corpus.writeBm25ImpactIndex(docs, "text", tmp, buckets = 4)
+    val terms = Seq("spark", "vector", "customer")
+    def exact(k: Int) = {
+      val d = docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
+        .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "dl")
+        .agg(
+          sum(when(col("t") === "spark", 1L).otherwise(0L)).as("tf1"),
+          sum(when(col("t") === "vector", 1L).otherwise(0L)).as("tf2"),
+          sum(when(col("t") === "customer", 1L).otherwise(0L)).as("tf3"))
+      val stats = tf.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      tf.crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+        .withColumn("score", expr(
+          s"${Corpus.bm25Term("tf1", "df1")} + ${Corpus.bm25Term("tf2", "df2")} + " +
+            Corpus.bm25Term("tf3", "df3")))
+        .filter(col("score") > 0)
+        .select("doc_id", "dl", "score")
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    }
+    def served(k: Int) =
+      Corpus.bm25ImpactTopK(spark, tmp, terms, k, buckets = 4)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // k=2: theta prunes (6 scoring docs, only 2 survive) — BIT-equal scores.
+    assert(served(2) === exact(2))
+    // k=3 and k=5: intermediate prune depths.
+    assert(served(3) === exact(3))
+    assert(served(5) === exact(5))
+    // k=20 > scoring docs: under-k edge, theta = -inf, full scoring.
+    assert(served(20) === exact(20))
+    assert(served(20).size === 6)
+  }
 }

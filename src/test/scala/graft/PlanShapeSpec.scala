@@ -489,4 +489,21 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
     assert(p.contains("partial_max") || p.contains("partial max") ||
       p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
+
+  test("BM25 impact serve: bucket partition-pruned scans, prefix filter " +
+      "pushed, one theta broadcast, no cartesian") {
+    // The whole point of the impact index: serving never reads a bucket
+    // outside the query terms' (static partition pruning on bkt), the
+    // prefix read (irank <= k) and term filter reach the parquet reader,
+    // and theta rides the suite's standard 1-row scalar broadcast.
+    val p = plan(SparkEntry.queries("text_bm25_impact_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("bkt")), p)
+    assert(p.contains("LessThanOrEqual(irank,20)"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(term, [")), p)
+    assert(p.linesIterator.count(
+      l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
+  }
 }
