@@ -225,7 +225,30 @@ object Bench {
           println(s"[bench] recall computation failed: ${e.getMessage}")
           Seq.empty
       }
-    recall.foreach { case (k, v) =>
+    // OVERLAP@10 of the token-IVF MaxSim serve vs the exact full-corpus
+    // MaxSim truth (round 11) — the late-interaction analog of the dense
+    // recall@10 rows: hash-correctness pins the serve's determinism, this
+    // metric pins its retrieval QUALITY round-over-round (a quantizer or
+    // candidate-depth regression keeps every hash green while overlap
+    // sinks). Driver pull is 2·|Q|·10 id pairs — bounded.
+    val maxsimOverlap: Option[Double] =
+      if (!selected.contains("retrieval_maxsim_topk") ||
+          !selected.contains("retrieval_maxsim_ivf")) None
+      else try {
+        def pairs(name: String): Set[(Long, Long)] =
+          selected(name)(spark, sfDir).select("q_doc", "doc_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs("retrieval_maxsim_topk")
+        val got = pairs("retrieval_maxsim_ivf")
+        Some(if (truth.isEmpty) 0.0 else truth.count(got).toDouble / truth.size)
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] maxsim overlap failed: ${e.getMessage}")
+          None
+      }
+    val recallAll = recall ++
+      maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq
+    recallAll.foreach { case (k, v) =>
       println(f"BENCH_DETAIL recall@10:$k $v%.3f")
     }
     // RECALL/COST SWEEP (round 9): the lifecycle recall above measures ONE
@@ -395,7 +418,7 @@ object Bench {
       }.mkString(",")
       val pls = pipelineTimes.map { case (k, v) => s""""$k":${r3(v)}""" }
         .mkString("{", ",", "}")
-      val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
+      val rec = recallAll.map { case (k, v) => s""""$k":${r3(v)}""" }
         .mkString("{", ",", "}")
       val swp = sweepResults.map(r =>
           s""""${r.name}":{"recall":${r3(r.recall)},"build_s":${r3(r.buildS)},"serve_s":${r3(r.serveS)}}""")
@@ -467,7 +490,7 @@ object Bench {
     val total = ok.map(_._1).sum + pipelineTimes.map(_._2).sum
     // recall_at_10 rides the driver line too: 3 compact entries (~90 chars)
     // that make retrieval-quality regressions visible round-over-round.
-    val rec = recall.map { case (k, v) => s""""$k":${r3(v)}""" }
+    val rec = recallAll.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
     // recall_sweep: [recall, serve_s] per operating point (~250 chars for
     // 7 points — build costs live in the full BENCH_OUT table). Sweep

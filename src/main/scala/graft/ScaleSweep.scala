@@ -102,9 +102,17 @@ object ScaleSweep {
     // cardinality scale with the corpus, so factor 10 is 100× the work
     // AND 100× the aggregation state by construction — measured once for
     // transparency (1× 1.4 s; the factor-10 point aborted past 16 min,
-    // dominated by the ~100M-group partial max). The scale path is the
-    // row's own: each query token probes a token-level IVF index and the
-    // MAX/fold runs on candidates only.
+    // dominated by the ~100M-group partial max). Its scale path EXISTS as
+    // of round 11 and IS swept below: retrieval_maxsim_ivf probes a
+    // token-level IVF per query token and runs the identical MAX/fold on
+    // bounded candidates only (stage-2 state = |q_tokens|·MsT per query,
+    // corpus-independent). Like every ann_* serve it stays 10×-only —
+    // the probe set (every 250th doc) itself scales with the corpus.
+    "retrieval_maxsim_ivf",
+    // Impact-ordered BM25 serve: 3 bucket-pruned posting prefixes + a
+    // bounded candidate rescore — linear work, constant output (also in
+    // the ≥100× linear set below).
+    "text_bm25_impact_topk",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -158,7 +166,7 @@ object ScaleSweep {
     // within-batch pair mining is quadratic in clone families.
     "stream_stream_join", "stream_dedup_events", "stream_mv_refresh",
     "stream_mv_refresh_partitioned",
-    "stats_percentiles_grouped", "text_bm25_topk",
+    "stats_percentiles_grouped", "text_bm25_topk", "text_bm25_impact_topk",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
     "text_quality", "text_token_count", "train_preference_pairs",
     // Skip-gram pairs: array-local window transforms, linear in tokens;
@@ -186,7 +194,10 @@ object ScaleSweep {
     // ratio 7.34 at 10×) yet carries a 128× constant vs the cost-floor
     // build (k 8→256, m 4→16), so the 100× point is ~50 min of wall for a
     // slope the 10× point already pins.
-    "bpe_model", "cents_ranks", "cents_ranks_grouped")
+    "bpe_model", "cents_ranks", "cents_ranks_grouped",
+    // Vocabulary-bounded Lloyd (maxsim) and one posting-table pass with a
+    // per-term rank window (bm25) — both linear in corpus tokens.
+    "maxsim_token_ivf", "bm25_impact_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -34,5 +34,6 @@ object SparkEntry {
     * Ordered: later builders may consume earlier ones. */
   def pipelines: Seq[(String, (SparkSession, String) => Unit)] =
     DedupQ.pipelines ++ TrainQ.pipelines ++ Flagship.pipelines ++
-      SourcesQ.pipelines ++ PipelineQ.pipelines ++ CorpusQ.pipelines
+      SourcesQ.pipelines ++ PipelineQ.pipelines ++ CorpusQ.pipelines ++
+      SimilarityQ.pipelines
 }

@@ -42,4 +42,15 @@ object Q {
     * matched the pattern, so a layout regression there was invisible. */
   def layoutRowsMap(qs: Seq[Q]): Map[String, String] =
     qs.flatMap(q => q.servesLayout.map(q.name -> _)).toMap
+
+  /** Force every CTE in a generated oracle to `AS MATERIALIZED`: DuckDB's
+    * default CTE inlining re-expands shared training chains per reference,
+    * exploding large generated oracles to spill-to-disk scale (>300 s on a
+    * 50-vector input for the promoted-ANN oracle; 6 s materialized).
+    * Anchored to CTE positions — `<ident> AS (` right after `WITH` or a
+    * top-level comma — so a future non-CTE `AS (` construct (a WINDOW
+    * clause, a parenthesized alias) is never rewritten. */
+  def materializeCtes(sql: String): String =
+    """((?:\bWITH\b|,)\s*)([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
+      .replaceAllIn(sql, "$1$2 MATERIALIZED (")
 }

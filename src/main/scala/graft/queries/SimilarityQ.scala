@@ -11,6 +11,49 @@ import graft.ops.Similarity.cosDuck
   * are bit-identical. */
 object SimilarityQ {
 
+  // Token-level IVF for late-interaction (MaxSim) serving: the coarse
+  // quantizer is trained over the DISTINCT token-vector VOCABULARY (the
+  // dictionary is orders of magnitude smaller than the corpus token
+  // stream, and every occurrence of a token shares its cluster), with the
+  // same fixed-point Lloyd the dense-ANN family uses — so the whole
+  // training run replays bit-exactly in DuckDB. kc is deliberately small
+  // for the replayable oracle; at scale kc grows with the vocabulary so
+  // cells hold constant candidate share (the dense-IVF discipline).
+  private val MsKc = 8
+  private val MsIters = 2
+  private val MsNprobe = 2
+  private val MsT = 20 // candidate docs kept per query token (stage 1)
+
+  /** Session-scoped trained token IVF: (vocab assignment (tid, v, cluster),
+    * centroids (cluster, cent)) — the Lloyd-pipeline discipline, trained
+    * once per (session, dir) and fanned out; the bench attributes training
+    * to `pipeline:maxsim_token_ivf` so the serve row measures serving. */
+  private val maxsimIvfCache =
+    new SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      { case (a, c) => a.unpersist(); c.unpersist() })
+
+  private def maxsimIvf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    maxsimIvfCache.getOrElseUpdate(s, dir) {
+      import graft.expressions.PolyHash.polyHash
+      import graft.functions.Hashing.{A, B, P}
+      import graft.ops.KMeans
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val vocab = Catalog.load(s, dir, "documents")
+        .select(explode(expr("split(text, ' ')")).as("tok"))
+        .select(polyHash(col("tok")).as("h")).distinct()
+        .select(col("h").as("tid"), array((0 until 4).map(i =>
+          expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0")): _*).as("v"))
+      val (a, c) = KMeans.lloyd(vocab, "tid", "v", MsKc, MsIters, dims = 4)
+      val ap = a.persist(MEMORY_AND_DISK); ap.count()
+      val cp = c.select(col("cluster"), col("cent")).persist(MEMORY_AND_DISK)
+      cp.count()
+      (ap, cp)
+    }
+
+  /** Named builders for bench attribution (see SparkEntry.pipelines). */
+  def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("maxsim_token_ivf" -> ((s, d) => { maxsimIvf(s, d); () }))
+
   val all: Seq[Q] = Seq(
 
     // L2 normalization of the embedding column (array-transform over the
@@ -297,6 +340,155 @@ object SimilarityQ {
            |      FROM sc)
            |SELECT q_doc, rank, doc_id, score FROM r WHERE rank <= 10
            |ORDER BY q_doc, rank""".stripMargin
+      }),
+
+    // Token-level IVF MaxSim serve — the late-interaction paradigm's scale
+    // path (the row above is its exactness baseline, like
+    // ann_bruteforce_topk is dense ANN's): the same
+    // IVF-generate + exact-rerank pattern the dense family uses, applied
+    // per QUERY TOKEN.
+    //   stage 1 (candidate generation): each query token probes its
+    //     MsNprobe nearest coarse cells (centroids from the fixed-point
+    //     Lloyd over the token VOCABULARY, broadcast), joins only those
+    //     cells' corpus tokens (an equi-join on cluster — the full
+    //     |Q_tok|·|corpus_tok| cross never forms), and keeps the MsT docs
+    //     whose best token answers it strongest;
+    //   stage 2 (exact rerank): the full MaxSim score — identical sim
+    //     expression, identical position-ordered fold as the exact row —
+    //     over the CANDIDATE (query, doc) pairs only, so per-query work and
+    //     aggregation state are bounded by |q_tokens|·MsT regardless of
+    //     corpus size (the group-cardinality explosion that aborted the
+    //     exact row's scale sweep cannot form).
+    // Overlap@10 vs the exact row's truth is carried per bench run (the
+    // recall@10 discipline); correctness is pinned by the full DuckDB
+    // replay of training + probe + both stages.
+    Q("retrieval_maxsim_ivf",
+      (s, dir) => {
+        import graft.expressions.PolyHash.polyHash
+        import graft.functions.Hashing.{A, B, P}
+        import org.apache.spark.sql.expressions.Window
+        val (vocabAssigned, cents) = maxsimIvf(s, dir)
+        val docs = Catalog.load(s, dir, "documents")
+        // Corpus tokens with dims — identical affine exprs as the exact
+        // row; explicit-count repartition for the same single-file-scan
+        // parallelism trap the exact row documents.
+        val ctAll = docs
+          .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+          .select(Seq(col("doc_id"), polyHash(col("tok")).as("h")): _*)
+          .select(col("doc_id") +: col("h") +: (0 until 4).map(i =>
+            expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0").as(s"v$i")): _*)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        // Dictionary join: every token occurrence inherits its vocab
+        // entry's trained cluster.
+        val ct = ctAll.join(vocabAssigned.select(col("tid"), col("cluster")),
+          col("h") === col("tid"))
+        val qt = docs.filter(col("doc_id") % 250 === 0)
+          .select(col("doc_id").as("q_doc"),
+            posexplode(expr("split(text, ' ')")).as(Seq("qpos", "tok")))
+          .select(Seq(col("q_doc"), col("qpos"), polyHash(col("tok")).as("h")): _*)
+          .select(col("q_doc") +: col("qpos") +: (0 until 4).map(i =>
+            expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0").as(s"q$i")): _*)
+        val wProbe = Window.partitionBy("q_doc", "qpos")
+          .orderBy(col("d").asc, col("p_cluster").asc)
+        val probes = qt
+          .withColumn("qv", array((0 until 4).map(i => col(s"q$i")): _*))
+          .crossJoin(broadcast(
+            cents.select(col("cluster").as("p_cluster"), col("cent"))))
+          .withColumn("d", expr(
+            """aggregate(zip_with(qv, cent, (x, y) ->
+              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= MsNprobe)
+          .select("q_doc", "qpos", "q0", "q1", "q2", "q3", "p_cluster")
+        val sim = (0 until 4).map(i => col(s"q$i") * col(s"v$i")).reduce(_ + _)
+        val s1 = ct.join(broadcast(probes),
+            col("cluster") === col("p_cluster") && col("doc_id") =!= col("q_doc"))
+          .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
+          .agg(max(sim).as("ms"))
+        val wCand = Window.partitionBy("q_doc", "qpos")
+          .orderBy(col("ms").desc, col("doc_id").asc)
+        val cand = s1.withColumn("rn", row_number().over(wCand))
+          .filter(col("rn") <= MsT)
+          .select("q_doc", "doc_id").distinct()
+        val mx = cand.join(ctAll, "doc_id")
+          .join(broadcast(qt), "q_doc")
+          .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
+          .agg(max(sim).as("ms"))
+        val scores = mx.groupBy(col("q_doc"), col("doc_id"))
+          .agg(expr("aggregate(transform(array_sort(collect_list(struct(qpos, ms))), " +
+            "p -> p.ms), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("score"))
+        val w = Window.partitionBy("q_doc")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scores.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("q_doc", "rank", "doc_id", "score")
+          .orderBy("q_doc", "rank")
+      },
+      Some {
+        import graft.functions.Hashing.{polyHashDuck, A, B, P}
+        import graft.ops.KMeans
+        val cdims = (0 until 4)
+          .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0 AS v$i")
+          .mkString(", ")
+        val qdims = (0 until 4)
+          .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0 AS q$i")
+          .mkString(", ")
+        val vlist = "[" + (0 until 4)
+          .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0")
+          .mkString(", ") + "]"
+        val simSql = (0 until 4).map(i => s"q.q$i * c.v$i").mkString(" + ")
+        Q.materializeCtes(
+          s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |th AS (SELECT doc_id, ${polyHashDuck("t")} AS h FROM tok),
+             |voc AS (SELECT DISTINCT h FROM th),
+             |vv AS (SELECT h AS tid, $vlist AS v FROM voc),
+             |${KMeans.oracleCtes("vv", "tid", "v", MsKc, MsIters, 4, "mx")},
+             |cta AS (SELECT th.doc_id, th.h AS h, a.cluster
+             |        FROM th JOIN mxa$MsIters a ON a.tid = th.h),
+             |ctv AS (SELECT doc_id, cluster, $cdims FROM cta),
+             |q0 AS (SELECT doc_id AS q_doc, string_split(text, ' ') AS w
+             |       FROM documents WHERE doc_id % 250 = 0),
+             |q1 AS (SELECT q_doc, z.x.p AS qpos, z.x.t AS t FROM (
+             |         SELECT q_doc, unnest(list_transform(range(1, len(w) + 1),
+             |             i -> {'p': i, 't': w[CAST(i AS INT)]})) AS x
+             |         FROM q0) z),
+             |qh AS (SELECT q_doc, qpos, ${polyHashDuck("t")} AS h FROM q1),
+             |qv AS (SELECT q_doc, qpos, $qdims FROM qh),
+             |qvl AS (SELECT q_doc, qpos, $vlist AS v FROM qh),
+             |pr AS (SELECT q_doc, qpos, cluster FROM (
+             |         SELECT q.q_doc, q.qpos, c.cluster,
+             |                ROW_NUMBER() OVER (PARTITION BY q.q_doc, q.qpos
+             |                  ORDER BY ${KMeans.distDuck("q.v", "c.cent", 4)} ASC,
+             |                           c.cluster ASC) AS rn
+             |         FROM qvl q, mxc$MsIters c) x WHERE rn <= $MsNprobe),
+             |s1 AS (SELECT q.q_doc, q.qpos, c.doc_id, MAX($simSql) AS ms
+             |       FROM qv q
+             |       JOIN pr p ON p.q_doc = q.q_doc AND p.qpos = q.qpos
+             |       JOIN ctv c ON c.cluster = p.cluster AND c.doc_id <> q.q_doc
+             |       GROUP BY q.q_doc, q.qpos, c.doc_id),
+             |rd AS (SELECT q_doc, qpos, doc_id,
+             |              ROW_NUMBER() OVER (PARTITION BY q_doc, qpos
+             |                ORDER BY ms DESC, doc_id ASC) AS rn
+             |       FROM s1),
+             |cand AS (SELECT DISTINCT q_doc, doc_id FROM rd WHERE rn <= $MsT),
+             |ctf AS (SELECT doc_id, $cdims FROM th),
+             |mx AS (SELECT q.q_doc, q.qpos, c.doc_id, MAX($simSql) AS ms
+             |       FROM qv q
+             |       JOIN cand d ON d.q_doc = q.q_doc
+             |       JOIN ctf c ON c.doc_id = d.doc_id
+             |       GROUP BY q.q_doc, q.qpos, c.doc_id),
+             |sc AS (SELECT q_doc, doc_id,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(list_sort(list({'p': qpos, 'm': ms})), x -> x.m)),
+             |           (a, b) -> a + b) AS score
+             |       FROM mx GROUP BY q_doc, doc_id),
+             |r AS (SELECT q_doc, doc_id, score,
+             |             ROW_NUMBER() OVER (PARTITION BY q_doc
+             |               ORDER BY score DESC, doc_id ASC) AS rank
+             |      FROM sc)
+             |SELECT q_doc, rank, doc_id, score FROM r WHERE rank <= 10
+             |ORDER BY q_doc, rank""".stripMargin)
       }),
 
     // Retrieval capstone: ANN top-3 per probe JOINED back to the documents

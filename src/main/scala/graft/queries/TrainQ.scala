@@ -336,16 +336,7 @@ object TrainQ {
     * temp at sf0.001; materialized: 6 s at sf0.01, 15 s at sf0.1). The
     * smaller cost-floor oracles (m=4) stay on the default — their pinned
     * SQL text never moves. */
-  private def promotedOracle: String = {
-    // Anchored to CTE positions: an `<ident> AS (` is a CTE definition only
-    // right after `WITH` or a top-level comma — anchoring keeps any future
-    // non-CTE `AS (` construct pasted into this oracle (a WINDOW clause, a
-    // parenthesized alias) out of the rewrite's reach.
-    def materialize(sql: String): String =
-      """((?:\bWITH\b|,)\s*)([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
-        .replaceAllIn(sql, "$1$2 MATERIALIZED (")
-    materialize(promotedOracleRaw)
-  }
+  private def promotedOracle: String = Q.materializeCtes(promotedOracleRaw)
 
   private def promotedOracleRaw: String = {
     val tabCtes = (0 until PromM).map { j =>

@@ -490,6 +490,22 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
       p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("MaxSim IVF serve: candidate join is a cluster equi-join — the full " +
+      "probe-token cross never forms") {
+    // The scale claim in one plan property: stage 1 joins probed CELLS by
+    // hash equi-join on cluster (BroadcastHashJoin), so the only
+    // nested-loop in the plan is the 8-row centroid broadcast of the probe
+    // ranking — the |Q_tok|·|corpus_tok| BroadcastNestedLoopJoin cross that
+    // defines the exact row must NOT appear against the token table.
+    val p = plan(SparkEntry.queries("retrieval_maxsim_ivf")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one BNLJ: the kc-row centroid table crossed into the probe
+    // ranking (bounded by kc, not by the corpus)
+    assert(p.linesIterator.count(
+      l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
+  }
+
   test("BM25 impact serve: bucket partition-pruned scans, prefix filter " +
       "pushed, one theta broadcast, no cartesian") {
     // The whole point of the impact index: serving never reads a bucket
