@@ -365,12 +365,26 @@ object Bench {
     val gateTimes: Map[String, (Double, Double)] = finalResults.collect {
       case (name, (med, spread, false)) => name -> (med, spread)
     }.toMap
+    // PIPELINE time channel (round 11): the builds are ~1/3 of the clean-box
+    // session (the promoted index alone ~29 s) yet had no committed
+    // baselines — a build-cost regression was gate-invisible. Pipelines ride
+    // the SAME time rule under `pipeline:<name>` rows (fingerprint columns
+    // are written as zeros and never checked — no query fingerprint carries
+    // these names). Builds are single-shot by design, so spread is recorded
+    // as 0.0 (always time-eligible); the >2× factor over a ≥0.3 s baseline
+    // absorbs single-shot jitter on real builds.
+    val pipelineGateTimes: Map[String, (Double, Double)] =
+      pipelineTimes.map { case (k, v) => s"pipeline:$k" -> (v, 0.0) }.toMap
     sys.env.get("SPARK_GRAFT_WRITE_PLAN_BASELINE").foreach { p =>
+      val plFp = pipelineTimes
+        .map { case (k, _) => s"pipeline:$k" -> graft.engine.PlanGate.Fp(0, 0) }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        graft.engine.PlanGate.render(fpNums.toMap, gateTimes.map {
-          case (k, (med, _)) => k -> med
-        }))
-      println(s"[bench] wrote plan baseline $p (${fpNums.size} rows)")
+        graft.engine.PlanGate.render(fpNums.toMap ++ plFp,
+          (gateTimes ++ pipelineGateTimes).map {
+            case (k, (med, _)) => k -> med
+          }))
+      println(s"[bench] wrote plan baseline $p " +
+        s"(${fpNums.size} query + ${plFp.size} pipeline rows)")
     }
     val gateViolations: Seq[String] =
       if (only.nonEmpty) Seq.empty
@@ -385,7 +399,7 @@ object Bench {
           graft.queries.Q.designHxMap(SparkEntry.allQueries),
           graft.queries.Q.layoutRowsMap(SparkEntry.allQueries),
           graft.ops.Bucketing.registeredLayouts,
-          gateTimes)
+          gateTimes ++ pipelineGateTimes)
       } catch {
         case e: Throwable =>
           println(s"[bench] plan gate failed: ${e.getMessage}")

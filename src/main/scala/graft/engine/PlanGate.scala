@@ -41,7 +41,9 @@ package graft.engine
   *     [[TimeSpreadCeiling]] are exempt (that is box contention, and the
   *     bench self-heal already re-measures them), as are rows under
   *     [[TimeFloorS]] baseline seconds (relative time on a 50 ms row is
-  *     scheduler noise).
+  *     scheduler noise). Build pipelines ride the same rule as
+  *     `pipeline:<name>` rows (round 11) — single-shot timings with
+  *     spread 0.0 and zeroed fingerprint columns that no rule reads.
   *
   * New queries (no baseline row) pass — the gate guards regressions, not
   * coverage; the baseline is re-authored each round from the clean box.

@@ -159,6 +159,20 @@ class PlanGateSpec extends AnyFunSuite {
     assert(pl === Map("pipeline:lloyd_kmeans" -> Base(Fp(0, 0), 1.62)))
   }
 
+  test("pipeline time-channel rows fire on a >2x build regression and " +
+      "never touch fingerprint rules") {
+    val base = baseline +
+      ("pipeline:ivf_pq_promoted" -> Base(Fp(0, 0), 28.8))
+    // Build doubled: fires via the shared time rule.
+    val v = gate(baselineFp, base,
+      times = Map("pipeline:ivf_pq_promoted" -> (60.0, 0.0)))
+    assert(v.size === 1 && v.head.startsWith("pipeline:ivf_pq_promoted:"), v)
+    // Within 2x: clean. The zeroed fingerprint columns trigger nothing
+    // (pipeline names never appear in `current`).
+    assert(gate(baselineFp, base,
+      times = Map("pipeline:ivf_pq_promoted" -> (40.0, 0.0))).isEmpty)
+  }
+
   test("baseline render/parse round-trips, with and without medians") {
     val meds = baselineFp.keys.map(_ -> 1.0).toMap
     val parsed = PlanGate.parseBaseline(PlanGate.render(baselineFp, meds))
