@@ -108,11 +108,20 @@ object ScaleSweep {
     // bounded candidates only (stage-2 state = |q_tokens|·MsT per query,
     // corpus-independent). Like every ann_* serve it stays 10×-only —
     // the probe set (every 250th doc) itself scales with the corpus.
-    "retrieval_maxsim_ivf",
+    // The IVF MaxSim serves pin their probe set to BASE doc ids (see
+    // queryTokens's scaladoc): the sweep measures a FIXED query workload
+    // against a growing corpus — work linear in corpus tokens (stage-1
+    // candidate share; stage-2 is |q_tok|·T-bounded), so they also ride
+    // the ≥100× linear set. The first, unpinned measurement is kept for
+    // the record: |Q|×10 · cells×10 read 4.25 s → 138 s (×32 wall for
+    // ×100 pairs — sub-linear in WORK, super-linear in data), exactly the
+    // embarrassingly-parallel workload axis the pin removes.
+    "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
     // Impact-ordered BM25 serve: 3 bucket-pruned posting prefixes + a
     // bounded candidate rescore — linear work, constant output (also in
-    // the ≥100× linear set below).
-    "text_bm25_impact_topk",
+    // the ≥100× linear set below). The all-index hybrid (single probe,
+    // two ≤50-row rank lists) is likewise linear.
+    "text_bm25_impact_topk", "retrieval_hybrid_served",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -167,6 +176,8 @@ object ScaleSweep {
     "stream_stream_join", "stream_dedup_events", "stream_mv_refresh",
     "stream_mv_refresh_partitioned",
     "stats_percentiles_grouped", "text_bm25_topk", "text_bm25_impact_topk",
+    "retrieval_hybrid_served",
+    "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
     "text_quality", "text_token_count", "train_preference_pairs",
     // Skip-gram pairs: array-local window transforms, linear in tokens;
@@ -195,9 +206,10 @@ object ScaleSweep {
     // build (k 8→256, m 4→16), so the 100× point is ~50 min of wall for a
     // slope the 10× point already pins.
     "bpe_model", "cents_ranks", "cents_ranks_grouped",
-    // Vocabulary-bounded Lloyd (maxsim) and one posting-table pass with a
-    // per-term rank window (bm25) — both linear in corpus tokens.
-    "maxsim_token_ivf", "bm25_impact_index")
+    // Vocabulary-bounded Lloyd (maxsim), its cluster-partitioned cell
+    // write, and one posting-table pass with a per-term rank window
+    // (bm25) — all linear in corpus tokens.
+    "maxsim_token_ivf", "maxsim_ivf_index", "bm25_impact_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -45,11 +45,11 @@ object CorpusQ {
     * the kmeansIndex discipline): the full impact-ordered posting table
     * written bucket-partitioned to a session temp dir. The serve row
     * (`text_bm25_impact_topk`) reads ONLY this. */
-  private val bm25IndexCache = new SessionCache[String](_ => ())
+  private[queries] val bm25IndexCache = new SessionCache[String](_ => ())
 
-  private val Bm25Buckets = 32
+  private[queries] val Bm25Buckets = 32
 
-  private def bm25Index(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  private[queries] def bm25Index(s: org.apache.spark.sql.SparkSession, dir: String): String =
     bm25IndexCache.getOrElseUpdate(s, dir) {
       val tmp = graft.engine.TempDirs.create("graft_bm25idx")
       Corpus.writeBm25ImpactIndex(Catalog.load(s, dir, "documents"), "text",

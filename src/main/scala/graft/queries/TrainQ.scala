@@ -1164,6 +1164,102 @@ object TrainQ {
            |FROM c JOIN r ON c.cluster = r.cluster
            |WHERE c.rn = 1 AND r.rn = 1 AND c.chosen_id <> r.rejected_id
            |ORDER BY c.cluster""".stripMargin
+      }),
+
+    // Hybrid retrieval served ENTIRELY from persisted indexes — the
+    // production composition of this round's serving paths:
+    //   lexical list = the impact-ordered BM25 serve (bucket-pruned prefix
+    //     reads + the provably lossless θ-prune, so it IS the exact BM25
+    //     top-50 — `ops/Corpus.bm25ImpactTopK` over
+    //     `pipeline:bm25_impact_index`);
+    //   vector list = the trained-quantizer IVF serve from the persisted
+    //     kmeans index (`pipeline:kmeans_ivf_index`, nprobe=2) for probe
+    //     vec 0 — partition-pruned cells, no training at serve time;
+    //   fusion = the same RRF arithmetic as retrieval_rrf_fusion (1/(60+r),
+    //     fixed lex+vec order, full outer on the aligned id).
+    // Unlike retrieval_rrf_fusion (exact scorers — the baseline), NO stage
+    // here touches the full corpus: serving cost is 3 posting prefixes +
+    // nprobe cells + two ≤50-row rank lists. The oracle replays the exact
+    // BM25 (= the lex serve, lossless) and the full Lloyd-trained IVF probe.
+    Q("retrieval_hybrid_served",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lexTop = graft.ops.Corpus.bm25ImpactTopK(s,
+          CorpusQ.bm25Index(s, dir), Seq("spark", "vector", "customer"),
+          k = 50, CorpusQ.Bm25Buckets)
+        val lexRanked = lexTop.withColumn("lex_rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("doc_id", "lex_rank")
+        val vecRanked = Similarity.knnIvfKmeansPersisted(s, kmeansIndex(s, dir),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") === 0),
+            "vec_id", "embedding", nprobe = 2, k = 50)
+          .select(col("neighbor").as("vec_id"), col("rank").as("vec_rank"))
+        lexRanked.join(vecRanked, lexRanked("doc_id") === vecRanked("vec_id"),
+            "full_outer")
+          .select(
+            coalesce(lexRanked("doc_id"), vecRanked("vec_id")).as("doc_id"),
+            col("lex_rank"), col("vec_rank"),
+            (coalesce(expr("1.0 / (60.0 + CAST(lex_rank AS DOUBLE))"), lit(0.0)) +
+              coalesce(expr("1.0 / (60.0 + CAST(vec_rank AS DOUBLE))"), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some {
+        import graft.ops.Corpus
+        s"""WITH ${KMeans.oracleCtes("embeddings", "vec_id", "embedding", K, Iters, Dims)},
+           |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |tf AS (SELECT doc_id, len(w) AS dl,
+           |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+           |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+           |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+           |       FROM d),
+           |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+           |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+           |       FROM tf),
+           |sc2 AS (SELECT doc_id,
+           |          CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+           |          dl, tf1, tf2, tf3, n_docs, df1, df2, df3
+           |        FROM tf, st),
+           |lex AS (SELECT doc_id,
+           |          ${Corpus.bm25Term("tf1", "df1")} + ${Corpus.bm25Term("tf2", "df2")} +
+           |          ${Corpus.bm25Term("tf3", "df3")} AS score
+           |        FROM sc2
+           |        WHERE ${Corpus.bm25Term("tf1", "df1")} + ${Corpus.bm25Term("tf2", "df2")} +
+           |              ${Corpus.bm25Term("tf3", "df3")} > 0
+           |        ORDER BY score DESC, doc_id ASC LIMIT 50),
+           |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+           |           ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+           |         FROM lex),
+           |e AS (SELECT vec_id, embedding, ${Similarity.normDuck("embedding")} AS nrm
+           |      FROM embeddings),
+           |q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+           |             ${Similarity.normDuck("embedding")} AS q_nrm FROM embeddings
+           |      WHERE vec_id = 0),
+           |pp AS (SELECT q_vec, q_emb, q_nrm, cluster FROM (
+           |    SELECT q.q_vec, q.q_emb, q.q_nrm, c.cluster,
+           |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+           |               ORDER BY ${KMeans.distDuck("q.q_emb", "c.cent", Dims)} ASC,
+           |                        c.cluster ASC) AS pr
+           |    FROM q, c$Iters c) z WHERE pr <= 2),
+           |scored AS (SELECT pp.q_vec, a.vec_id,
+           |                  ${Similarity.dotDuck("pp.q_emb", "e.embedding")} / (pp.q_nrm * e.nrm) AS cos
+           |           FROM a$Iters a
+           |           JOIN pp ON a.cluster = pp.cluster AND a.vec_id <> pp.q_vec
+           |           JOIN e ON e.vec_id = a.vec_id),
+           |vt AS (SELECT vec_id, cos FROM scored
+           |       ORDER BY cos DESC, vec_id ASC LIMIT 50),
+           |vecr AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (
+           |           ORDER BY cos DESC, vec_id ASC) AS INT) AS vec_rank
+           |         FROM vt)
+           |SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
+           |  lex_rank, vec_rank,
+           |  COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0) +
+           |  COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+           |FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.vec_id
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
       })
   )
 }

@@ -506,6 +506,27 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
       l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
   }
 
+  test("persisted MaxSim token-IVF serve prunes cell partitions dynamically") {
+    // Stage 1 must read ONLY the probed clusters' directories: the cells
+    // scan carries a runtime partition filter on `cluster` (the
+    // knnIvfPersisted discipline) — a full-index token scan at serve time
+    // defeats the layout.
+    val p = plan(SparkEntry.queries("retrieval_maxsim_ivf_persisted")(spark, dir))
+    assert(p.contains("dynamicpruning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hybrid-served retrieval touches only indexes: bucket-pruned postings, " +
+      "cell-pruned IVF, no cartesian") {
+    val p = plan(SparkEntry.queries("retrieval_hybrid_served")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // lexical side: the impact index's bucket partition pruning
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bkt")), p)
+    // vector side: the kmeans IVF cells' runtime cluster pruning
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("BM25 impact serve: bucket partition-pruned scans, prefix filter " +
       "pushed, one theta broadcast, no cartesian") {
     // The whole point of the impact index: serving never reads a bucket
