@@ -246,8 +246,29 @@ object Bench {
           println(s"[bench] maxsim overlap failed: ${e.getMessage}")
           None
       }
+    // LEXICAL STALENESS (round 11): top-20 overlap of the frozen-stats
+    // APPENDED serve vs the stat-refreshed COMPACTED serve — the
+    // maint_recall analog for the BM25 impact index. Both rows are
+    // hash-exact against their own oracles; this measures what the
+    // DEFERRED stat refresh costs in ranking terms.
+    val bm25StaleOverlap: Option[Double] =
+      if (!selected.contains("text_bm25_impact_append") ||
+          !selected.contains("text_bm25_impact_compacted")) None
+      else try {
+        def docs(name: String): Set[Long] =
+          selected(name)(spark, sfDir).select("doc_id").collect()
+            .map(_.getLong(0)).toSet
+        val fresh = docs("text_bm25_impact_compacted")
+        val stale = docs("text_bm25_impact_append")
+        Some(if (fresh.isEmpty) 0.0 else fresh.count(stale).toDouble / fresh.size)
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] bm25 staleness overlap failed: ${e.getMessage}")
+          None
+      }
     val recallAll = recall ++
-      maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq
+      maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq ++
+      bm25StaleOverlap.map("bm25_append_overlap" -> _).toSeq
     recallAll.foreach { case (k, v) =>
       println(f"BENCH_DETAIL recall@10:$k $v%.3f")
     }

@@ -545,17 +545,40 @@ object Corpus {
     * disk anyway. No driver state, no driver collect. */
   def bm25ImpactPostings(docs: DataFrame, textCol: String,
       buckets: Int): DataFrame = {
+    val tf = bm25TermFreqs(docs, textCol)
+    bm25PostingsWith(tf,
+      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      bm25CorpusStats(docs, textCol), buckets)
+  }
+
+  /** Per-(doc, term) frequencies with doc length: (doc_id, dl, term, tf). */
+  def bm25TermFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), expr(s"split($textCol, ' ')").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Corpus totals for the idf/avgdl terms: one row (n_docs, sum_dl). */
+  def bm25CorpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), expr(s"size(split($textCol, ' '))").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Impact postings from EXPLICIT statistics sources — the segment-build
+    * primitive: the base build passes its own (df, stats); an APPEND
+    * segment passes the BASE index's persisted statistics, producing
+    * frozen-stats impacts (the Lucene-segment discipline: global stats go
+    * stale until compaction). A term absent from the stats source (brand-
+    * new vocabulary in a delta) scores with df = 0 — the maximal-idf
+    * convention, deterministic in both engines. */
+  def bm25PostingsWith(tf: DataFrame, dfT: DataFrame, stats: DataFrame,
+      buckets: Int): DataFrame = {
     import graft.functions.Hashing.polyHashSpark
     import org.apache.spark.sql.expressions.Window
-    val d = docs.select(col("doc_id"), expr(s"split($textCol, ' ')").as("w"))
-      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("term")
       .orderBy(col("impact").desc, col("doc_id").asc)
-    tf.join(dfT, "term").crossJoin(broadcast(stats))
+    tf.join(dfT, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
       .withColumn("impact", expr(bm25Term("tf", "df")))
@@ -572,8 +595,24 @@ object Corpus {
     * impact-ordered inverted file. */
   def writeBm25ImpactIndex(docs: DataFrame, textCol: String, path: String,
       buckets: Int): Unit = {
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    bm25ImpactPostings(docs, textCol, buckets)
+    val tf = bm25TermFreqs(docs, textCol)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = bm25CorpusStats(docs, textCol)
+    writePostings(bm25PostingsWith(tf, dfT, stats, buckets),
+      s"$path/postings", buckets)
+    // The index carries its OWN statistics tables: an append segment
+    // freezes THESE (read from disk, never recomputed), exactly as a
+    // production index serves stale idf until compaction.
+    dfT.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/df")
+    stats.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/stats")
+  }
+
+  private def writePostings(postings: DataFrame, path: String,
+      buckets: Int): Unit = {
+    val n = postings.sparkSession.sessionState.conf.numShufflePartitions
+    postings
       // Explicit-count repartition (the AQE single-partition trap): the
       // bucket key has only `buckets` distinct values, and sorting within
       // partitions needs real parallelism behind it.
@@ -582,6 +621,22 @@ object Corpus {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bkt").parquet(path)
   }
+
+  /** Append a DELTA segment to a [[writeBm25ImpactIndex]] index under
+    * FROZEN base statistics (df, n_docs, avgdl read from the index's own
+    * tables — the base postings are NOT rewritten and no global stat is
+    * refreshed): the production ingest path, where idf staleness is the
+    * price of an O(|delta|) append. [[bm25ImpactTopKAppended]] serves
+    * base ∪ delta; the staleness is measured (not guessed) by the bench's
+    * append-vs-compacted overlap metric. */
+  def writeBm25Delta(spark: org.apache.spark.sql.SparkSession,
+      deltaDocs: DataFrame, textCol: String, basePath: String,
+      deltaPath: String, buckets: Int): Unit =
+    writePostings(
+      bm25PostingsWith(bm25TermFreqs(deltaDocs, textCol),
+        spark.read.parquet(s"$basePath/df"),
+        spark.read.parquet(s"$basePath/stats"), buckets),
+      s"$deltaPath/postings", buckets)
 
   /** WAND-style threshold-pruned BM25 top-k over a persisted impact index —
     * the serving path whose results are PROVABLY identical to the exact
@@ -604,11 +659,31 @@ object Corpus {
     * set-oriented restatement of WAND's pointer walk. theta itself rides a
     * 1-row broadcast; no driver collect anywhere. */
   def bm25ImpactTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String], k: Int, buckets: Int): DataFrame = {
+      terms: Seq[String], k: Int, buckets: Int): DataFrame =
+    bm25ImpactTopKFrom(spark.read.parquet(s"$path/postings"),
+      terms, k, buckets)
+
+  /** Serve base ∪ delta segments: per-term prefixes come from EACH
+    * segment (`irank` is segment-local — the union of both prefixes seeds
+    * theta, and the safety proof below only needs theta to be a valid
+    * k-th-best lower bound, which any seed set gives); the survivor
+    * threshold scans BOTH segments' impact-ordered postings. Results are
+    * exact for the impacts AS STORED — i.e. the frozen-stats ranking the
+    * append semantics define. */
+  def bm25ImpactTopKAppended(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaPath: String, terms: Seq[String], k: Int,
+      buckets: Int): DataFrame =
+    bm25ImpactTopKFrom(
+      spark.read.parquet(s"$basePath/postings")
+        .unionByName(spark.read.parquet(s"$deltaPath/postings")),
+      terms, k, buckets)
+
+  private def bm25ImpactTopKFrom(postings: DataFrame, terms: Seq[String],
+      k: Int, buckets: Int): DataFrame = {
     import graft.functions.Hashing.polyHashLocal
     require(terms.nonEmpty && terms.distinct == terms, "distinct query terms")
     val bkts = terms.map(t => (polyHashLocal(t) % buckets).toInt).distinct
-    val idx = spark.read.parquet(path)
+    val idx = postings
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
     // Fixed-order rescore: one conditional MAX per query term (a doc has at
     // most one posting per term), summed in QUERY order — the identical

@@ -57,11 +57,46 @@ object CorpusQ {
       tmp
     }
 
+  /** The lexical DELTA corpus — the ann_ivf_pq_append discipline: every
+    * 10th-ish doc cloned with ids offset by 1e15, the "new arrivals"
+    * batch whose postings are appended WITHOUT touching base postings or
+    * refreshing any global statistic. */
+  private def bm25DeltaDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Catalog.load(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000000000000L).as("doc_id"), col("text"))
+
+  private val bm25DeltaCache = new SessionCache[String](_ => ())
+
+  private def bm25Delta(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bm25DeltaCache.getOrElseUpdate(s, dir) {
+      val tmp = graft.engine.TempDirs.create("graft_bm25delta")
+      Corpus.writeBm25Delta(s, bm25DeltaDocs(s, dir), "text",
+        bm25Index(s, dir), tmp, Bm25Buckets)
+      tmp
+    }
+
+  /** The COMPACTION: a full rebuild over base ∪ delta with REFRESHED
+    * statistics — the periodic merge that pays the idf/avgdl refresh the
+    * append deferred. */
+  private val bm25CompactCache = new SessionCache[String](_ => ())
+
+  private def bm25Compacted(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bm25CompactCache.getOrElseUpdate(s, dir) {
+      val tmp = graft.engine.TempDirs.create("graft_bm25compact")
+      Corpus.writeBm25ImpactIndex(
+        Catalog.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(bm25DeltaDocs(s, dir)),
+        "text", tmp, Bm25Buckets)
+      tmp
+    }
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "bpe_model" -> ((s, d) => { bpeModel(s, d); () }),
-      "bm25_impact_index" -> ((s, d) => { bm25Index(s, d); () }))
+      "bm25_impact_index" -> ((s, d) => { bm25Index(s, d); () }),
+      "bm25_impact_delta" -> ((s, d) => { bm25Delta(s, d); () }),
+      "bm25_impact_compact" -> ((s, d) => { bm25Compacted(s, d); () }))
 
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
@@ -759,6 +794,91 @@ object CorpusQ {
               |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
               |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
               |       FROM d),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |       FROM tf),
+              |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+              |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+              |         n_docs, df1, df2, df3
+              |       FROM tf, st)
+              |SELECT doc_id, dl,
+              |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |  ${bm25Term("tf3", "df3")} AS score
+              |FROM sc
+              |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |      ${bm25Term("tf3", "df3")} > 0
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // APPENDED lexical serve — the ingest path of the impact index
+    // (pipeline:bm25_impact_delta): the delta batch's postings are written
+    // as their own segment under the BASE index's FROZEN statistics (df,
+    // n_docs, avgdl read from the index's persisted tables — base postings
+    // untouched, no stat refreshed), and serving unions per-term prefixes
+    // from both segments with the same safe theta-prune. Results are exact
+    // FOR THE IMPACTS AS STORED, so the oracle replays the frozen-stats
+    // ranking over base ∪ delta in SQL — staleness vs the refreshed
+    // ranking is MEASURED by the bench's append-vs-compacted overlap, not
+    // assumed away.
+    Q("text_bm25_impact_append",
+      (s, dir) =>
+        Corpus.bm25ImpactTopKAppended(s, bm25Index(s, dir), bm25Delta(s, dir),
+            Seq("spark", "vector", "customer"), k = 20, Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(s"""WITH db AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dd AS (SELECT doc_id + 1000000000000000 AS doc_id,
+              |              string_split(text, ' ') AS w
+              |       FROM documents WHERE doc_id % 10 = 3),
+              |tb AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM db),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |       FROM tb),
+              |td AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM dd),
+              |tu AS (SELECT * FROM tb UNION ALL SELECT * FROM td),
+              |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+              |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+              |         n_docs, df1, df2, df3
+              |       FROM tu, st)
+              |SELECT doc_id, dl,
+              |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |  ${bm25Term("tf3", "df3")} AS score
+              |FROM sc
+              |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+              |      ${bm25Term("tf3", "df3")} > 0
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // COMPACTED lexical serve: the full rebuild over base ∪ delta with
+    // refreshed statistics (pipeline:bm25_impact_compact) — what the
+    // append deferred. The oracle is the exact BM25 SQL with stats over
+    // the UNION; append-vs-compacted top-20 overlap rides the bench as
+    // the lexical staleness metric (the dense family's maint_recall
+    // analog).
+    Q("text_bm25_impact_compacted",
+      (s, dir) =>
+        Corpus.bm25ImpactTopK(s, bm25Compacted(s, dir),
+            Seq("spark", "vector", "customer"), k = 20, Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(s"""WITH db AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dd AS (SELECT doc_id + 1000000000000000 AS doc_id,
+              |              string_split(text, ' ') AS w
+              |       FROM documents WHERE doc_id % 10 = 3),
+              |du AS (SELECT * FROM db UNION ALL SELECT * FROM dd),
+              |tf AS (SELECT doc_id, len(w) AS dl,
+              |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+              |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+              |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+              |       FROM du),
               |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
               |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
               |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,

@@ -254,4 +254,52 @@ class CorpusSpec extends SparkSpec {
     assert(served(20) === exact(20))
     assert(served(20).size === 6)
   }
+
+  test("bm25 append serves frozen base stats; compaction refreshes them") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "spark filler filler"),
+      (1L, "vector filler"),
+      (2L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    // The delta floods the corpus with 'spark' docs: under REFRESHED stats
+    // spark's df jumps 1 -> 4 (idf collapses), under FROZEN stats the new
+    // docs score with spark's OLD df = 1.
+    val delta = Seq(
+      (10L, "spark aa"), (11L, "spark bb"), (12L, "spark cc")
+    ).toDF("doc_id", "text")
+    val basePath = graft.engine.TempDirs.create("graft_bmlc_base")
+    val deltaPath = graft.engine.TempDirs.create("graft_bmlc_delta")
+    val compPath = graft.engine.TempDirs.create("graft_bmlc_comp")
+    Corpus.writeBm25ImpactIndex(base, "text", basePath, buckets = 4)
+    Corpus.writeBm25Delta(spark, delta, "text", basePath, deltaPath, buckets = 4)
+    Corpus.writeBm25ImpactIndex(base.unionByName(delta), "text", compPath,
+      buckets = 4)
+    val terms = Seq("spark", "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("score").desc, col("doc_id").asc).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val appended = rows(Corpus.bm25ImpactTopKAppended(spark, basePath,
+      deltaPath, terms, k = 10, buckets = 4))
+    val compacted = rows(Corpus.bm25ImpactTopK(spark, compPath, terms,
+      k = 10, buckets = 4))
+    // Both rankings contain all 5 scoring docs.
+    assert(appended.map(_._1).toSet === Set(0L, 1L, 10L, 11L, 12L))
+    assert(compacted.map(_._1).toSet === Set(0L, 1L, 10L, 11L, 12L))
+    // Frozen stats: a delta spark doc scores with spark's STALE df=1 idf,
+    // which exactly equals vector's idf — so doc 10 ('spark aa', tf=1,
+    // dl=2) TIES doc 1 ('vector filler', tf=1, dl=2) bit-for-bit, and
+    // outscores base doc 0 only through dl saturation.
+    val app = appended.toMap
+    assert(app(10L) === app(1L), appended)
+    assert(app(10L) > app(0L), appended)
+    // Refreshed stats break the tie: spark's df jumps 1 -> 4 (of 6 docs,
+    // idf collapses) while vector stays rare — compaction ranks the
+    // vector doc STRICTLY first and drops every spark doc's score below
+    // its frozen value. This asymmetry is the staleness the bench
+    // append-vs-compacted overlap measures.
+    val comp = compacted.toMap
+    assert(compacted.head._1 === 1L && comp(1L) > comp(10L), compacted)
+    assert(comp(10L) < app(10L), (appended, compacted))
+  }
 }
