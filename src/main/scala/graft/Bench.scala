@@ -266,6 +266,37 @@ object Bench {
           println(s"[bench] bm25 staleness overlap failed: ${e.getMessage}")
           None
       }
+    // MAXSIM OPERATING-POINT SWEEP (round 11): the dense family's
+    // recall/cost sweep, for the late-interaction serve — overlap@10 vs
+    // the exact truth and serve seconds at (nprobe, T) points bracketing
+    // the pinned (2, 20), measured on the SHIPPED serve code
+    // (SimilarityQ.maxsimIvfServeAt). Shows where quality lives on both
+    // knobs and that the pinned point has margin — evidence, not vibes.
+    val maxsimSweep: Seq[(String, Double, Double)] =
+      if (only.nonEmpty || !selected.contains("retrieval_maxsim_topk")) Seq.empty
+      else try {
+        val truth = selected("retrieval_maxsim_topk")(spark, sfDir)
+          .select("q_doc", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((np, t) <- Seq((1, 5), (1, 20), (2, 5), (2, 20), (4, 40))) yield {
+          val t0 = System.nanoTime()
+          val got = graft.queries.SimilarityQ
+            .maxsimIvfServeAt(spark, sfDir, np, t)
+            .select("q_doc", "doc_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val secs = (System.nanoTime() - t0) / 1e9
+          val ov = if (truth.isEmpty) 0.0
+                   else truth.count(got).toDouble / truth.size
+          (s"np${np}_t$t", ov, secs)
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] maxsim sweep failed: ${e.getMessage}")
+          Seq.empty
+      }
+    maxsimSweep.foreach { case (pt, ov, secs) =>
+      println(f"BENCH_DETAIL maxsim_sweep:$pt overlap=$ov%.3f serve_s=$secs%.2f")
+    }
     val recallAll = recall ++
       maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq ++
       bm25StaleOverlap.map("bm25_append_overlap" -> _).toSeq
@@ -461,6 +492,9 @@ object Bench {
       val bpe = bpeSweep.map { case (k, s, n, mt) =>
           s""""k$k":{"train_s":${r3(s)},"merges":$n,"mean_tokens":${r3(mt)}}"""
         }.mkString("{", ",", "}")
+      val msw = maxsimSweep.map { case (pt, ov, secs) =>
+          s""""$pt":{"overlap":${r3(ov)},"serve_s":${r3(secs)}}"""
+        }.mkString("{", ",", "}")
       def jq(s: String): String =
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = gateViolations.map(jq).mkString("[", ",", "]")
@@ -468,7 +502,7 @@ object Bench {
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
         .getOrElse("null")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"plan_gate_violations":$gate,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"plan_gate_violations":$gate,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and

@@ -95,7 +95,8 @@ object SimilarityQ {
     * single DuckDB oracle — are identical by construction. */
   private def maxsimServe(
       ct: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
-      ctAll: org.apache.spark.sql.DataFrame, qt: org.apache.spark.sql.DataFrame)
+      ctAll: org.apache.spark.sql.DataFrame, qt: org.apache.spark.sql.DataFrame,
+      nprobe: Int = MsNprobe, candT: Int = MsT)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wProbe = Window.partitionBy("q_doc", "qpos")
@@ -109,7 +110,7 @@ object SimilarityQ {
           |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
           |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= MsNprobe)
+      .filter(col("pr") <= nprobe)
       .select("q_doc", "qpos", "q0", "q1", "q2", "q3", "p_cluster")
     val sim = (0 until 4).map(i => col(s"q$i") * col(s"v$i")).reduce(_ + _)
     val s1 = ct.join(broadcast(probes),
@@ -119,7 +120,7 @@ object SimilarityQ {
     val wCand = Window.partitionBy("q_doc", "qpos")
       .orderBy(col("ms").desc, col("doc_id").asc)
     val cand = s1.withColumn("rn", row_number().over(wCand))
-      .filter(col("rn") <= MsT)
+      .filter(col("rn") <= candT)
       .select("q_doc", "doc_id").distinct()
     val mx = cand.join(ctAll, "doc_id")
       .join(broadcast(qt), "q_doc")
@@ -134,6 +135,19 @@ object SimilarityQ {
       .filter(col("rank") <= 10)
       .select("q_doc", "rank", "doc_id", "score")
       .orderBy("q_doc", "rank")
+  }
+
+  /** Bench hook: the in-session IVF MaxSim serve at an ARBITRARY
+    * (nprobe, T) operating point — the recall/cost sweep's entry, so the
+    * knob curve is measured on exactly the shipped serve code. The pinned
+    * conformance row stays at (MsNprobe, MsT); this is measurement-only. */
+  private[graft] def maxsimIvfServeAt(s: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int, candT: Int): org.apache.spark.sql.DataFrame = {
+    val (vocabAssigned, cents) = maxsimIvf(s, dir)
+    val ctAll = corpusTokens(s, dir)
+    val ct = ctAll.join(vocabAssigned.select(col("tid"), col("cluster")),
+      col("h") === col("tid"))
+    maxsimServe(ct, cents, ctAll, queryTokens(s, dir), nprobe, candT)
   }
 
   /** Session-scoped DISK token-IVF index (train-once / serve-many, the
