@@ -453,11 +453,30 @@ object Bench {
           graft.ops.Bucketing.registeredLayouts,
           gateTimes ++ pipelineGateTimes)
       } catch {
+        // A gate-machinery failure (e.g. a mangled baseline row tripping
+        // parseBaseline's require) must SURFACE as a violation, not read as
+        // a clean run with every channel silently disabled.
         case e: Throwable =>
           println(s"[bench] plan gate failed: ${e.getMessage}")
-          Seq.empty
+          Seq(s"plan_gate_error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
       }
-    gateViolations.foreach(v => println(s"BENCH_DETAIL plan_gate VIOLATION $v"))
+    // SERVE-AMORTIZATION PIN (round 12): a persisted index whose serve
+    // costs more than the in-session path it amortizes is backwards —
+    // exactly the state retrieval_maxsim_ivf_persisted shipped in for one
+    // round (14.0 s vs 5.7 s: tiny-files layout + file-count-limited
+    // stage-1 parallelism). Pin the ratio so a layout regression fires the
+    // gate; 1.25x margin absorbs median noise at these ~2-3 s rows.
+    val servePins: Seq[String] =
+      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf")).flatMap {
+        case (per, ins) =>
+          (finalResults.get(per), finalResults.get(ins)) match {
+            case (Some((p, _, false)), Some((i, _, false))) if p > i * 1.25 =>
+              Some(f"serve_pin: $per $p%.2fs > 1.25x $ins $i%.2fs")
+            case _ => None
+          }
+      }
+    val allViolations = gateViolations ++ servePins
+    allViolations.foreach(v => println(s"BENCH_DETAIL plan_gate VIOLATION $v"))
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
@@ -497,7 +516,7 @@ object Bench {
         }.mkString("{", ",", "}")
       def jq(s: String): String =
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      val gate = gateViolations.map(jq).mkString("[", ",", "]")
+      val gate = allViolations.map(jq).mkString("[", ",", "]")
       val maint = maintRecall.map(r =>
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
         .getOrElse("null")
@@ -589,7 +608,7 @@ object Bench {
     val fixed = s""""unit":"sec","n":${finalResults.size},"reps":$reps,""" +
       s""""spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},""" +
       s""""failed":$failedNames,"healed":$healedNames,""" +
-      s""""plan_gate_violations":${gateViolations.size},""" +
+      s""""plan_gate_violations":${allViolations.size},""" +
       s""""recall_at_10":$rec,"maint_recall":$maint"""
     val budget = 1800
     def render(entries: Seq[String]): String =

@@ -669,7 +669,16 @@ object Corpus {
     * k-th-best lower bound, which any seed set gives); the survivor
     * threshold scans BOTH segments' impact-ordered postings. Results are
     * exact for the impacts AS STORED — i.e. the frozen-stats ranking the
-    * append semantics define. */
+    * append semantics define.
+    *
+    * PRECONDITION: base and delta doc_id sets must be DISJOINT (append-only
+    * segments, the Lucene model — updates are delete+re-add into the delta
+    * with a NEW id, as the `+1e15` offset in the pipeline callers ensures).
+    * An overlapping id would get its cross-segment postings merged by the
+    * per-term MAX in the rescore and, if its dl changed between segments,
+    * would surface twice via distinct (doc_id, dl) groups — silently wrong
+    * scores. Segment producers own this invariant; the serve path cannot
+    * check it without a full-index scan. */
   def bm25ImpactTopKAppended(spark: org.apache.spark.sql.SparkSession,
       basePath: String, deltaPath: String, terms: Seq[String], k: Int,
       buckets: Int): DataFrame =
@@ -682,6 +691,13 @@ object Corpus {
       k: Int, buckets: Int): DataFrame = {
     import graft.functions.Hashing.polyHashLocal
     require(terms.nonEmpty && terms.distinct == terms, "distinct query terms")
+    // polyHashLocal folds UTF-16 code units while the build side's
+    // polyHashSpark folds ascii() code points — identical ONLY for ASCII
+    // terms. A non-ASCII term would bucket-prune to the WRONG partition and
+    // silently drop its postings, so enforce the documented constraint here.
+    require(terms.forall(_.forall(_ < 128)),
+      s"query terms must be ASCII (bucket hash is ascii-codepoint-based): " +
+        terms.filter(!_.forall(_ < 128)).mkString(","))
     val bkts = terms.map(t => (polyHashLocal(t) % buckets).toInt).distinct
     val idx = postings
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))

@@ -48,9 +48,13 @@ object Q {
     * exploding large generated oracles to spill-to-disk scale (>300 s on a
     * 50-vector input for the promoted-ANN oracle; 6 s materialized).
     * Anchored to CTE positions — `<ident> AS (` right after `WITH` or a
-    * top-level comma — so a future non-CTE `AS (` construct (a WINDOW
-    * clause, a parenthesized alias) is never rewritten. */
+    * top-level comma, AND whose paren opens a query (SELECT/VALUES/WITH/
+    * FROM/TABLE) — so a non-CTE `AS (` construct is never rewritten. The
+    * query-keyword lookahead matters for multi-definition WINDOW clauses
+    * (`WINDOW w1 AS (...), w2 AS (...)`): the comma anchor alone would
+    * match `w2 AS (` and emit invalid SQL; a window spec never starts
+    * with a query keyword, so the lookahead excludes it. */
   def materializeCtes(sql: String): String =
-    """((?:\bWITH\b|,)\s*)([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""".r
+    """((?:\bWITH\b|,)\s*)([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\((?=\s*(?i:SELECT|VALUES|WITH|FROM|TABLE)\b)""".r
       .replaceAllIn(sql, "$1$2 MATERIALIZED (")
 }

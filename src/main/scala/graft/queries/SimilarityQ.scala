@@ -162,9 +162,16 @@ object SimilarityQ {
     maxsimIndexCache.getOrElseUpdate(s, dir) {
       val (assigned, cents) = maxsimIvf(s, dir)
       val tmp = graft.engine.TempDirs.create("graft_msivf")
+      // One file per cell (the ivf_pq_compact discipline): the cluster
+      // repartition lands each cell in exactly one task, so each partition
+      // dir gets a single doc-ordered file. Without it every input task
+      // writes into every cell dir — kc x tasks tiny files, which at the
+      // 100x sweep made cell-read overhead dominate the serve (x71.7).
       corpusTokens(s, dir)
         .join(assigned.select(col("tid"), col("cluster")), col("h") === col("tid"))
         .select("cluster", "doc_id", "v0", "v1", "v2", "v3")
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "doc_id")
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cluster").parquet(s"$tmp/cells")
       cents.write.mode("overwrite").option("compression", "zstd")
@@ -577,7 +584,15 @@ object SimilarityQ {
     Q("retrieval_maxsim_ivf_persisted",
       (s, dir) => {
         val path = maxsimIndex(s, dir)
+        // The compacted index is one file per cell — correct for I/O, but a
+        // raw scan then feeds the |q_tokens|x|cell| stage-1 pair compute at
+        // file-count parallelism (kc tasks). The explicit repartition is the
+        // corpusTokens single-file-scan discipline: a ~cells-sized shuffle
+        // (trivial next to the pair compute) that restores full-width
+        // parallelism. DPP on the probed cells still reaches the scan — the
+        // pruning subquery sits below this exchange (verified in the plan).
         val cells = s.read.parquet(s"$path/cells")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         val cents = s.read.parquet(s"$path/cents")
         maxsimServe(cells, cents, corpusTokens(s, dir), queryTokens(s, dir))
       },
