@@ -297,6 +297,30 @@ object Bench {
     maxsimSweep.foreach { case (pt, ov, secs) =>
       println(f"BENCH_DETAIL maxsim_sweep:$pt overlap=$ov%.3f serve_s=$secs%.2f")
     }
+    // SEGMENT-COUNT SWEEP (round 12): serve cost of the multi-segment BM25
+    // impact serve at nseg ∈ 0..3 on the SHIPPED serve code — the
+    // lifecycle claim ("segment-union serving is flat in segment count at
+    // fixed per-segment size") as a measurement instead of prose. Warm
+    // median of 2 (single-shot first-touch reads the segment dirs cold).
+    val bm25SegSweep: Seq[(Int, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        for (nseg <- Seq(0, 1, 2, 3)) yield {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            graft.queries.CorpusQ.bm25MultisegServeAt(spark, sfDir, nseg).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (nseg, ts.min)
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] bm25 segment sweep failed: ${e.getMessage}")
+          Seq.empty
+      }
+    bm25SegSweep.foreach { case (nseg, secs) =>
+      println(f"BENCH_DETAIL bm25_seg_sweep:nseg$nseg serve_s=$secs%.2f")
+    }
     val recallAll = recall ++
       maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq ++
       bm25StaleOverlap.map("bm25_append_overlap" -> _).toSeq
@@ -430,13 +454,29 @@ object Bench {
     sys.env.get("SPARK_GRAFT_WRITE_PLAN_BASELINE").foreach { p =>
       val plFp = pipelineTimes
         .map { case (k, _) => s"pipeline:$k" -> graft.engine.PlanGate.Fp(0, 0) }
+      val meds = (gateTimes ++ pipelineGateTimes).map {
+        case (k, (med, _)) => k -> med
+      }
+      // Dual-median epoch carry (round 12): re-authoring must not let an
+      // interference plateau widen the time allowance — rows measuring
+      // far above the previous baseline's tightest epoch keep that clean
+      // median as "cmed" (and the gate takes the min); rows back in family
+      // auto-restore to a single epoch. See PlanGate.carryCleanMedians.
+      val prev = try {
+        val bp = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_BASELINE", "PLAN_BASELINE.json"))
+        if (java.nio.file.Files.exists(bp))
+          graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(bp))
+        else Map.empty[String, graft.engine.PlanGate.Base]
+      } catch { case _: Throwable =>
+        Map.empty[String, graft.engine.PlanGate.Base]
+      }
+      val cmeds = graft.engine.PlanGate.carryCleanMedians(prev, meds)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        graft.engine.PlanGate.render(fpNums.toMap ++ plFp,
-          (gateTimes ++ pipelineGateTimes).map {
-            case (k, (med, _)) => k -> med
-          }))
+        graft.engine.PlanGate.render(fpNums.toMap ++ plFp, meds, cmeds))
       println(s"[bench] wrote plan baseline $p " +
-        s"(${fpNums.size} query + ${plFp.size} pipeline rows)")
+        s"(${fpNums.size} query + ${plFp.size} pipeline rows; " +
+        s"${cmeds.size} clean-epoch carry: ${cmeds.keys.toSeq.sorted.mkString(",")})")
     }
     val gateViolations: Seq[String] =
       if (only.nonEmpty) Seq.empty

@@ -123,6 +123,7 @@ object ScaleSweep {
     // two ≤50-row rank lists) is likewise linear.
     "text_bm25_impact_topk", "retrieval_hybrid_served",
     "text_bm25_impact_append", "text_bm25_impact_compacted",
+    "text_bm25_impact_multiseg", "text_bm25_impact_multiseg_compacted",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -178,6 +179,7 @@ object ScaleSweep {
     "stream_mv_refresh_partitioned",
     "stats_percentiles_grouped", "text_bm25_topk", "text_bm25_impact_topk",
     "text_bm25_impact_append", "text_bm25_impact_compacted",
+    "text_bm25_impact_multiseg", "text_bm25_impact_multiseg_compacted",
     "retrieval_hybrid_served",
     "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
@@ -212,7 +214,8 @@ object ScaleSweep {
     // write, and one posting-table pass with a per-term rank window
     // (bm25) — all linear in corpus tokens.
     "maxsim_token_ivf", "maxsim_ivf_index", "bm25_impact_index",
-    "bm25_impact_delta", "bm25_impact_compact")
+    "bm25_impact_delta", "bm25_impact_compact",
+    "bm25_impact_segments", "bm25_multiseg_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -53,12 +53,36 @@ object PlanGate {
   final case class Fp(hashExchanges: Int, cachedBroadcasts: Int)
 
   /** Committed clean-box baseline row: fingerprint + warm median seconds
-    * (med < 0 = no time baseline, e.g. a hand-edited row). */
-  final case class Base(fp: Fp, medianS: Double)
+    * (med < 0 = no time baseline, e.g. a hand-edited row).
+    *
+    * `cleanMedianS` (round 12, optional "cmed") is the DUAL-MEDIAN
+    * interference defense: round 11 re-authored the baseline while two rows
+    * sat on a host-interference plateau (×2-3 their clean cost), so the
+    * committed `med` carried the inflated numbers and a real CODE
+    * regression landing inside that allowance would have been invisible.
+    * When a re-author measures a row >[[EpochFamilyFactor]]× its last
+    * known clean cost, the clean value rides along as `cmed` and the time
+    * rule gates on min(med, cmed) — the inflated epoch can never widen the
+    * allowance. The first re-author that measures back in family drops the
+    * field ([[carryCleanMedians]]). A DELIBERATE slowdown (algorithm
+    * change) is the one case that must hand-remove the row's cmed — the
+    * hardened parse makes a bad edit loud. */
+  final case class Base(fp: Fp, medianS: Double, cleanMedianS: Double = -1.0) {
+    /** The median the time rule gates on: the tightest epoch we know. */
+    def gateMedianS: Double =
+      if (cleanMedianS >= 0 && medianS >= 0) math.min(medianS, cleanMedianS)
+      else if (medianS >= 0) medianS
+      else cleanMedianS
+  }
 
   val TimeRegressionFactor = 2.0
   val TimeSpreadCeiling = 0.5
   val TimeFloorS = 0.3
+  /** A re-authored median beyond this factor of the last known clean epoch
+    * is treated as environment-elevated: the clean median is carried as
+    * "cmed" instead of being forgotten. Below it, the row is back in family
+    * and the current measurement becomes the (only) epoch. */
+  val EpochFamilyFactor = 1.3
 
   // Designed-exchange declarations live ON the row definitions
   // (`graft.queries.Q.designHx`, assembled by `Q.designHxMap`) — a
@@ -69,7 +93,8 @@ object PlanGate {
 
   private val Row =
     ("\"([A-Za-z0-9_:]+)\"\\s*:\\s*\\{\\s*\"hx\"\\s*:\\s*(\\d+)\\s*,\\s*" +
-      "\"cb\"\\s*:\\s*(\\d+)\\s*(?:,\\s*\"med\"\\s*:\\s*([0-9.eE+-]+)\\s*)?\\}").r
+      "\"cb\"\\s*:\\s*(\\d+)\\s*(?:,\\s*\"med\"\\s*:\\s*([0-9.eE+-]+)\\s*)?" +
+      "(?:,\\s*\"cmed\"\\s*:\\s*([0-9.eE+-]+)\\s*)?\\}").r
 
   /** Parse a baseline JSON of shape {"query":{"hx":N,"cb":N,"med":X},...}
     * ("med" optional — pre-round-10 baselines parse with no time channel).
@@ -85,7 +110,8 @@ object PlanGate {
   def parseBaseline(json: String): Map[String, Base] = {
     val rows = Row.findAllMatchIn(json).map { m =>
       m.group(1) -> Base(Fp(m.group(2).toInt, m.group(3).toInt),
-        Option(m.group(4)).flatMap(_.toDoubleOption).getOrElse(-1.0))
+        Option(m.group(4)).flatMap(_.toDoubleOption).getOrElse(-1.0),
+        Option(m.group(5)).flatMap(_.toDoubleOption).getOrElse(-1.0))
     }.toMap
     val expected = "\"hx\"".r.findAllMatchIn(json).size
     require(rows.size == expected,
@@ -95,14 +121,35 @@ object PlanGate {
   }
 
   /** Render current fingerprints + warm medians as baseline JSON (sorted,
-    * stable). Rows with no timing (e.g. failed) get no "med" field. */
+    * stable). Rows with no timing (e.g. failed) get no "med" field; rows
+    * with a carried clean epoch get a "cmed" field after it. */
   def render(current: Map[String, Fp],
-      medians: Map[String, Double] = Map.empty): String =
+      medians: Map[String, Double] = Map.empty,
+      cleanMedians: Map[String, Double] = Map.empty): String =
     current.toSeq.sortBy(_._1).map { case (name, fp) =>
       val med = medians.get(name).filter(_ >= 0)
         .map(m => s""","med":${math.round(m * 1000.0) / 1000.0}""").getOrElse("")
-      s""""$name":{"hx":${fp.hashExchanges},"cb":${fp.cachedBroadcasts}$med}"""
+      val cmed = cleanMedians.get(name).filter(_ >= 0)
+        .map(m => s""","cmed":${math.round(m * 1000.0) / 1000.0}""").getOrElse("")
+      s""""$name":{"hx":${fp.hashExchanges},"cb":${fp.cachedBroadcasts}$med$cmed}"""
     }.mkString("{\n", ",\n", "\n}")
+
+  /** Epoch carry for baseline re-authoring: for each row whose fresh median
+    * sits more than [[EpochFamilyFactor]]× above the previous baseline's
+    * tightest known epoch (min of its med/cmed), keep that clean epoch as
+    * the row's "cmed". A row measured back in family carries nothing — the
+    * fresh median IS the epoch (the auto-restore the round-11 verdict
+    * asked for). */
+  def carryCleanMedians(prev: Map[String, Base],
+      medians: Map[String, Double]): Map[String, Double] =
+    medians.flatMap { case (name, m) =>
+      prev.get(name).flatMap { b =>
+        val clean = b.gateMedianS
+        if (clean >= 0 && m >= 0 && m > EpochFamilyFactor * clean)
+          Some(name -> clean)
+        else None
+      }
+    }
 
   /** The gate: violation messages for `current` vs `baseline` (empty =
     * clean).
@@ -147,10 +194,13 @@ object PlanGate {
     val timeRegressions = times.toSeq.sortBy(_._1).flatMap {
       case (name, (med, spread)) =>
         baseline.get(name).collect {
-          case b if b.medianS >= TimeFloorS && med > 0 &&
+          case b if b.gateMedianS >= TimeFloorS && med > 0 &&
               spread <= TimeSpreadCeiling &&
-              med > TimeRegressionFactor * b.medianS =>
-            f"$name: warm median ${med}%.2f s vs baseline ${b.medianS}%.2f s" +
+              med > TimeRegressionFactor * b.gateMedianS =>
+            val epoch = if (b.cleanMedianS >= 0 && b.cleanMedianS < b.medianS)
+              f" (clean epoch ${b.cleanMedianS}%.2f s vs carried ${b.medianS}%.2f s)"
+            else ""
+            f"$name: warm median ${med}%.2f s vs baseline ${b.gateMedianS}%.2f s$epoch" +
               f" (>${TimeRegressionFactor}%.1fx at warm spread ${spread}%.2f" +
               " — a pure-time regression the fingerprint diff cannot see)"
         }

@@ -682,10 +682,48 @@ object Corpus {
   def bm25ImpactTopKAppended(spark: org.apache.spark.sql.SparkSession,
       basePath: String, deltaPath: String, terms: Seq[String], k: Int,
       buckets: Int): DataFrame =
+    bm25ImpactTopKMultiseg(spark, basePath, Seq(deltaPath), terms, k, buckets)
+
+  /** Serve base ∪ N delta segments — the general form of
+    * [[bm25ImpactTopKAppended]] (its N = 1 case delegates here): per-term
+    * impact prefixes are read from EVERY segment (iranks are segment-local;
+    * θ from ANY seed set is a valid k-th-best lower bound, so the safety
+    * proof is segment-count-independent) and the survivor threshold scans
+    * every segment's impact-ordered postings. All segments must carry
+    * pairwise-disjoint doc_id sets (the append precondition above). Serve
+    * cost is flat in segment count at fixed total size: each segment
+    * contributes the same bucket-pruned prefix + threshold reads the single
+    * index pays, just split across directories — measured by the bench's
+    * bm25_seg_sweep section. */
+  def bm25ImpactTopKMultiseg(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, segPaths: Seq[String], terms: Seq[String], k: Int,
+      buckets: Int): DataFrame =
     bm25ImpactTopKFrom(
-      spark.read.parquet(s"$basePath/postings")
-        .unionByName(spark.read.parquet(s"$deltaPath/postings")),
+      (basePath +: segPaths).map(p => spark.read.parquet(s"$p/postings"))
+        .reduce(_.unionByName(_)),
       terms, k, buckets)
+
+  /** Size-tiered compaction decision (the Lucene merge-policy shape) over
+    * postings COUNTS — the deterministic, engine-portable proxy for segment
+    * bytes (postings rows × a fixed row width): fire when the accumulated
+    * segments exceed `ratioPct`/100 of the base segment. Returns ONE row
+    * (n_base, n_segs, n_segments, should_compact) computed from the
+    * persisted indexes' Parquet metadata (a count() per path — no data
+    * columns are read). The decision is consumed driver-side at BUILD time
+    * (a 1-row pull, the merge-policy analog) — never in a serve path. */
+  def bm25CompactionTrigger(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, segPaths: Seq[String], ratioPct: Int): DataFrame = {
+    def n(p: String) =
+      spark.read.parquet(s"$p/postings").groupBy().agg(count(lit(1)).as("n"))
+    val segs = segPaths.map(n).reduce(_.unionByName(_))
+      .agg(sum(col("n")).as("n_segs"))
+    n(basePath).select(col("n").as("n_base"))
+      .crossJoin(broadcast(segs))
+      .select(col("n_base"), col("n_segs"),
+        lit(segPaths.size).as("n_segments"),
+        (col("n_segs") * lit(100L) > col("n_base") * lit(ratioPct.toLong))
+          .as("should_compact"))
+  }
 
   private def bm25ImpactTopKFrom(postings: DataFrame, terms: Seq[String],
       k: Int, buckets: Int): DataFrame = {

@@ -90,13 +90,116 @@ object CorpusQ {
       tmp
     }
 
+  /** N-SEGMENT lifecycle (round 12): a real ingest accumulates SEVERAL
+    * delta segments between compactions — the single-delta append above is
+    * the N = 1 case. Three batches (doc_id mod 10 ∈ {5, 7, 9}, ids offset
+    * by mod·1e15 so every segment is disjoint from base AND from each
+    * other), each written under the base index's FROZEN statistics. */
+  private[queries] val Bm25SegMods = Seq(5, 7, 9)
+
+  private def bm25SegDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+      mod: Int) =
+    Catalog.load(s, dir, "documents").filter(col("doc_id") % 10 === mod)
+      .select((col("doc_id") + mod * 1000000000000000L).as("doc_id"),
+        col("text"))
+
+  private val bm25SegsCache = new SessionCache[Seq[String]](_ => ())
+
+  private def bm25Segs(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    bm25SegsCache.getOrElseUpdate(s, dir) {
+      Bm25SegMods.map { m =>
+        val tmp = graft.engine.TempDirs.create(s"graft_bm25seg$m")
+        Corpus.writeBm25Delta(s, bm25SegDocs(s, dir, m), "text",
+          bm25Index(s, dir), tmp, Bm25Buckets)
+        tmp
+      }
+    }
+
+  /** TIERED compaction of the multi-segment index: rebuild over base ∪ all
+    * segments with refreshed statistics, gated by the size-tiered trigger
+    * ([[graft.ops.Corpus.bm25CompactionTrigger]], ratio 25%) — the Lucene
+    * merge-policy shape. The trigger read is a 1-row build-time pull (the
+    * merge policy IS a driver decision); on this corpus the three ~10%
+    * segments total ~30% of base, so the policy fires at every SF. */
+  private val bm25MultiCompactCache = new SessionCache[String](_ => ())
+
+  private def bm25MultisegCompacted(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bm25MultiCompactCache.getOrElseUpdate(s, dir) {
+      val fire = Corpus.bm25CompactionTrigger(s, bm25Index(s, dir),
+        bm25Segs(s, dir), ratioPct = 25).head.getBoolean(3)
+      require(fire,
+        "tiered trigger did not fire — segments too small to compact")
+      val tmp = graft.engine.TempDirs.create("graft_bm25multicompact")
+      Corpus.writeBm25ImpactIndex(
+        Bm25SegMods.map(bm25SegDocs(s, dir, _))
+          .foldLeft(Catalog.load(s, dir, "documents")
+            .select(col("doc_id"), col("text")))(_.unionByName(_)),
+        "text", tmp, Bm25Buckets)
+      tmp
+    }
+
+  /** Generated oracle for the N-segment lifecycle serves: the exact BM25
+    * top-20 over base ∪ all [[Bm25SegMods]] segments, with statistics
+    * FROZEN to the base (frozen = true — the ranking the segment writes
+    * store) or REFRESHED over the union (frozen = false — what the tiered
+    * compaction rebuilds). Frozen stats fall out of one filter: segment ids
+    * carry a ≥1e15 offset, so `doc_id < 1e15` selects exactly the base. */
+  private def bm25MultisegOracle(frozen: Boolean): String = {
+    val dds = Bm25SegMods.map(m =>
+      s"""dd$m AS (SELECT doc_id + ${m}000000000000000 AS doc_id,
+         |            string_split(text, ' ') AS w
+         |       FROM documents WHERE doc_id % 10 = $m)""".stripMargin)
+    val union = (Seq("SELECT * FROM db") ++
+      Bm25SegMods.map(m => s"SELECT * FROM dd$m")).mkString(" UNION ALL ")
+    val statsWhere =
+      if (frozen) "WHERE doc_id < 1000000000000000 " else ""
+    s"""WITH db AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |${dds.mkString(",\n")},
+       |du AS ($union),
+       |tf AS (SELECT doc_id, len(w) AS dl,
+       |         CAST(len(list_filter(w, t -> t = 'spark')) AS BIGINT) AS tf1,
+       |         CAST(len(list_filter(w, t -> t = 'vector')) AS BIGINT) AS tf2,
+       |         CAST(len(list_filter(w, t -> t = 'customer')) AS BIGINT) AS tf3
+       |       FROM du),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+       |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+       |       FROM tf $statsWhere),
+       |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+       |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |         n_docs, df1, df2, df3
+       |       FROM tf, st)
+       |SELECT doc_id, dl,
+       |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+       |  ${bm25Term("tf3", "df3")} AS score
+       |FROM sc
+       |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+       |      ${bm25Term("tf3", "df3")} > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** Bench hook: the multi-segment serve at a PREFIX of the segment list —
+    * the shipped serve code at nseg ∈ 0..3, for the bm25_seg_sweep section
+    * (serve cost must stay flat in segment count). */
+  private[graft] def bm25MultisegServeAt(s: org.apache.spark.sql.SparkSession,
+      dir: String, nseg: Int): org.apache.spark.sql.DataFrame =
+    Corpus.bm25ImpactTopKMultiseg(s, bm25Index(s, dir),
+        bm25Segs(s, dir).take(nseg), Seq("spark", "vector", "customer"),
+        k = 20, Bm25Buckets)
+      .orderBy(col("score").desc, col("doc_id").asc)
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "bpe_model" -> ((s, d) => { bpeModel(s, d); () }),
       "bm25_impact_index" -> ((s, d) => { bm25Index(s, d); () }),
       "bm25_impact_delta" -> ((s, d) => { bm25Delta(s, d); () }),
-      "bm25_impact_compact" -> ((s, d) => { bm25Compacted(s, d); () }))
+      "bm25_impact_compact" -> ((s, d) => { bm25Compacted(s, d); () }),
+      "bm25_impact_segments" -> ((s, d) => { bm25Segs(s, d); () }),
+      "bm25_multiseg_compact" -> ((s, d) => { bm25MultisegCompacted(s, d); () }))
 
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
@@ -895,6 +998,52 @@ object CorpusQ {
               |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
               |      ${bm25Term("tf3", "df3")} > 0
               |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // N-SEGMENT lexical serve (round 12): base ∪ THREE frozen-stats delta
+    // segments — the accumulation state a real ingest reaches between
+    // compactions, which the single-delta append row cannot exercise. The
+    // θ-prune safety proof is segment-count-independent (any seed set gives
+    // a valid lower bound), so the serve stays provably exact FOR THE
+    // IMPACTS AS STORED and the oracle replays the frozen-stats ranking
+    // over base ∪ all segments. Serve-cost-vs-segment-count is measured by
+    // the bench's bm25_seg_sweep (flat by design: same bucket-pruned
+    // prefix + threshold reads, split across segment directories).
+    Q("text_bm25_impact_multiseg",
+      (s, dir) => bm25MultisegServeAt(s, dir, Bm25SegMods.size),
+      Some(bm25MultisegOracle(frozen = true))),
+
+    // The TIERED COMPACTION DECISION as a data row — Lucene's merge policy
+    // restated set-oriented: fire when accumulated segment postings exceed
+    // 25% of the base (counts are the engine-portable proxy for bytes;
+    // integer cross-multiply, no float compare). Spark counts the PERSISTED
+    // indexes' postings (Parquet metadata count); the oracle re-derives
+    // both counts from the corpus — green means the persisted segments
+    // contain exactly the postings the corpus implies, row for row.
+    Q("text_bm25_multiseg_compact_trigger",
+      (s, dir) =>
+        Corpus.bm25CompactionTrigger(s, bm25Index(s, dir), bm25Segs(s, dir),
+          ratioPct = 25),
+      Some("""WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |           FROM documents),
+             |nb AS (SELECT COUNT(*) AS n_base
+             |       FROM (SELECT DISTINCT doc_id, t FROM p)),
+             |ns AS (SELECT COUNT(*) AS n_segs
+             |       FROM (SELECT DISTINCT doc_id, t FROM p
+             |             WHERE doc_id % 10 IN (5, 7, 9)))
+             |SELECT n_base, n_segs, 3 AS n_segments,
+             |       n_segs * 100 > n_base * 25 AS should_compact
+             |FROM nb, ns""".stripMargin)),
+
+    // What the fired trigger produces: the multi-segment COMPACTION —
+    // a rebuild over base ∪ all three segments with refreshed statistics
+    // (pipeline:bm25_multiseg_compact). Oracle = the exact BM25 SQL with
+    // stats over the full union.
+    Q("text_bm25_impact_multiseg_compacted",
+      (s, dir) =>
+        Corpus.bm25ImpactTopK(s, bm25MultisegCompacted(s, dir),
+            Seq("spark", "vector", "customer"), k = 20, Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(bm25MultisegOracle(frozen = false))),
 
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
     // vector (cosine vs probe 0's embedding) top-50 lists for one query —

@@ -302,4 +302,53 @@ class CorpusSpec extends SparkSpec {
     assert(compacted.head._1 === 1L && comp(1L) > comp(10L), compacted)
     assert(comp(10L) < app(10L), (appended, compacted))
   }
+
+  test("bm25 multi-segment serve is segment-split invariant, and the " +
+      "tiered trigger fires on the postings ratio") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "spark filler filler"),
+      (1L, "vector filler"),
+      (2L, "filler filler filler filler"),
+      (3L, "spark vector filler")
+    ).toDF("doc_id", "text")
+    val d1 = Seq((10L, "spark aa"), (11L, "vector bb")).toDF("doc_id", "text")
+    val d2 = Seq((20L, "spark vector cc")).toDF("doc_id", "text")
+    val basePath = graft.engine.TempDirs.create("graft_bmms_base")
+    val p1 = graft.engine.TempDirs.create("graft_bmms_s1")
+    val p2 = graft.engine.TempDirs.create("graft_bmms_s2")
+    val pUnion = graft.engine.TempDirs.create("graft_bmms_union")
+    Corpus.writeBm25ImpactIndex(base, "text", basePath, buckets = 4)
+    Corpus.writeBm25Delta(spark, d1, "text", basePath, p1, buckets = 4)
+    Corpus.writeBm25Delta(spark, d2, "text", basePath, p2, buckets = 4)
+    // The same delta rows written as ONE segment under the same frozen
+    // stats: how the N-segment state relates to the single-append state.
+    Corpus.writeBm25Delta(spark, d1.unionByName(d2), "text", basePath,
+      pUnion, buckets = 4)
+    val terms = Seq("spark", "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("score").desc, col("doc_id").asc).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    for (k <- Seq(1, 2, 10)) {
+      // Segment-split invariance: serving base ∪ {s1, s2} must BIT-equal
+      // serving base ∪ (s1 ∪ s2) — how the postings were sliced into
+      // segments (and their segment-LOCAL iranks) must not leak into the
+      // ranking. This is the N-generalization of the θ-prune safety proof.
+      assert(
+        rows(Corpus.bm25ImpactTopKMultiseg(spark, basePath, Seq(p1, p2),
+          terms, k, buckets = 4)) ===
+        rows(Corpus.bm25ImpactTopKAppended(spark, basePath, pUnion,
+          terms, k, buckets = 4)), s"k=$k")
+    }
+    // Tiered trigger: 3 segment postings (2+2+3=7? count exact below) vs
+    // base postings — fires at a low ratio, holds at a high one. Counts
+    // are distinct (doc, term) pairs: base = 8, segments = 7.
+    def trig(pct: Int) =
+      Corpus.bm25CompactionTrigger(spark, basePath, Seq(p1, p2), pct)
+        .head
+    val t = trig(25)
+    assert(t.getLong(0) === 8L && t.getLong(1) === 7L, t)
+    assert(t.getBoolean(3))          // 700 > 200: compact
+    assert(!trig(90).getBoolean(3))  // 700 > 720 is false: hold
+  }
 }

@@ -173,6 +173,67 @@ class PlanGateSpec extends AnyFunSuite {
       times = Map("pipeline:ivf_pq_promoted" -> (40.0, 0.0))).isEmpty)
   }
 
+  test("dual-median time channel: gate takes min(med, cmed) — an inflated " +
+      "interference epoch cannot widen the allowance (red test)") {
+    // The round-11 scenario: baseline re-authored during a host
+    // interference plateau carries med 3.12 while the clean epoch was
+    // 0.95. A synthetic 2x CODE slowdown over clean (2.1 s) sits INSIDE
+    // the inflated allowance — the single-median gate was blind to it.
+    val b = baseline.updated("plain_query", Base(Fp(5, 0), 3.12, 0.95))
+    val v = gate(baselineFp, b, times = Map("plain_query" -> (2.1, 0.1)))
+    assert(v.size === 1 && v.head.contains("clean epoch 0.95"), v)
+    // Below 2x of the CLEAN epoch: passes.
+    assert(gate(baselineFp, b, times = Map("plain_query" -> (1.8, 0.1))).isEmpty)
+    // cmed larger than med (stale hand edit) never loosens: min still rules.
+    val b2 = baseline.updated("plain_query", Base(Fp(5, 0), 1.0, 5.0))
+    assert(gate(baselineFp, b2, times = Map("plain_query" -> (2.5, 0.1))).size === 1)
+  }
+
+  test("the COMMITTED baseline fires on a 2x-of-clean slowdown for the " +
+      "env-elevated rows (round-12 verdict done-criterion)") {
+    // Reads the real PLAN_BASELINE.json: dedup_ngram_jaccard_exact and
+    // retrieval_maxsim_topk carry inflated meds from the round-11
+    // interference plateau; their cmed seeds must make a 2.05x-of-clean
+    // measurement fire even though it is far below the carried med.
+    val base = PlanGate.parseBaseline(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("PLAN_BASELINE.json")))
+    for ((row, clean) <- Seq("dedup_ngram_jaccard_exact" -> 0.951,
+                             "retrieval_maxsim_topk" -> 2.509)) {
+      assert(base(row).cleanMedianS === clean, row)
+      assert(2.05 * clean < base(row).medianS, s"$row: test vacuous")
+      val v = PlanGate.violations(Map.empty, base,
+        times = Map(row -> (2.05 * clean, 0.1)))
+      assert(v.size === 1 && v.head.startsWith(s"$row:"), v)
+    }
+  }
+
+  test("epoch carry on re-author: elevated rows keep the clean median, " +
+      "in-family rows auto-restore, carried epochs propagate") {
+    val prev = Map(
+      "elevated" -> Base(Fp(1, 0), 0.95),        // clean epoch, about to inflate
+      "carried"  -> Base(Fp(1, 0), 3.1, 0.95),   // already carrying
+      "flat"     -> Base(Fp(1, 0), 1.0))
+    val fresh = Map(
+      "elevated" -> 3.0,  // > 1.3x of 0.95 -> carry 0.95
+      "carried"  -> 2.8,  // still > 1.3x of min(3.1, 0.95) -> keep carrying 0.95
+      "flat"     -> 1.1,  // in family -> no cmed
+      "new_row"  -> 5.0)  // no prior epoch -> nothing to carry
+    assert(PlanGate.carryCleanMedians(prev, fresh) ===
+      Map("elevated" -> 0.95, "carried" -> 0.95))
+    // Auto-restore: the carried row re-measures in family -> cmed dropped.
+    assert(PlanGate.carryCleanMedians(prev, Map("carried" -> 1.0)) === Map.empty)
+  }
+
+  test("baseline render/parse round-trips cmed rows") {
+    val fp = Map("q" -> Fp(2, 1))
+    val rendered = PlanGate.render(fp, Map("q" -> 3.061), Map("q" -> 1.181))
+    assert(PlanGate.parseBaseline(rendered) ===
+      Map("q" -> Base(Fp(2, 1), 3.061, 1.181)))
+    // cmed-less rows are unchanged by the widened regex.
+    assert(PlanGate.parseBaseline(PlanGate.render(fp, Map("q" -> 3.061))) ===
+      Map("q" -> Base(Fp(2, 1), 3.061)))
+  }
+
   test("baseline render/parse round-trips, with and without medians") {
     val meds = baselineFp.keys.map(_ -> 1.0).toMap
     val parsed = PlanGate.parseBaseline(PlanGate.render(baselineFp, meds))
