@@ -28,6 +28,48 @@ object MultimodalQ {
               |  ${polyHashDuck("text")} AS checksum
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL PNG round trip (round 12): the deterministic text-byte raster is
+    // encoded through the JDK's actual PNG writer (zlib deflate + filters)
+    // and decoded back with ImageIO — and because PNG is LOSSLESS, the
+    // decoded-raster checksum is an exact function of the text, so the
+    // oracle replays dims + checksum with string arithmetic, exactly like
+    // the PPM row but through a real compressed codec. A stride, filter,
+    // or color-order bug anywhere in the round trip breaks the hash.
+    Q("mm_decode_png",
+      (s, dir) =>
+        Multimodal.decodePngMeta(
+            Multimodal.withPngPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |                  CAST(length(text) AS BIGINT) AS len,
+              |                  4 + length(text) % 9 AS w,
+              |                  4 + unicode(substr(text, 1, 1)) % 7 AS h
+              |           FROM documents)
+              |SELECT doc_id,
+              |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              |  CAST(3 AS INTEGER) AS channels,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(range(0, CAST(w*h*3 AS BIGINT)), k ->
+              |      CAST(unicode(substr(text, CAST(k % len AS INT) + 1, 1)) AS BIGINT))),
+              |    (a, v) -> (a*31 + v) % $P) AS checksum
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // REAL JPEG decode (round 12): a smooth gradient raster encoded through
+    // the JDK's DCT JPEG writer, decoded with ImageIO. Dims and channels
+    // survive lossy coding and are oracle-checked; decoded PIXELS are
+    // codec-defined, so pixel fidelity (determinism + mean-error bound) is
+    // pinned in MultimodalSpec instead of a cross-engine hash.
+    Q("mm_decode_jpeg",
+      (s, dir) =>
+        Multimodal.decodeJpegMeta(
+            Multimodal.withJpegPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(8 + length(text) % 9 AS INTEGER) AS width,
+             |  CAST(8 + unicode(substr(text, 1, 1)) % 7 AS INTEGER) AS height,
+             |  CAST(3 AS INTEGER) AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL 2:1 audio decimation over the parsed PCM — the audio analog of
     // the image resize: header re-parse, every second sample kept, rate
     // halved. Data bytes are the text chars, so the oracle keeps the odd
