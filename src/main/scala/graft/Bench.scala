@@ -278,16 +278,29 @@ object Bench {
         val truth = selected("retrieval_maxsim_topk")(spark, sfDir)
           .select("q_doc", "doc_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        for ((np, t) <- Seq((1, 5), (1, 20), (2, 5), (2, 20), (4, 40))) yield {
+        // (nprobe, T) knob points at the pinned kc = 8, plus a kc AXIS at
+        // the pinned (2, 20): §9 claims kc scales with the vocabulary to
+        // hold candidate share constant — these points show quality holds
+        // (overlap vs exact) as cells shrink; the 10x sweep carries the
+        // serve-cost side (maxsim_serve_kc rows in SCALESWEEP).
+        val knobPts = Seq((1, 5), (1, 20), (2, 5), (2, 20), (4, 40)).map {
+          case (np, t) =>
+            (s"np${np}_t$t",
+              () => graft.queries.SimilarityQ.maxsimIvfServeAt(spark, sfDir, np, t))
+        }
+        val kcPts = Seq(16, 32).map { kc =>
+          (s"np2_t20_kc$kc",
+            () => graft.queries.SimilarityQ.maxsimServeAtKc(spark, sfDir, kc))
+        }
+        for ((label, serve) <- knobPts ++ kcPts) yield {
           val t0 = System.nanoTime()
-          val got = graft.queries.SimilarityQ
-            .maxsimIvfServeAt(spark, sfDir, np, t)
+          val got = serve()
             .select("q_doc", "doc_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           val secs = (System.nanoTime() - t0) / 1e9
           val ov = if (truth.isEmpty) 0.0
                    else truth.count(got).toDouble / truth.size
-          (s"np${np}_t$t", ov, secs)
+          (label, ov, secs)
         }
       } catch {
         case e: Throwable =>
@@ -320,6 +333,56 @@ object Bench {
       }
     bm25SegSweep.foreach { case (nseg, secs) =>
       println(f"BENCH_DETAIL bm25_seg_sweep:nseg$nseg serve_s=$secs%.2f")
+    }
+    // PROBE-AXIS SWEEP (round 12): serve cost vs WORKLOAD size at fixed
+    // corpus for the three persisted serves — the axis the scale sweeps
+    // hold fixed (they pin probes and grow the corpus; this holds the
+    // corpus and grows the probes). Expected shape: strongly sub-linear in
+    // |Q| (batch amortization — one plan, one index read fans out across
+    // queries) flattening toward linear at large |Q| where per-query work
+    // dominates. Probe counts come from the corpus via a modulus (dense /
+    // maxsim) or a generated workload table (bm25 batch); warm min-of-2.
+    val probeSweep: Seq[(String, Int, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        val nDocs = graft.engine.Catalog.load(spark, sfDir, "documents")
+          .count().toInt
+        val nVecs = graft.engine.Catalog.load(spark, sfDir, "embeddings")
+          .count().toInt
+        def pts(total: Int) =
+          Seq(10, 100, 1000).map(n => math.max(1, total / n) -> n)
+        def t2(f: => Unit): Double = {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          ts.min
+        }
+        val dense = pts(nVecs).map { case (mod, n) =>
+          ("ivf_dense", n,
+            t2(graft.queries.TrainQ.kmeansServeAtProbes(spark, sfDir, mod).count()))
+        }
+        // The late-interaction probe unit is a DOCUMENT (~100 token
+        // queries each), so q1000 would be ~100k token-queries — an order
+        // of magnitude past the other families' q1000 work. The per-probe
+        // flatness claim is carried by the q10 -> q100 pair; the q1000
+        // point rides the families whose probe is one query.
+        val maxsim = pts(nDocs).take(2).map { case (mod, n) =>
+          ("maxsim_ivf", n,
+            t2(graft.queries.SimilarityQ
+              .maxsimPersistedServeAtProbes(spark, sfDir, mod).count()))
+        }
+        val bm25 = Seq(10, 100, 1000).map { n =>
+          ("bm25_impact", n,
+            t2(graft.queries.CorpusQ.bm25BatchServeAt(spark, sfDir, n).count()))
+        }
+        dense ++ maxsim ++ bm25
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] probe sweep failed: ${e.getMessage}")
+          Seq.empty
+      }
+    probeSweep.foreach { case (fam, n, secs) =>
+      println(f"BENCH_DETAIL probe_sweep:$fam:q$n serve_s=$secs%.2f")
     }
     val recallAll = recall ++
       maxsimOverlap.map("maxsim_ivf_overlap" -> _).toSeq ++
@@ -554,6 +617,12 @@ object Bench {
       val msw = maxsimSweep.map { case (pt, ov, secs) =>
           s""""$pt":{"overlap":${r3(ov)},"serve_s":${r3(secs)}}"""
         }.mkString("{", ",", "}")
+      val segSw = bm25SegSweep.map { case (nseg, secs) =>
+          s""""nseg$nseg":${r3(secs)}"""
+        }.mkString("{", ",", "}")
+      val prbSw = probeSweep.map { case (fam, n, secs) =>
+          s""""$fam:q$n":${r3(secs)}"""
+        }.mkString("{", ",", "}")
       def jq(s: String): String =
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = allViolations.map(jq).mkString("[", ",", "]")
@@ -561,7 +630,7 @@ object Bench {
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
         .getOrElse("null")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"plan_gate_violations":$gate,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"bm25_seg_sweep":$segSw,"probe_sweep":$prbSw,"plan_gate_violations":$gate,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and

@@ -278,7 +278,22 @@ object ScaleSweep {
         SparkEntry.queries(name)(spark, dir).count()
         name -> (System.nanoTime() - t0) / 1e9
       }
-      pipelines ++ queries
+      // kc AXIS for the token-IVF serve (round 12, §9's sizing claim):
+      // clone replication grows the token STREAM 10x but not the
+      // vocabulary, so "kc scaled to hold cell size constant" reads here
+      // as: at Nx, cells hold Nx the occurrences at kc = 8 — does growing
+      // kc cut the stage-1 candidate share and the serve cost? Quality on
+      // the kc knob is carried at 1x by the bench maxsim_sweep (overlap vs
+      // exact truth); these rows carry the cost side at scale.
+      val kcRows =
+        if (!names.contains("retrieval_maxsim_ivf")) Seq.empty
+        else Seq(8, 32).map { kc =>
+          println(s"[sweep] running maxsim_serve_kc$kc @ $dir")
+          val t0 = System.nanoTime()
+          graft.queries.SimilarityQ.maxsimServeAtKc(spark, dir, kc).count()
+          s"maxsim_serve_kc$kc" -> (System.nanoTime() - t0) / 1e9
+        }
+      pipelines ++ queries ++ kcRows
     }
 
     // 1× first, then the replica — the SessionCache dir-eviction swaps the
@@ -300,7 +315,10 @@ object ScaleSweep {
     // before all N× so the SessionCache dir swap happens twice, not per
     // query; the median discards the rep that carries any lazy rebuild.
     val flaggedNames = ratios.filter(_._2 > 1.2 * factor).map(_._1)
-      .filterNot(_.startsWith("pipeline:"))
+      // Pipelines are single-shot builds; kc-axis rows are measurement
+      // hooks outside SparkEntry.queries — neither re-measures via median3.
+      .filterNot(n => n.startsWith("pipeline:") ||
+        !SparkEntry.queries.contains(n))
     // A flagged query that fails intermittently must NOT abort the sweep
     // after both scale runs already completed — fall back to the
     // single-shot ratio (None) and log the failure instead.

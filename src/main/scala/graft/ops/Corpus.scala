@@ -703,6 +703,82 @@ object Corpus {
         .reduce(_.unionByName(_)),
       terms, k, buckets)
 
+  /** BATCHED WAND-style serve — the workload axis, set-oriented: ONE job
+    * serves a whole query TABLE `queries(q_id, term)` against the impact
+    * index, the per-query θ-prune running data-parallel across queries
+    * (this is how "queries are embarrassingly parallel" cashes out as a
+    * plan instead of a driver loop). Differences from the single-query
+    * serve:
+    *   - the static bucket prune comes from ONE bounded driver pull — the
+    *     batch's distinct terms (workload-sized, like θ's 1-row broadcast);
+    *   - per-(q, doc) scores fold in TERM-SORTED order (both engines sort
+    *     the (term, impact) structs, so the IEEE sum order is deterministic
+    *     without per-query literal expressions);
+    *   - θ, and the per-query term count m_q, ride a |Q|-row broadcast.
+    * The prune-safety proof is per-query and unchanged. */
+  def bm25ImpactTopKBatched(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, buckets: Int): DataFrame = {
+    import graft.functions.Hashing.polyHashLocal
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col("q_id"), col("term"))
+    // Bounded driver pull: the workload's distinct terms (the query batch
+    // is an input the driver already holds — this never touches the corpus).
+    val terms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty && terms.forall(_.forall(_ < 128)),
+      "query terms must be ASCII (bucket hash is ascii-codepoint-based)")
+    val bkts = terms.map(t => (polyHashLocal(t) % buckets).toInt).distinct
+    val idx = spark.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    // Per-query postings: the bucket-pruned index joined to the broadcast
+    // workload — each posting row fans out only to the queries whose term
+    // it carries.
+    val qidx = idx.join(broadcast(qt), "term")
+    val sortedFold = expr(
+      "aggregate(transform(array_sort(collect_list(struct(term, impact))), " +
+        "p -> p.impact), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    def rescore(cands: DataFrame): DataFrame =
+      cands.join(qidx, Seq("q_id", "doc_id"))
+        .groupBy("q_id", "doc_id", "dl")
+        .agg(sortedFold.as("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val seeds = qidx.filter(col("irank") <= k)
+      .select("q_id", "doc_id").distinct()
+    val thetas = rescore(seeds)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("_n"), min(col("score")).as("_kth"))
+      .select(col("q_id"), when(col("_n") < k, lit(Double.MinValue))
+        .otherwise(col("_kth")).as("theta"))
+    val mq = qt.groupBy("q_id").agg(count(lit(1)).as("m"))
+    val survivors = qidx
+      .join(broadcast(thetas.join(mq, "q_id")), "q_id")
+      .filter(col("impact") >= col("theta") / col("m").cast("double"))
+      .select("q_id", "doc_id").distinct()
+    rescore(survivors)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "score")
+  }
+
+  /** Deterministic query workload for the batched serve: q_id i carries
+    * three distinct terms rotated through a fixed 12-term pool (the index
+    * arithmetic guarantees pairwise distinctness for every i) — trivially
+    * replayable in SQL, scalable to any |Q| for the probe-axis sweep. */
+  val Bm25QueryPool: Seq[String] = Seq(
+    "spark", "vector", "customer", "table", "scan", "query",
+    "window", "batch", "stream", "merge", "filter", "group")
+
+  def bm25QueryBatch(spark: org.apache.spark.sql.SparkSession,
+      nq: Int): DataFrame = {
+    import spark.implicits._
+    val p = Bm25QueryPool
+    (0 until nq).flatMap(i =>
+      Seq(p(i % 12), p((i * 5 + 1) % 12), p((i * 7 + 2) % 12))
+        .map(t => (i.toLong, t)))
+      .toDF("q_id", "term")
+  }
+
   /** Size-tiered compaction decision (the Lucene merge-policy shape) over
     * postings COUNTS — the deterministic, engine-portable proxy for segment
     * bytes (postings rows × a fixed row width): fire when the accumulated

@@ -181,6 +181,54 @@ object CorpusQ {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Bench hook: the BATCHED impact serve at an arbitrary |Q| — the
+    * probe-axis sweep's entry (serve cost vs workload size at fixed
+    * corpus), running the exact shipped serve code. */
+  private[graft] def bm25BatchServeAt(s: org.apache.spark.sql.SparkSession,
+      dir: String, nq: Int): org.apache.spark.sql.DataFrame =
+    Corpus.bm25ImpactTopKBatched(s, bm25Index(s, dir),
+      Corpus.bm25QueryBatch(s, nq), k = 10, Bm25Buckets)
+
+  /** Oracle for the batched serve at |Q| = `nq`: the exact BM25 ranking
+    * per generated query (same rotated-pool workload), scores folded in
+    * the same term-sorted order. */
+  private def bm25BatchOracle(nq: Int): String = {
+    val pool = Corpus.Bm25QueryPool.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT unnest(range(0, $nq)) AS q_id),
+       |pool AS (SELECT $pool AS p),
+       |qt AS (SELECT q_id, unnest([
+       |         p[CAST(q_id % 12 AS INT) + 1],
+       |         p[CAST((q_id*5 + 1) % 12 AS INT) + 1],
+       |         p[CAST((q_id*7 + 2) % 12 AS INT) + 1]]) AS term
+       |       FROM q, pool),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+       |tfx AS (SELECT doc_id, dl, term, COUNT(*) AS tfv
+       |        FROM tok GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, COUNT(*) AS dfv FROM tfx GROUP BY 1),
+       |stx AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM d),
+       |imp AS (SELECT qt.q_id, tfx.doc_id, tfx.dl, tfx.term,
+       |          ${bm25Term("tfv", "dfv")} AS impact
+       |        FROM qt
+       |        JOIN tfx ON tfx.term = qt.term
+       |        JOIN dfx ON dfx.term = qt.term,
+       |        (SELECT n_docs,
+       |                CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |         FROM stx) s),
+       |sc AS (SELECT q_id, doc_id, dl,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(list_sort(list({'t': term, 'i': impact})),
+       |             x -> x.i)),
+       |           (a, b) -> a + b) AS score
+       |       FROM imp GROUP BY q_id, doc_id, dl),
+       |r AS (SELECT q_id, doc_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM sc)
+       |SELECT q_id, rank, doc_id, score FROM r
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Bench hook: the multi-segment serve at a PREFIX of the segment list —
     * the shipped serve code at nseg ∈ 0..3, for the bm25_seg_sweep section
     * (serve cost must stay flat in segment count). */
@@ -1033,6 +1081,17 @@ object CorpusQ {
              |SELECT n_base, n_segs, 3 AS n_segments,
              |       n_segs * 100 > n_base * 25 AS should_compact
              |FROM nb, ns""".stripMargin)),
+
+    // BATCHED impact serve (round 12): a 20-query workload TABLE served in
+    // ONE job — the per-query θ-prune data-parallel across queries, scores
+    // term-sort-folded so the IEEE order is deterministic without
+    // per-query literal expressions. This is the shape "queries are
+    // embarrassingly parallel" takes at 100 TB: the workload rides a
+    // broadcast, never a driver loop. Oracle = the exact per-query BM25
+    // ranking (prune losslessness is per-query and carries over).
+    Q("text_bm25_impact_batch",
+      (s, dir) => bm25BatchServeAt(s, dir, nq = 20).orderBy("q_id", "rank"),
+      Some(bm25BatchOracle(20))),
 
     // What the fired trigger produces: the multi-segment COMPACTION —
     // a rebuild over base ∪ all three segments with refreshed statistics

@@ -32,18 +32,24 @@ object SimilarityQ {
     new SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
       { case (a, c) => a.unpersist(); c.unpersist() })
 
+  /** The distinct token-vector VOCABULARY (tid, v) the coarse quantizer
+    * trains over. */
+  private def tokenVocab(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.expressions.PolyHash.polyHash
+    import graft.functions.Hashing.{A, B, P}
+    Catalog.load(s, dir, "documents")
+      .select(explode(expr("split(text, ' ')")).as("tok"))
+      .select(polyHash(col("tok")).as("h")).distinct()
+      .select(col("h").as("tid"), array((0 until 4).map(i =>
+        expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0")): _*).as("v"))
+  }
+
   private def maxsimIvf(s: org.apache.spark.sql.SparkSession, dir: String) =
     maxsimIvfCache.getOrElseUpdate(s, dir) {
-      import graft.expressions.PolyHash.polyHash
-      import graft.functions.Hashing.{A, B, P}
       import graft.ops.KMeans
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val vocab = Catalog.load(s, dir, "documents")
-        .select(explode(expr("split(text, ' ')")).as("tok"))
-        .select(polyHash(col("tok")).as("h")).distinct()
-        .select(col("h").as("tid"), array((0 until 4).map(i =>
-          expr(s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0")): _*).as("v"))
-      val (a, c) = KMeans.lloyd(vocab, "tid", "v", MsKc, MsIters, dims = 4)
+      val (a, c) = KMeans.lloyd(tokenVocab(s, dir), "tid", "v", MsKc, MsIters,
+        dims = 4)
       val ap = a.persist(MEMORY_AND_DISK); ap.count()
       val cp = c.select(col("cluster"), col("cent")).persist(MEMORY_AND_DISK)
       cp.count()
@@ -75,11 +81,12 @@ object SimilarityQ {
     * across executors, while per-query cost against a 10× corpus is the
     * index's job to bound). The EXACT row keeps the unpinned probe set —
     * it is the excluded-by-construction exactness baseline either way. */
-  private def queryTokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def queryTokens(s: org.apache.spark.sql.SparkSession, dir: String,
+      mod: Int = 250) = {
     import graft.expressions.PolyHash.polyHash
     import graft.functions.Hashing.{A, B, P}
     Catalog.load(s, dir, "documents")
-      .filter(col("doc_id") % 250 === 0 && col("doc_id") < 1000000000L)
+      .filter(col("doc_id") % mod === 0 && col("doc_id") < 1000000000L)
       .select(col("doc_id").as("q_doc"),
         posexplode(expr("split(text, ' ')")).as(Seq("qpos", "tok")))
       .select(Seq(col("q_doc"), col("qpos"), polyHash(col("tok")).as("h")): _*)
@@ -148,6 +155,38 @@ object SimilarityQ {
     val ct = ctAll.join(vocabAssigned.select(col("tid"), col("cluster")),
       col("h") === col("tid"))
     maxsimServe(ct, cents, ctAll, queryTokens(s, dir), nprobe, candT)
+  }
+
+  /** Bench/sweep hook: the in-session serve with a quantizer trained at an
+    * ARBITRARY coarse-cell count — the kc axis of §9's sizing claim (kc
+    * grows with the vocabulary at scale so cells hold constant candidate
+    * share; the pinned rows stay at MsKc = 8 for the replayable oracle).
+    * Trains its own Lloyd run per call (vocabulary-bounded — cheap);
+    * measurement-only, never an oracle path. */
+  private[graft] def maxsimServeAtKc(s: org.apache.spark.sql.SparkSession,
+      dir: String, kc: Int, nprobe: Int = MsNprobe, candT: Int = MsT)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.KMeans
+    val (a, c) = KMeans.lloyd(tokenVocab(s, dir), "tid", "v", kc, MsIters,
+      dims = 4)
+    val ctAll = corpusTokens(s, dir)
+    val ct = ctAll.join(a.select(col("tid"), col("cluster")),
+      col("h") === col("tid"))
+    maxsimServe(ct, c.select(col("cluster"), col("cent")), ctAll,
+      queryTokens(s, dir), nprobe, candT)
+  }
+
+  /** Bench hook: the PERSISTED token-IVF serve at an arbitrary probe
+    * modulus — the probe-axis sweep's entry (|Q| = |docs| / mod at fixed
+    * corpus), on the exact shipped serve path the pinned row uses. */
+  private[graft] def maxsimPersistedServeAtProbes(
+      s: org.apache.spark.sql.SparkSession, dir: String, mod: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val path = maxsimIndex(s, dir)
+    val cells = s.read.parquet(s"$path/cells")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    maxsimServe(cells, s.read.parquet(s"$path/cents"),
+      corpusTokens(s, dir), queryTokens(s, dir, mod))
   }
 
   /** Session-scoped DISK token-IVF index (train-once / serve-many, the

@@ -49,6 +49,18 @@ object TrainQ {
       tmp
     }
 
+  /** Bench hook: the persisted k-means IVF serve at an arbitrary probe
+    * modulus — the probe-axis sweep's entry (|Q| = |vectors| / mod at
+    * fixed corpus), on the exact shipped serve path the pinned row uses.
+    * The base-id pin mirrors the maxsim probe discipline (a no-op on real
+    * testdata; keeps replica sweeps on a fixed workload). */
+  private[graft] def kmeansServeAtProbes(s: org.apache.spark.sql.SparkSession,
+      dir: String, mod: Int): org.apache.spark.sql.DataFrame =
+    Similarity.knnIvfKmeansPersisted(s, kmeansIndex(s, dir),
+      graft.engine.Catalog.load(s, dir, "embeddings")
+        .filter(col("vec_id") % mod === 0 && col("vec_id") < 1000000000L),
+      "vec_id", "embedding", nprobe = 2, k = 10)
+
   // Product-quantizer shape: 64 dims → 4 subspaces × 16 dims, 8 codes per
   // subspace, 2 Lloyd rounds each (same exact fixed-point trainer as the
   // coarse quantizer; small k keeps the 4×-training oracle SQL bounded).
