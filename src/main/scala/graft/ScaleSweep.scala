@@ -280,14 +280,23 @@ object ScaleSweep {
       }
       // kc AXIS for the token-IVF serve (round 12, §9's sizing claim):
       // clone replication grows the token STREAM 10x but not the
-      // vocabulary, so "kc scaled to hold cell size constant" reads here
-      // as: at Nx, cells hold Nx the occurrences at kc = 8 — does growing
-      // kc cut the stage-1 candidate share and the serve cost? Quality on
-      // the kc knob is carried at 1x by the bench maxsim_sweep (overlap vs
-      // exact truth); these rows carry the cost side at scale.
+      // vocabulary — and THIS corpus's vocabulary is only 31 distinct
+      // words, so the axis saturates fast: kc = 16 ≈ |vocab|/2 is the real
+      // "scaled" point (measured FASTER than kc = 8 — more cells do cut
+      // the probed candidate share), while kc = 32 ≥ |vocab| is the
+      // degenerate endpoint (≈1 word per cell; candidate share cannot
+      // shrink further because every doc contains nearly every word, and
+      // the serve measures slower). All three are measured so the artifact
+      // carries the saturation curve; quality on the kc knob rides the 1x
+      // bench maxsim_sweep (overlap vs exact truth).
       val kcRows =
         if (!names.contains("retrieval_maxsim_ivf")) Seq.empty
-        else Seq(8, 32).map { kc =>
+        else (if (factor <= 10) Seq(8, 16, 32) else Seq(8, 16)).map { kc =>
+          // kc = 32 ≥ |vocab| stays 10x-only: one word per cell means a
+          // probed cell is a FULL word posting list (~1.3M occurrences per
+          // word at 100x) — the exact-baseline workload by construction,
+          // the same attribution that keeps retrieval_maxsim_topk
+          // un-swept. The saturation datum is pinned at 10x.
           println(s"[sweep] running maxsim_serve_kc$kc @ $dir")
           val t0 = System.nanoTime()
           graft.queries.SimilarityQ.maxsimServeAtKc(spark, dir, kc).count()

@@ -166,9 +166,22 @@ object SimilarityQ {
   private[graft] def maxsimServeAtKc(s: org.apache.spark.sql.SparkSession,
       dir: String, kc: Int, nprobe: Int = MsNprobe, candT: Int = MsT)
       : org.apache.spark.sql.DataFrame = {
-    import graft.ops.KMeans
-    val (a, c) = KMeans.lloyd(tokenVocab(s, dir), "tid", "v", kc, MsIters,
-      dims = 4)
+    import graft.ops.{AnnSweep, KMeans}
+    // Literal-expression Lloyd stops scaling at k ≈ 16 (the AnnSweep
+    // finding: the baked-centroid expression tree explodes codegen — the
+    // first kc=32 measurement spent 12+ s in training, not serving); past
+    // it, train on the join path (same seeds, same fixed-point means).
+    val (a0, c0) =
+      if (kc <= 16) KMeans.lloyd(tokenVocab(s, dir), "tid", "v", kc, MsIters,
+        dims = 4)
+      else AnnSweep.lloydJoin(tokenVocab(s, dir), "tid", "v", kc, MsIters,
+        dims = 4)
+    // The pinned serve reads a PERSISTED assignment (maxsimIvf's cache);
+    // an eager localCheckpoint gives this hook the same property — without
+    // it the multi-round training lineage re-executes inside every serve
+    // branch that references it, and the row measures training, not serving.
+    val a = a0.localCheckpoint()
+    val c = c0.localCheckpoint()
     val ctAll = corpusTokens(s, dir)
     val ct = ctAll.join(a.select(col("tid"), col("cluster")),
       col("h") === col("tid"))

@@ -22,4 +22,24 @@ class OracleSqlSpec extends AnyFunSuite {
       .count(_ == "AS MATERIALIZED (")
     assert(n > 100, s"expected >100 materialized CTEs, got $n")
   }
+
+  test("materializeCtes: CTE heads rewritten, WINDOW clause definitions " +
+      "never touched (round-12 advice)") {
+    import graft.queries.Q.materializeCtes
+    // Multi-definition WINDOW clause: the comma anchor alone would match
+    // `w2 AS (` and emit invalid SQL — the query-keyword lookahead must
+    // exclude both window specs while still rewriting the real CTEs.
+    val sql =
+      """WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a)
+        |SELECT x, sum(x) OVER w1, avg(x) OVER w2 FROM b
+        |WINDOW w1 AS (ORDER BY x), w2 AS (PARTITION BY x)""".stripMargin
+    val out = materializeCtes(sql)
+    assert(out.contains("a AS MATERIALIZED (SELECT 1 AS x"), out)
+    assert(out.contains("b AS MATERIALIZED (SELECT x FROM a"), out)
+    assert(out.contains("w1 AS (ORDER BY x)"), out)
+    assert(out.contains("w2 AS (PARTITION BY x)"), out)
+    // VALUES-bodied and nested-WITH CTEs still rewrite.
+    val v = materializeCtes("WITH v AS (VALUES (1)) SELECT * FROM v")
+    assert(v.contains("v AS MATERIALIZED (VALUES"), v)
+  }
 }

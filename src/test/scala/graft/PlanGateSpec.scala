@@ -190,19 +190,26 @@ class PlanGateSpec extends AnyFunSuite {
   }
 
   test("the COMMITTED baseline fires on a 2x-of-clean slowdown for the " +
-      "env-elevated rows (round-12 verdict done-criterion)") {
-    // Reads the real PLAN_BASELINE.json: dedup_ngram_jaccard_exact and
-    // retrieval_maxsim_topk carry inflated meds from the round-11
-    // interference plateau; their cmed seeds must make a 2.05x-of-clean
-    // measurement fire even though it is far below the carried med.
+      "formerly env-elevated rows (round-12 verdict done-criterion)") {
+    // Reads the real PLAN_BASELINE.json. These rows spent round 11 on an
+    // interference plateau; whichever epoch state the committed file is
+    // in now (cmed carried while elevated, or auto-restored to a single
+    // clean med once back in family — the round-12 re-author restored
+    // them), a 2.05x slowdown of the row's GATE median must fire, and
+    // the gate median must never exceed the r10 clean cost by more than
+    // the epoch-carry family factor (i.e. the plateau meds can never be
+    // what the gate is satisfied against).
     val base = PlanGate.parseBaseline(java.nio.file.Files.readString(
       java.nio.file.Paths.get("PLAN_BASELINE.json")))
-    for ((row, clean) <- Seq("dedup_ngram_jaccard_exact" -> 0.951,
-                             "retrieval_maxsim_topk" -> 2.509)) {
-      assert(base(row).cleanMedianS === clean, row)
-      assert(2.05 * clean < base(row).medianS, s"$row: test vacuous")
+    for ((row, r10clean) <- Seq("dedup_ngram_jaccard_exact" -> 0.951,
+                                "retrieval_maxsim_topk" -> 2.509)) {
+      val gateMed = base(row).gateMedianS
+      assert(gateMed >= PlanGate.TimeFloorS, s"$row: no time channel")
+      assert(gateMed <= PlanGate.EpochFamilyFactor * r10clean,
+        s"$row: gate median $gateMed carries the interference plateau" +
+          s" (r10 clean $r10clean)")
       val v = PlanGate.violations(Map.empty, base,
-        times = Map(row -> (2.05 * clean, 0.1)))
+        times = Map(row -> (2.05 * gateMed, 0.1)))
       assert(v.size === 1 && v.head.startsWith(s"$row:"), v)
     }
   }

@@ -543,4 +543,19 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
     assert(p.linesIterator.count(
       l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
   }
+
+  test("BATCHED BM25 impact serve: bucket-pruned scans, workload joins " +
+      "broadcast, no cartesian, no per-query driver loop") {
+    // The workload-axis claim as plan properties: the query TABLE reaches
+    // the postings via broadcast hash joins (|Q|-row side), every postings
+    // scan is bucket partition-pruned with the term filter pushed, and
+    // nothing in the plan is a cartesian or a literal-per-query expansion.
+    val p = plan(SparkEntry.queries("text_bm25_impact_batch")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("bkt")), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(term, [")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
