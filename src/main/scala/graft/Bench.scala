@@ -531,7 +531,15 @@ object Bench {
         if (java.nio.file.Files.exists(bp))
           graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(bp))
         else Map.empty[String, graft.engine.PlanGate.Base]
-      } catch { case _: Throwable =>
+      } catch { case e: Throwable =>
+        // A prior baseline that EXISTS but cannot be parsed must not
+        // silently drop every clean-epoch carry — that would quietly
+        // re-widen the time allowance the dual-median feature protects
+        // (round-12 advice). The re-authored file is still written (the
+        // gate's own parse failure surfaces separately), but loudly.
+        println("[bench] WARNING: previous plan baseline exists but failed " +
+          s"to parse — NO clean-epoch (cmed) carries this re-author: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
         Map.empty[String, graft.engine.PlanGate.Base]
       }
       val cmeds = graft.engine.PlanGate.carryCleanMedians(prev, meds)

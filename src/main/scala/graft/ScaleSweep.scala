@@ -266,6 +266,11 @@ object ScaleSweep {
       val pipelines =
         SparkEntry.pipelines
           .filter { case (name, _) => factor <= 10 || linearPipelines(name) }
+          // Dev subsets (SPARK_GRAFT_ONLY) filter pipelines by the same
+          // regex, so a single-family iteration builds only that family's
+          // indexes; the driver leaves ONLY unset and builds everything.
+          .filter { case (name, _) =>
+            only.forall(_.findFirstIn(name).isDefined) }
           .map { case (name, build) =>
             println(s"[sweep] running pipeline:$name @ $dir")
             val t0 = System.nanoTime()
@@ -291,7 +296,12 @@ object ScaleSweep {
       // bench maxsim_sweep (overlap vs exact truth).
       val kcRows =
         if (!names.contains("retrieval_maxsim_ivf")) Seq.empty
-        else (if (factor <= 10) Seq(8, 16, 32) else Seq(8, 16)).map { kc =>
+        else (if (factor <= 10) Seq(8, 16, 32) else Seq(8, 16))
+          // kc rows are measurement hooks, not SparkEntry rows — they ride
+          // the same dev-subset regex by their own emitted names.
+          .filter(kc => only.forall(
+            _.findFirstIn(s"maxsim_serve_kc$kc").isDefined))
+          .map { kc =>
           // kc = 32 ≥ |vocab| stays 10x-only: one word per cell means a
           // probed cell is a FULL word posting list (~1.3M occurrences per
           // word at 100x) — the exact-baseline workload by construction,
@@ -366,6 +376,24 @@ object ScaleSweep {
       println(f"[sweep] SUPER-LINEAR (survives medians): $n ${finalRatios.toMap.apply(n)}%.2f"))
     val worst = finalRatios.maxBy(_._2)
     println(f"[sweep] worst ratio: ${worst._1} ${worst._2}%.2f")
+    // SERVE-AMORTIZATION PIN AT SCALE (round 13): the bench's serve_pin
+    // channel (persisted index serve ≤ 1.25× the in-session path it
+    // amortizes) only covered the 1× box — round 12's persisted-MaxSim
+    // serve inverted at 100× (×105, 1.6× in-session: stage 2 re-exploded
+    // the text instead of forward-reading the index) and nothing fired.
+    // The pin now rides the sweep at the REPLICA scale, where an index
+    // matters most.
+    val tNmap = tN
+    val servePinViolations: Seq[String] =
+      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf")).flatMap {
+        case (per, ins) =>
+          (tNmap.get(per), tNmap.get(ins)) match {
+            case (Some(p), Some(i)) if p > i * 1.25 =>
+              Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
+            case _ => None
+          }
+      }
+    servePinViolations.foreach(v => println(s"[sweep] VIOLATION $v"))
     // Driver-visible artifact (SPARK_GRAFT_SWEEP_OUT=<file>): per-query
     // 1×/N× seconds + ratio and the super-linear verdict, so the scale gate
     // is machine-checkable instead of living in STATUS prose.
@@ -378,8 +406,9 @@ object ScaleSweep {
         s""""$n":{"t1_med":${r3(med1(n).get)},"tN_med":${r3(medN(n).get)},"ratio":${r3(remeasured(n))}}"""
       }.mkString("{", ",", "}")
       val supers = supersFinal.map(n => s""""$n"""").mkString("[", ",", "]")
+      val pins = servePinViolations.map(v => s""""$v"""").mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"factor":$factor,"sf":"$sfDir","super_linear_threshold":${r3(1.2 * factor)},"super_linear":$supers,"remeasured":$remeas,"worst":{"name":"${worst._1}","ratio":${r3(worst._2)}},"results":{$rows}}""")
+        s"""{"factor":$factor,"sf":"$sfDir","super_linear_threshold":${r3(1.2 * factor)},"super_linear":$supers,"serve_pin_violations":$pins,"remeasured":$remeas,"worst":{"name":"${worst._1}","ratio":${r3(worst._2)}},"results":{$rows}}""")
       println(s"[sweep] wrote $out")
     }
     spark.stop()

@@ -703,6 +703,40 @@ object Corpus {
         .reduce(_.unionByName(_)),
       terms, k, buckets)
 
+  /** Persist a DELETE tombstone set against an impact index — the Lucene
+    * `.liv` analog: a doc_id table under the index's own directory, the
+    * base postings untouched (an O(|deletes|) write, like the delta
+    * append's O(|delta|)). The doc stays IN the postings and IN the frozen
+    * statistics until compaction physically drops it — serve-time filtering
+    * ([[bm25ImpactTopKMultisegDeleted]]) is what hides it. */
+  def writeBm25Tombstones(docIds: DataFrame, basePath: String): Unit =
+    docIds.select("doc_id").write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$basePath/tombstones")
+
+  /** Serve base ∪ N segments honoring the base index's TOMBSTONES: the
+    * postings view is filtered to live docs (one anti-join against the
+    * tombstone table — deletes ≪ corpus, so the build side is the small
+    * one) BEFORE the seed/θ/rescore pipeline, i.e. the serve runs over
+    * exactly the live index. The θ-prune safety proof is unaffected:
+    * `irank` prefixes may now hold fewer than k live seeds, but θ from ANY
+    * seed subset is a valid k-th-best lower bound (fewer than k seeds ⇒
+    * θ = -inf, exact scoring), and removing docs can only RAISE the true
+    * k-th score's bar — a tombstoned doc can never appear at any k because
+    * no posting of it survives the filter. Impacts stay AS STORED (the
+    * deleted docs still count in df/n_docs/avgdl — Lucene's stale-stats
+    * semantics until compaction). Bucket/term pruning still reaches every
+    * segment scan: the filters push through the anti-join's left side. */
+  def bm25ImpactTopKMultisegDeleted(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, segPaths: Seq[String], terms: Seq[String], k: Int,
+      buckets: Int): DataFrame = {
+    val tomb = spark.read.parquet(s"$basePath/tombstones").select("doc_id")
+    val live = (basePath +: segPaths)
+      .map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_.unionByName(_))
+      .join(tomb, Seq("doc_id"), "left_anti")
+    bm25ImpactTopKFrom(live, terms, k, buckets)
+  }
+
   /** BATCHED WAND-style serve — the workload axis, set-oriented: ONE job
     * serves a whole query TABLE `queries(q_id, term)` against the impact
     * index, the per-query θ-prune running data-parallel across queries
@@ -720,12 +754,18 @@ object Corpus {
       path: String, queries: DataFrame, k: Int, buckets: Int): DataFrame = {
     import graft.functions.Hashing.polyHashLocal
     import org.apache.spark.sql.expressions.Window
-    val qt = queries.select(col("q_id"), col("term"))
+    // Dedup the workload at entry: a repeated (q_id, term) row would
+    // double-count that term's impact in the collect_list rescore AND
+    // inflate m_q's prune divisor — the single-query serve rejects
+    // duplicate terms via require, so the batched public API must be
+    // equally safe for arbitrary callers (round-12 advice).
+    val qt = queries.select(col("q_id"), col("term")).distinct()
     // Bounded driver pull: the workload's distinct terms (the query batch
     // is an input the driver already holds — this never touches the corpus).
     val terms = qt.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty && terms.forall(_.forall(_ < 128)),
+    require(terms.nonEmpty, "empty query workload: no (q_id, term) rows")
+    require(terms.forall(_.forall(_ < 128)),
       "query terms must be ASCII (bucket hash is ascii-codepoint-based)")
     val bkts = terms.map(t => (polyHashLocal(t) % buckets).toInt).distinct
     val idx = spark.read.parquet(s"$path/postings")
@@ -791,6 +831,13 @@ object Corpus {
       basePath: String, segPaths: Seq[String], ratioPct: Int): DataFrame = {
     def n(p: String) =
       spark.read.parquet(s"$p/postings").groupBy().agg(count(lit(1)).as("n"))
+    // Zero accumulated segments is a state the multiseg serve supports —
+    // give it the defined no-compact decision instead of reduce()'s bare
+    // UnsupportedOperationException (round-12 advice).
+    if (segPaths.isEmpty)
+      return n(basePath).select(col("n").as("n_base"),
+        lit(0L).as("n_segs"), lit(0).as("n_segments"),
+        lit(false).as("should_compact"))
     val segs = segPaths.map(n).reduce(_.unionByName(_))
       .agg(sum(col("n")).as("n_segs"))
     n(basePath).select(col("n").as("n_base"))

@@ -256,9 +256,24 @@ object Multimodal {
   // cross-engine hash.
 
   /** Byte k of the row-major R,G,B raster sequence = char code (k mod len)
-    * of the text — the PPM payload discipline at real-codec sizes. */
+    * of the text — the PPM payload discipline at real-codec sizes. No
+    * masking: [[requireAsciiText]] enforces the char-code ≤ 127 invariant
+    * at payload build, so a violation fails loudly there instead of
+    * silently diverging from the oracle's unmasked `unicode(...)` fold. */
   private def rasterByte(text: String, k: Int): Int =
-    text.charAt(k % text.length).toInt & 0xff
+    text.charAt(k % text.length).toInt
+
+  /** The real-codec payload generators derive dims from `text.length` /
+    * `charAt(0)` and raster bytes from unmasked char codes; the DuckDB
+    * oracle replays them with `length`/`unicode` string arithmetic —
+    * identical ONLY for non-empty ASCII text. Enforce the invariant where
+    * the payload is built (the BM25 serve's ASCII-require discipline)
+    * rather than letting an empty doc throw StringIndexOutOfBounds or a
+    * non-ASCII char silently shift a channel. */
+  private def requireAsciiText(id: Long, text: String): Unit =
+    require(text.nonEmpty && text.forall(_ < 128),
+      s"doc $id: media payload generators require non-empty ASCII text " +
+        "(oracle folds unicode() char codes byte-for-byte)")
 
   /** Real-codec image dims are kept small (4..12 × 4..10): the conformance
     * corpus encodes one image per document, and the oracle folds w·h·3
@@ -277,6 +292,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text) =>
+          requireAsciiText(id, text)
           val (w, h) = pngDims(text)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -323,6 +339,48 @@ object Multimodal {
       img.getRaster.getNumBands, sum)
   }
 
+  /** REAL nearest-neighbor 2× downsample over the DECODED PNG raster —
+    * the decode→resize composition on the real codec (round-12 verdict
+    * #6): `ImageIO.read` runs the full zlib/filter decode, then the
+    * sampled (2r, 2c) pixels fold R,G,B in row-major order, exactly the
+    * [[resizePpmHalf]] discipline. PNG is lossless, so the checksum is an
+    * exact function of the generator raster and the DuckDB oracle replays
+    * it with string arithmetic straight through the compressed codec. */
+  private[graft] def resizePngHalf(m: MediaIn): ImageResized = {
+    val b = m.payload
+    require(b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G', "not a PNG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "undecodable PNG payload")
+    val (inW, inH) = (img.getWidth, img.getHeight)
+    val outW = (inW + 1) / 2
+    val outH = (inH + 1) / 2
+    var sum = 0L; var r = 0
+    while (r < outH) {
+      var c = 0
+      while (c < outW) {
+        val px = img.getRGB(2 * c, 2 * r)
+        sum = (sum * 31 + ((px >> 16) & 0xff)) % P
+        sum = (sum * 31 + ((px >> 8) & 0xff)) % P
+        sum = (sum * 31 + (px & 0xff)) % P
+        c += 1
+      }
+      r += 1
+    }
+    ImageResized(m.doc_id, inW, inH, outW, outH, sum)
+  }
+
+  /** PNG resize stage, partition-batched like the decoders. */
+  def resizePngImagesHalf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(resizePngHalf)
+      }.toDF()
+  }
+
   /** PNG decode stage, partition-batched like [[decodeImageMeta]]. */
   def decodePngMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -361,6 +419,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text) =>
+          requireAsciiText(id, text)
           val (w, h) = jpegDims(text)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)

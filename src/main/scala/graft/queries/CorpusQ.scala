@@ -116,6 +116,51 @@ object CorpusQ {
       }
     }
 
+  /** DELETE lifecycle (round 13): base docs with doc_id % 10 = 4 are
+    * tombstoned — disjoint from every delta/segment family (mods 3/5/7/9
+    * live at ≥1e15 offsets anyway), so deletes exercise the base postings
+    * specifically. The tombstone table is written INTO the base index dir
+    * (the Lucene `.liv` discipline): an O(|deletes|) write, base postings
+    * and frozen statistics untouched until compaction. */
+  private[queries] val Bm25TombMod = 4
+
+  private def bm25TombstoneDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Catalog.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === Bm25TombMod).select("doc_id")
+
+  /** Session-scoped: the base index path AFTER its tombstone table is
+    * written (idempotent per (session, dir); the base postings are shared
+    * with every other lifecycle row — only the `tombstones/` subdir is
+    * added). */
+  private val bm25TombCache = new SessionCache[String](_ => ())
+
+  private def bm25IndexTombstoned(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bm25TombCache.getOrElseUpdate(s, dir) {
+      val base = bm25Index(s, dir)
+      Corpus.writeBm25Tombstones(bm25TombstoneDocs(s, dir), base)
+      base
+    }
+
+  /** Compaction AFTER deletes: rebuild over (base minus tombstoned) ∪ all
+    * segments with refreshed statistics — the merge that physically drops
+    * tombstoned postings AND removes the deleted docs from df/n_docs/avgdl. */
+  private val bm25TombCompactCache = new SessionCache[String](_ => ())
+
+  private def bm25TombstoneCompacted(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bm25TombCompactCache.getOrElseUpdate(s, dir) {
+      val tmp = graft.engine.TempDirs.create("graft_bm25tombcompact")
+      Corpus.writeBm25ImpactIndex(
+        Bm25SegMods.map(bm25SegDocs(s, dir, _))
+          .foldLeft(Catalog.load(s, dir, "documents")
+            .filter(col("doc_id") % 10 =!= Bm25TombMod)
+            .select(col("doc_id"), col("text")))(_.unionByName(_)),
+        "text", tmp, Bm25Buckets)
+      tmp
+    }
+
   /** TIERED compaction of the multi-segment index: rebuild over base ∪ all
     * segments with refreshed statistics, gated by the size-tiered trigger
     * ([[graft.ops.Corpus.bm25CompactionTrigger]], ratio 25%) — the Lucene
@@ -145,16 +190,29 @@ object CorpusQ {
     * FROZEN to the base (frozen = true — the ranking the segment writes
     * store) or REFRESHED over the union (frozen = false — what the tiered
     * compaction rebuilds). Frozen stats fall out of one filter: segment ids
-    * carry a ≥1e15 offset, so `doc_id < 1e15` selects exactly the base. */
-  private def bm25MultisegOracle(frozen: Boolean): String = {
+    * carry a ≥1e15 offset, so `doc_id < 1e15` selects exactly the base.
+    *
+    * `deleted` (round 13): with the [[Bm25Tombstoned]] base docs
+    * tombstoned, SCORING excludes them (a tombstoned doc can never be
+    * returned) while the STATISTICS follow the lifecycle stage — frozen
+    * stats still COUNT the deleted docs (impacts as stored: Lucene's
+    * stale-stats semantics, postings and df untouched until merge);
+    * refreshed stats (the compaction rebuild) exclude them, because the
+    * rebuild physically dropped their postings. */
+  private def bm25MultisegOracle(frozen: Boolean,
+      deleted: Boolean = false): String = {
     val dds = Bm25SegMods.map(m =>
       s"""dd$m AS (SELECT doc_id + ${m}000000000000000 AS doc_id,
          |            string_split(text, ' ') AS w
          |       FROM documents WHERE doc_id % 10 = $m)""".stripMargin)
     val union = (Seq("SELECT * FROM db") ++
       Bm25SegMods.map(m => s"SELECT * FROM dd$m")).mkString(" UNION ALL ")
+    val del = s"(doc_id % 10 = $Bm25TombMod AND doc_id < 1000000000000000)"
     val statsWhere =
-      if (frozen) "WHERE doc_id < 1000000000000000 " else ""
+      if (frozen) "WHERE doc_id < 1000000000000000 "
+      else if (deleted) s"WHERE NOT $del "
+      else ""
+    val scoreAnd = if (deleted) s"AND NOT $del" else ""
     s"""WITH db AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |${dds.mkString(",\n")},
        |du AS ($union),
@@ -177,7 +235,7 @@ object CorpusQ {
        |  ${bm25Term("tf3", "df3")} AS score
        |FROM sc
        |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
-       |      ${bm25Term("tf3", "df3")} > 0
+       |      ${bm25Term("tf3", "df3")} > 0 $scoreAnd
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
@@ -247,7 +305,9 @@ object CorpusQ {
       "bm25_impact_delta" -> ((s, d) => { bm25Delta(s, d); () }),
       "bm25_impact_compact" -> ((s, d) => { bm25Compacted(s, d); () }),
       "bm25_impact_segments" -> ((s, d) => { bm25Segs(s, d); () }),
-      "bm25_multiseg_compact" -> ((s, d) => { bm25MultisegCompacted(s, d); () }))
+      "bm25_multiseg_compact" -> ((s, d) => { bm25MultisegCompacted(s, d); () }),
+      "bm25_tombstones" -> ((s, d) => { bm25IndexTombstoned(s, d); () }),
+      "bm25_tombstone_compact" -> ((s, d) => { bm25TombstoneCompacted(s, d); () }))
 
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
@@ -1059,6 +1119,33 @@ object CorpusQ {
     Q("text_bm25_impact_multiseg",
       (s, dir) => bm25MultisegServeAt(s, dir, Bm25SegMods.size),
       Some(bm25MultisegOracle(frozen = true))),
+
+    // DELETES against the base segment (round 13): serve base ∪ all three
+    // segments with the tombstone table honored — postings filtered to
+    // live docs BEFORE the θ-prune (the prune proof is unaffected; a
+    // tombstoned doc has no posting left to score), impacts AS STORED
+    // (deleted docs still count in the frozen df/n_docs/avgdl — Lucene's
+    // stale-stats semantics until merge). Oracle: exact frozen-stats BM25
+    // over the union, scoring filtered to live docs, statistics NOT.
+    Q("text_bm25_impact_delete",
+      (s, dir) =>
+        Corpus.bm25ImpactTopKMultisegDeleted(s, bm25IndexTombstoned(s, dir),
+            bm25Segs(s, dir), Seq("spark", "vector", "customer"), k = 20,
+            Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(bm25MultisegOracle(frozen = true, deleted = true))),
+
+    // What the post-delete compaction produces: tombstoned postings
+    // PHYSICALLY dropped and statistics refreshed over the live union —
+    // the plain serve needs no tombstone filter because the index no
+    // longer contains the deleted docs (pinned in CorpusSpec). Oracle:
+    // exact BM25 with both scoring AND stats over live docs.
+    Q("text_bm25_impact_delete_compacted",
+      (s, dir) =>
+        Corpus.bm25ImpactTopK(s, bm25TombstoneCompacted(s, dir),
+            Seq("spark", "vector", "customer"), k = 20, Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some(bm25MultisegOracle(frozen = false, deleted = true))),
 
     // The TIERED COMPACTION DECISION as a data row — Lucene's merge policy
     // restated set-oriented: fire when accumulated segment postings exceed

@@ -54,6 +54,37 @@ object MultimodalQ {
               |    (a, v) -> (a*31 + v) % $P) AS checksum
               |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // PNG decode→resize COMPOSITION (round 13): the downstream raster op
+    // consumes the REAL-codec decode output — ImageIO runs the full
+    // zlib/filter decode, then the nearest-neighbor 2× downsample samples
+    // (2r, 2c) pixels and folds R,G,B row-major. Lossless codec ⇒ the
+    // oracle replays the sampled raster bytes with string arithmetic:
+    // pixel (r, c) channel ch = char code ((3·(r·w + c) + ch) mod len).
+    Q("mm_resize_png",
+      (s, dir) =>
+        Multimodal.resizePngImagesHalf(
+            Multimodal.withPngPayload(Catalog.load(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |                  CAST(length(text) AS BIGINT) AS len,
+              |                  CAST(4 + length(text) % 9 AS BIGINT) AS w,
+              |                  CAST(4 + unicode(substr(text, 1, 1)) % 7 AS BIGINT) AS h
+              |           FROM documents),
+              |o AS (SELECT doc_id, text, len, w, h, (w + 1) // 2 AS out_w,
+              |        (h + 1) // 2 AS out_h FROM d),
+              |idx AS (SELECT doc_id, text, len, w, h, out_w, out_h,
+              |   flatten(list_transform(range(0, out_h), r ->
+              |     flatten(list_transform(range(0, out_w), c ->
+              |       [3*((2*r)*w + 2*c), 3*((2*r)*w + 2*c) + 1,
+              |        3*((2*r)*w + 2*c) + 2])))) AS ks FROM o)
+              |SELECT doc_id, CAST(w AS INTEGER) AS in_w,
+              |  CAST(h AS INTEGER) AS in_h,
+              |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ks, k ->
+              |    CAST(unicode(substr(text, CAST(k % len AS INT) + 1, 1)) AS BIGINT))),
+              |    (a, v) -> (a*31 + v) % $P) AS checksum
+              |FROM idx ORDER BY doc_id""".stripMargin)),
+
     // REAL JPEG decode (round 12): a smooth gradient raster encoded through
     // the JDK's DCT JPEG writer, decoded with ImageIO. Dims and channels
     // survive lossy coding and are oracle-checked; decoded PIXELS are

@@ -350,5 +350,54 @@ class CorpusSpec extends SparkSpec {
     assert(t.getLong(0) === 8L && t.getLong(1) === 7L, t)
     assert(t.getBoolean(3))          // 700 > 200: compact
     assert(!trig(90).getBoolean(3))  // 700 > 720 is false: hold
+    // Zero accumulated segments: a defined no-compact decision, not
+    // reduce()'s UnsupportedOperationException (round-12 advice).
+    val t0 = Corpus.bm25CompactionTrigger(spark, basePath, Seq.empty, 25).head
+    assert(t0.getLong(0) === 8L && t0.getLong(1) === 0L &&
+      t0.getInt(2) === 0 && !t0.getBoolean(3), t0)
+  }
+
+  test("bm25 tombstoned docs never appear at any k, and the deleted serve " +
+      "equals serving physically-filtered frozen-stats postings") {
+    import spark.implicits._
+    // Docs 0 and 4 sit inside the undeleted top-10 (asserted below) —
+    // deleting them genuinely changes the list, not just its tail.
+    val base = Seq(
+      (0L, "spark spark spark"),
+      (1L, "vector filler"),
+      (2L, "filler filler filler filler"),
+      (3L, "spark vector filler"),
+      (4L, "spark filler filler filler")
+    ).toDF("doc_id", "text")
+    val d1 = Seq((10L, "spark aa"), (11L, "vector bb")).toDF("doc_id", "text")
+    val basePath = graft.engine.TempDirs.create("graft_bmtomb_base")
+    val p1 = graft.engine.TempDirs.create("graft_bmtomb_s1")
+    val pLive = graft.engine.TempDirs.create("graft_bmtomb_live")
+    Corpus.writeBm25ImpactIndex(base, "text", basePath, buckets = 4)
+    Corpus.writeBm25Delta(spark, d1, "text", basePath, p1, buckets = 4)
+    val deleted = Seq(0L, 4L)
+    Corpus.writeBm25Tombstones(deleted.toDF("doc_id"), basePath)
+    // The live base docs re-coded under the SAME frozen base stats: its
+    // postings are exactly the base postings minus the tombstoned docs'
+    // (iranks renumber segment-locally, which the θ-proof makes
+    // irrelevant) — so the tombstone-filtered serve must BIT-equal it.
+    Corpus.writeBm25Delta(spark, base.filter(!col("doc_id").isin(deleted: _*)),
+      "text", basePath, pLive, buckets = 4)
+    val terms = Seq("spark", "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("score").desc, col("doc_id").asc).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // strength sanity: without deletes the top-10 CONTAINS tombstoned
+    // docs — the delete genuinely changes the list, not just its tail
+    assert(rows(Corpus.bm25ImpactTopKMultiseg(spark, basePath, Seq(p1),
+      terms, 10, buckets = 4)).exists(r => deleted.contains(r._1)))
+    for (k <- Seq(1, 2, 3, 10, 50)) {
+      val got = rows(Corpus.bm25ImpactTopKMultisegDeleted(spark, basePath,
+        Seq(p1), terms, k, buckets = 4))
+      // the pin: a tombstoned doc can never appear at ANY k
+      assert(got.forall(r => !deleted.contains(r._1)), s"k=$k: $got")
+      assert(got === rows(Corpus.bm25ImpactTopKMultiseg(spark, pLive,
+        Seq(p1), terms, k, buckets = 4)), s"k=$k")
+    }
   }
 }
