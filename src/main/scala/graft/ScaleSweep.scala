@@ -53,6 +53,7 @@ object ScaleSweep {
   private val sweep: Seq[String] = Seq(
     "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
+    "ann_ivf_pq_delete",
     // full_probe scores |Q|·|V| candidates by construction (every cell
     // admitted) — swept at 10× like the bruteforce exactness baseline,
     // excluded at 100× for the same |Q|-scales-with-corpus reason.
@@ -124,6 +125,14 @@ object ScaleSweep {
     "text_bm25_impact_topk", "retrieval_hybrid_served",
     "text_bm25_impact_append", "text_bm25_impact_compacted",
     "text_bm25_impact_multiseg", "text_bm25_impact_multiseg_compacted",
+    // Round-13 lifecycle + fixture rows: tombstone-filtered serves are the
+    // plain serves plus one anti-join (linear); the bigvocab rows run the
+    // identical serve shapes over the salted corpus (vocabulary capped at
+    // 31·257 regardless of factor, so only the token stream scales).
+    "text_bm25_impact_delete", "text_bm25_impact_delete_compacted",
+    "text_bm25_bigvocab_topk", "retrieval_maxsim_ivf_bigvocab",
+    "retrieval_maxsim_ivf_append", "retrieval_maxsim_ivf_delete",
+    "retrieval_maxsim_ivf_lifecycle_compacted", "ann_ivf_pq_delete",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -180,6 +189,14 @@ object ScaleSweep {
     "stats_percentiles_grouped", "text_bm25_topk", "text_bm25_impact_topk",
     "text_bm25_impact_append", "text_bm25_impact_compacted",
     "text_bm25_impact_multiseg", "text_bm25_impact_multiseg_compacted",
+    // Round-13 rows with linear work AND fixed query workloads (the maxsim
+    // serves pin probes to base ids; the bm25 terms are fixed) — the
+    // ann_ivf_pq_delete row stays 10×-only like every other ann_* serve
+    // (its probe set scales with the corpus).
+    "text_bm25_impact_delete", "text_bm25_impact_delete_compacted",
+    "text_bm25_bigvocab_topk", "retrieval_maxsim_ivf_bigvocab",
+    "retrieval_maxsim_ivf_append", "retrieval_maxsim_ivf_delete",
+    "retrieval_maxsim_ivf_lifecycle_compacted",
     "retrieval_hybrid_served",
     "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
@@ -215,7 +232,14 @@ object ScaleSweep {
     // (bm25) — all linear in corpus tokens.
     "maxsim_token_ivf", "maxsim_ivf_index", "bm25_impact_index",
     "bm25_impact_delta", "bm25_impact_compact",
-    "bm25_impact_segments", "bm25_multiseg_compact")
+    "bm25_impact_segments", "bm25_multiseg_compact",
+    // Round-13 lifecycle/fixture builds: tombstone writes are O(|deletes|),
+    // delta/compaction cells and the bigvocab indexes are one linear pass
+    // each (same shapes as their base builds).
+    "maxsim_token_ivf_big", "maxsim_ivf_index_big",
+    "maxsim_ivf_delta", "maxsim_ivf_tombstones",
+    "maxsim_ivf_compact", "bm25_tombstones", "bm25_tombstone_compact",
+    "bm25_bigvocab_index", "ivf_pq_tombstones")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -308,8 +332,12 @@ object ScaleSweep {
           // the same attribution that keeps retrieval_maxsim_topk
           // un-swept. The saturation datum is pinned at 10x.
           println(s"[sweep] running maxsim_serve_kc$kc @ $dir")
+          // Train untimed, time SERVE ONLY (round-13 split, matching the
+          // bench's maxsim_sweep): the kc rows carry the candidate-share
+          // cost curve, and training cost growing with kc was polluting it.
+          val q = graft.queries.SimilarityQ.maxsimQuantizerAtKc(spark, dir, kc)
           val t0 = System.nanoTime()
-          graft.queries.SimilarityQ.maxsimServeAtKc(spark, dir, kc).count()
+          graft.queries.SimilarityQ.maxsimServeQuantized(spark, dir, q).count()
           s"maxsim_serve_kc$kc" -> (System.nanoTime() - t0) / 1e9
         }
       pipelines ++ queries ++ kcRows

@@ -116,6 +116,29 @@ object CorpusQ {
       }
     }
 
+  /** BIG-VOCABULARY impact index (round 13): the base corpus's 31-word
+    * vocabulary makes df/n_docs ≈ 1 for every term (idf barely
+    * discriminates) and packs ~1 word per bucket-hash class — the bm25
+    * serve's bucket pruning and idf behavior are only honestly testable on
+    * [[SimilarityQ.bigVocabDocs]]'s ~7.5k-word salted corpus, where a
+    * 3-term query prunes to ≤3 of 32 buckets each carrying ~235 terms. */
+  private val bm25BigCache = new SessionCache[String](_ => ())
+
+  private[queries] def bm25BigIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bm25BigCache.getOrElseUpdate(s, dir) {
+      val tmp = graft.engine.TempDirs.create("graft_bm25big")
+      Corpus.writeBm25ImpactIndex(SimilarityQ.bigVocabDocs(s, dir), "text",
+        tmp, Bm25Buckets)
+      tmp
+    }
+
+  /** Salted query terms for the bigvocab serve — measured present at every
+    * SF (df 1–43): low-df terms are exactly what the 31-word corpus cannot
+    * produce (every base term matches ~every doc). */
+  private[queries] val Bm25BigTerms =
+    Seq("spark_7", "vector_33", "customer_101")
+
   /** DELETE lifecycle (round 13): base docs with doc_id % 10 = 4 are
     * tombstoned — disjoint from every delta/segment family (mods 3/5/7/9
     * live at ≥1e15 offsets anyway), so deletes exercise the base postings
@@ -307,7 +330,8 @@ object CorpusQ {
       "bm25_impact_segments" -> ((s, d) => { bm25Segs(s, d); () }),
       "bm25_multiseg_compact" -> ((s, d) => { bm25MultisegCompacted(s, d); () }),
       "bm25_tombstones" -> ((s, d) => { bm25IndexTombstoned(s, d); () }),
-      "bm25_tombstone_compact" -> ((s, d) => { bm25TombstoneCompacted(s, d); () }))
+      "bm25_tombstone_compact" -> ((s, d) => { bm25TombstoneCompacted(s, d); () }),
+      "bm25_bigvocab_index" -> ((s, d) => { bm25BigIndex(s, d); () }))
 
   /** [[bpeTrainOracle]]'s stage chain with the final select reading the
     * ENCODED vocabulary state e_k instead of the merge list. */
@@ -1119,6 +1143,44 @@ object CorpusQ {
     Q("text_bm25_impact_multiseg",
       (s, dir) => bm25MultisegServeAt(s, dir, Bm25SegMods.size),
       Some(bm25MultisegOracle(frozen = true))),
+
+    // BIG-VOCABULARY impact serve (round 13): the identical WAND-style
+    // θ-pruned serve over the ~7.5k-word salted corpus — the fixture where
+    // bucket pruning is selective (3 of 32 buckets, ~235 terms each behind
+    // the pushed term filter) and idf genuinely ranks (query terms carry
+    // df 1–43 instead of df ≈ n_docs). Oracle: the exact BM25 SQL over the
+    // salted corpus — prune losslessness carries over unchanged.
+    Q("text_bm25_bigvocab_topk",
+      (s, dir) =>
+        Corpus.bm25ImpactTopK(s, bm25BigIndex(s, dir), Bm25BigTerms, k = 20,
+            Bm25Buckets)
+          .orderBy(col("score").desc, col("doc_id").asc),
+      Some {
+        val Seq(t1, t2, t3) = Bm25BigTerms
+        s"""WITH ${SimilarityQ.docsCte(big = true)},
+           |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM mdocs),
+           |tf AS (SELECT doc_id, len(w) AS dl,
+           |         CAST(len(list_filter(w, t -> t = '$t1')) AS BIGINT) AS tf1,
+           |         CAST(len(list_filter(w, t -> t = '$t2')) AS BIGINT) AS tf2,
+           |         CAST(len(list_filter(w, t -> t = '$t3')) AS BIGINT) AS tf3
+           |       FROM d),
+           |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+           |         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+           |       FROM tf),
+           |sc AS (SELECT doc_id, CAST(dl AS INT) AS dl, tf1, tf2, tf3,
+           |         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+           |         n_docs, df1, df2, df3
+           |       FROM tf, st)
+           |SELECT doc_id, dl,
+           |  ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+           |  ${bm25Term("tf3", "df3")} AS score
+           |FROM sc
+           |WHERE ${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} +
+           |      ${bm25Term("tf3", "df3")} > 0
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
 
     // DELETES against the base segment (round 13): serve base ∪ all three
     // segments with the tombstone table honored — postings filtered to

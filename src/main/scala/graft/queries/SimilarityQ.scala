@@ -32,12 +32,44 @@ object SimilarityQ {
     new SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
       { case (a, c) => a.unpersist(); c.unpersist() })
 
+  /** BIG-VOCABULARY derived corpus (round 13): token t at 0-based position
+    * i of doc d becomes `t + "_" + ((d·31 + i) mod 257)` — deterministically
+    * expanding the test corpus's 31-word vocabulary to ~7.5–7.9k distinct
+    * words (31 × 257 salts, measured present at every SF), replayable with
+    * list arithmetic in both engines. Why it exists: the base vocabulary
+    * SATURATES the token-IVF kc axis (kc = 32 ≥ |vocab| is one-word-per-
+    * cell degenerate; round-12 verdict #3) and gives df/n_docs ≈ 1 for
+    * every BM25 term — this fixture tests kc ∝ |vocab| and bucket pruning
+    * OFF-saturation. */
+  private[queries] def bigVocabDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Catalog.load(s, dir, "documents").select(col("doc_id"),
+      expr("array_join(transform(split(text, ' '), (t, i) -> " +
+        "concat(t, '_', CAST((doc_id * 31 + i) % 257 AS INT))), ' ')")
+        .as("text"))
+
+  /** The `mdocs(doc_id, text)` oracle CTE matching [[bigVocabDocs]] (or the
+    * identity corpus), shared by every bigvocab oracle. */
+  private[queries] def docsCte(big: Boolean): String =
+    if (!big) "mdocs AS (SELECT doc_id, text FROM documents)"
+    else """mdocs AS (SELECT doc_id,
+           |    array_to_string(list_transform(range(1, len(w) + 1),
+           |      i -> w[CAST(i AS INT)] || '_' ||
+           |           CAST((doc_id*31 + i - 1) % 257 AS INT)), ' ') AS text
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |        FROM documents))""".stripMargin
+
+  private def msDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+      big: Boolean) =
+    if (big) bigVocabDocs(s, dir) else Catalog.load(s, dir, "documents")
+
   /** The distinct token-vector VOCABULARY (tid, v) the coarse quantizer
     * trains over. */
-  private def tokenVocab(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def tokenVocab(s: org.apache.spark.sql.SparkSession, dir: String,
+      big: Boolean = false) = {
     import graft.expressions.PolyHash.polyHash
     import graft.functions.Hashing.{A, B, P}
-    Catalog.load(s, dir, "documents")
+    msDocs(s, dir, big)
       .select(explode(expr("split(text, ' ')")).as("tok"))
       .select(polyHash(col("tok")).as("h")).distinct()
       .select(col("h").as("tid"), array((0 until 4).map(i =>
@@ -56,14 +88,41 @@ object SimilarityQ {
       (ap, cp)
     }
 
+  /** The BIG-VOCAB token IVF (separate cache instance so the base- and
+    * big-corpus quantizers coexist per session — SessionCache evicts on
+    * key change by design): same fixed-point Lloyd, same kc, trained over
+    * [[bigVocabDocs]]'s ~7.5k-word vocabulary. */
+  private val maxsimIvfBigCache =
+    new SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      { case (a, c) => a.unpersist(); c.unpersist() })
+
+  private def maxsimIvfBig(s: org.apache.spark.sql.SparkSession, dir: String) =
+    maxsimIvfBigCache.getOrElseUpdate(s, dir) {
+      import graft.ops.KMeans
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (a, c) = KMeans.lloyd(tokenVocab(s, dir, big = true), "tid", "v",
+        MsKc, MsIters, dims = 4)
+      val ap = a.persist(MEMORY_AND_DISK); ap.count()
+      val cp = c.select(col("cluster"), col("cent")).persist(MEMORY_AND_DISK)
+      cp.count()
+      (ap, cp)
+    }
+
   /** Corpus-token table with the deterministic 4-dim pseudo-embedding —
     * identical affine exprs as the exact MaxSim row; explicit-count
     * repartition for the single-file-scan parallelism trap the exact row
     * documents. */
-  private def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String,
+      big: Boolean = false) = tokensOf(msDocs(s, dir, big))
+
+  /** The explode + pseudo-embedding body over an ARBITRARY `docs(doc_id,
+    * text)` table — shared by the base corpus, the bigvocab fixture and
+    * the append delta batch. */
+  private def tokensOf(docs: org.apache.spark.sql.DataFrame) = {
     import graft.expressions.PolyHash.polyHash
     import graft.functions.Hashing.{A, B, P}
-    Catalog.load(s, dir, "documents")
+    val s = docs.sparkSession
+    docs
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
       .select(Seq(col("doc_id"), polyHash(col("tok")).as("h")): _*)
       .select(col("doc_id") +: col("h") +: (0 until 4).map(i =>
@@ -82,10 +141,10 @@ object SimilarityQ {
     * index's job to bound). The EXACT row keeps the unpinned probe set —
     * it is the excluded-by-construction exactness baseline either way. */
   private def queryTokens(s: org.apache.spark.sql.SparkSession, dir: String,
-      mod: Int = 250) = {
+      mod: Int = 250, big: Boolean = false) = {
     import graft.expressions.PolyHash.polyHash
     import graft.functions.Hashing.{A, B, P}
-    Catalog.load(s, dir, "documents")
+    msDocs(s, dir, big)
       .filter(col("doc_id") % mod === 0 && col("doc_id") < 1000000000L)
       .select(col("doc_id").as("q_doc"),
         posexplode(expr("split(text, ' ')")).as(Seq("qpos", "tok")))
@@ -129,7 +188,13 @@ object SimilarityQ {
     val cand = s1.withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= candT)
       .select("q_doc", "doc_id").distinct()
-    val mx = cand.join(ctAll, "doc_id")
+    // Stage-2 forward fetch: cand is bounded (≤ |q_tokens|·T pairs by
+    // construction) — broadcast it so the corpus-sized forward table needs
+    // NO distribution for this join (its partial max aggregates map-side;
+    // only candidate rows reach the exchange). The in-session path still
+    // reuses ctAll's one repartition exchange across both stages; the
+    // persisted path can pass a plain index read here and pay no shuffle.
+    val mx = ctAll.join(broadcast(cand), "doc_id")
       .join(broadcast(qt), "q_doc")
       .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
       .agg(max(sim).as("ms"))
@@ -164,29 +229,51 @@ object SimilarityQ {
     * Trains its own Lloyd run per call (vocabulary-bounded — cheap);
     * measurement-only, never an oracle path. */
   private[graft] def maxsimServeAtKc(s: org.apache.spark.sql.SparkSession,
-      dir: String, kc: Int, nprobe: Int = MsNprobe, candT: Int = MsT)
-      : org.apache.spark.sql.DataFrame = {
+      dir: String, kc: Int, nprobe: Int = MsNprobe, candT: Int = MsT,
+      big: Boolean = false)
+      : org.apache.spark.sql.DataFrame =
+    maxsimServeQuantized(s, dir, maxsimQuantizerAtKc(s, dir, kc, big),
+      nprobe, candT, big)
+
+  /** Train-only half of the kc hook (round 13 split): callers that want the
+    * §9 cost curve time [[maxsimServeQuantized]] alone — training is
+    * train-once/serve-many and its cost scales with kc, so folding it into
+    * the serve timing buried the candidate-share signal at small SF (the
+    * r12 STATUS caveat this split removes). */
+  private[graft] def maxsimQuantizerAtKc(s: org.apache.spark.sql.SparkSession,
+      dir: String, kc: Int, big: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.ops.{AnnSweep, KMeans}
     // Literal-expression Lloyd stops scaling at k ≈ 16 (the AnnSweep
     // finding: the baked-centroid expression tree explodes codegen — the
     // first kc=32 measurement spent 12+ s in training, not serving); past
     // it, train on the join path (same seeds, same fixed-point means).
     val (a0, c0) =
-      if (kc <= 16) KMeans.lloyd(tokenVocab(s, dir), "tid", "v", kc, MsIters,
-        dims = 4)
-      else AnnSweep.lloydJoin(tokenVocab(s, dir), "tid", "v", kc, MsIters,
-        dims = 4)
+      if (kc <= 16) KMeans.lloyd(tokenVocab(s, dir, big), "tid", "v", kc,
+        MsIters, dims = 4)
+      else AnnSweep.lloydJoin(tokenVocab(s, dir, big), "tid", "v", kc,
+        MsIters, dims = 4)
     // The pinned serve reads a PERSISTED assignment (maxsimIvf's cache);
     // an eager localCheckpoint gives this hook the same property — without
     // it the multi-round training lineage re-executes inside every serve
-    // branch that references it, and the row measures training, not serving.
-    val a = a0.localCheckpoint()
-    val c = c0.localCheckpoint()
-    val ctAll = corpusTokens(s, dir)
+    // branch that references it, and the hook measures training, not
+    // serving.
+    (a0.localCheckpoint(), c0.localCheckpoint())
+  }
+
+  /** Serve-only half of the kc hook: the shipped two-stage serve over a
+    * pre-trained (assignment, centroids) pair from [[maxsimQuantizerAtKc]]. */
+  private[graft] def maxsimServeQuantized(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      q: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+      nprobe: Int = MsNprobe, candT: Int = MsT, big: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val (a, c) = q
+    val ctAll = corpusTokens(s, dir, big)
     val ct = ctAll.join(a.select(col("tid"), col("cluster")),
       col("h") === col("tid"))
     maxsimServe(ct, c.select(col("cluster"), col("cent")), ctAll,
-      queryTokens(s, dir), nprobe, candT)
+      queryTokens(s, dir, big = big), nprobe, candT)
   }
 
   /** Bench hook: the PERSISTED token-IVF serve at an arbitrary probe
@@ -199,8 +286,22 @@ object SimilarityQ {
     val cells = s.read.parquet(s"$path/cells")
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
     maxsimServe(cells, s.read.parquet(s"$path/cents"),
-      corpusTokens(s, dir), queryTokens(s, dir, mod))
+      maxsimForward(s, path), queryTokens(s, dir, mod))
   }
+
+  /** Stage-2 forward token table OF THE INDEX ITSELF: the cells layout
+    * already holds every corpus-token occurrence with its dims, so the
+    * persisted serve's exact rerank is a second columnar read of the index
+    * — never a re-explode of the text (round 12's 100× inversion: the
+    * persisted path paid the in-session path's full explode + repartition
+    * AGAIN for stage 2, on top of its own index scan + shuffle — two
+    * corpus-sized passes where in-session reuses one exchange). No
+    * repartition here: the stage-2 join broadcasts the bounded candidate
+    * set, so this branch needs no distribution and its partial max runs at
+    * scan parallelism. */
+  private def maxsimForward(s: org.apache.spark.sql.SparkSession,
+      path: String) =
+    s.read.parquet(s"$path/cells").select("doc_id", "v0", "v1", "v2", "v3")
 
   /** Session-scoped DISK token-IVF index (train-once / serve-many, the
     * kmeansIndex discipline): `cells/` = every corpus-token occurrence
@@ -231,17 +332,163 @@ object SimilarityQ {
       tmp
     }
 
+  // ---- token-IVF index LIFECYCLE (round 13): append / delete / compact —
+  // the same segment discipline the BM25 impact index and the IVF-PQ index
+  // carry, closing the asymmetry where the late-interaction index could
+  // only ever be rebuilt from scratch. The lifecycle runs on the BIGVOCAB
+  // corpus deliberately: on the 31-word base corpus MaxSim scores tie
+  // massively (every full-profile doc reaches the identical per-token max,
+  // and the doc_id tiebreak pins the lowest ids), so an appended doc could
+  // NEVER surface in a top-10 and a serve that silently dropped the delta
+  // would still pass — measured before switching: append ≡ base, delta
+  // rows unreachable. On the salted corpus scores discriminate, so the
+  // oracle genuinely exercises both the appended and the deleted docs
+  // (clones tie ONLY with their source and land adjacent to it).
+
+  /** The PERSISTED bigvocab token-IVF index (the [[maxsimIndex]] layout
+    * over [[bigVocabDocs]] with the big quantizer) — the lifecycle's base
+    * segment. */
+  private val maxsimIndexBigCache = new SessionCache[String](_ => ())
+
+  private def maxsimIndexBig(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimIndexBigCache.getOrElseUpdate(s, dir) {
+      val (assigned, cents) = maxsimIvfBig(s, dir)
+      val tmp = graft.engine.TempDirs.create("graft_msivf_big")
+      corpusTokens(s, dir, big = true)
+        .join(assigned.select(col("tid"), col("cluster")), col("h") === col("tid"))
+        .select("cluster", "doc_id", "v0", "v1", "v2", "v3")
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cluster").parquet(s"$tmp/cells")
+      cents.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmp/cents")
+      tmp
+    }
+
+  /** The append batch: re-identified clones of the mod-3 BIGVOCAB docs.
+    * The salt is computed from the SOURCE id (transform first, re-id
+    * after), so every delta token is inside the trained vocabulary —
+    * total stage-1 coverage, and the clone ties exactly with its source.
+    *
+    * Delta ids live in the NEGATIVE namespace (-(source+1)), not the
+    * +1e15 convention the other index deltas use — deliberately: every
+    * tie in this suite breaks by doc_id ASC, so a HIGH-namespace clone
+    * loses every tie against its source and (measured at sf0.001 AND
+    * sf0.1) can never enter a top-10 or even the stage-1 candidate cut —
+    * a serve that silently DROPPED the delta produced bit-identical
+    * results. Negative ids win those ties instead, so "appended docs are
+    * actually served" is an observable property of this row's oracle
+    * equality (the clone ranks immediately BEFORE its source wherever the
+    * source appeared). Disjointness holds at any replica factor (replica
+    * ids stay non-negative), and no mod-based fixture filter can match a
+    * negative id (JVM and SQL `%` both keep the sign). */
+  private def maxsimDeltaDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    bigVocabDocs(s, dir).filter(col("doc_id") % 10 === 3)
+      .select((-(col("doc_id") + 1)).as("doc_id"), col("text"))
+
+  /** DELTA cells under the FROZEN quantizer (the ivf_pq_delta discipline):
+    * the batch's tokens are assigned with the persisted trained
+    * assignment — no retraining, base cells untouched; the delta lands as
+    * its own cells directory beside the base index. A delta token whose
+    * word were OUTSIDE the trained vocabulary would drop from stage 1 (no
+    * cell to probe — the df = 0 analog) — this batch is source-salted
+    * clones, so coverage is total. */
+  private val maxsimDeltaCache = new SessionCache[String](_ => ())
+
+  private def maxsimDeltaCells(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimDeltaCache.getOrElseUpdate(s, dir) {
+      val (assigned, _) = maxsimIvfBig(s, dir)
+      val tmp = graft.engine.TempDirs.create("graft_msivf_delta")
+      tokensOf(maxsimDeltaDocs(s, dir))
+        .join(assigned.select(col("tid"), col("cluster")),
+          col("h") === col("tid"))
+        .select("cluster", "doc_id", "v0", "v1", "v2", "v3")
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cluster").parquet(s"$tmp/cells")
+      tmp
+    }
+
+  /** Tombstones against the bigvocab base index (mod-4 base docs, the BM25
+    * delete fixture's family): an O(|deletes|) doc_id table under the
+    * index dir — postings untouched until compaction. Returns the index
+    * path with `tombstones/` guaranteed present. */
+  private val maxsimTombCache = new SessionCache[String](_ => ())
+
+  private def maxsimTombstoned(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimTombCache.getOrElseUpdate(s, dir) {
+      val path = maxsimIndexBig(s, dir)
+      Catalog.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 4).select("doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$path/tombstones")
+      path
+    }
+
+  /** Union of cells directories (base + segments) for a multi-segment
+    * serve; schema identical by construction (same writer). */
+  private def maxsimCellsUnion(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]) =
+    paths.map(p => s.read.parquet(s"$p/cells")).reduce(_.unionByName(_))
+
+  /** Post-delete COMPACTION: live (base ∪ delta − tombstones) cells
+    * rewritten as ONE cluster-partitioned layout under the SAME frozen
+    * centroids — pure reorganization, so serving from it must BIT-equal
+    * the tombstone-filtered union serve (the segment-split-invariance
+    * discipline; both rows share one oracle). */
+  private val maxsimCompactCache = new SessionCache[String](_ => ())
+
+  private def maxsimLifecycleCompacted(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimCompactCache.getOrElseUpdate(s, dir) {
+      val base = maxsimTombstoned(s, dir)
+      val delta = maxsimDeltaCells(s, dir)
+      val tomb = s.read.parquet(s"$base/tombstones")
+      val out = graft.engine.TempDirs.create("graft_msivf_compact")
+      maxsimCellsUnion(s, Seq(base, delta))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cluster").parquet(s"$out/cells")
+      s.read.parquet(s"$base/cents").write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$out/cents")
+      out
+    }
+
   /** Named builders for bench attribution (see SparkEntry.pipelines). */
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "maxsim_token_ivf" -> ((s, d) => { maxsimIvf(s, d); () }),
-      "maxsim_ivf_index" -> ((s, d) => { maxsimIndex(s, d); () }))
+      "maxsim_token_ivf_big" -> ((s, d) => { maxsimIvfBig(s, d); () }),
+      "maxsim_ivf_index" -> ((s, d) => { maxsimIndex(s, d); () }),
+      "maxsim_ivf_index_big" -> ((s, d) => { maxsimIndexBig(s, d); () }),
+      "maxsim_ivf_delta" -> ((s, d) => { maxsimDeltaCells(s, d); () }),
+      "maxsim_ivf_tombstones" -> ((s, d) => { maxsimTombstoned(s, d); () }),
+      "maxsim_ivf_compact" -> ((s, d) => { maxsimLifecycleCompacted(s, d); () }))
 
   /** The ONE DuckDB oracle for both IVF MaxSim serves (in-session and
     * persisted must be bit-equal — the ann_ivf_kmeans(_persisted)
     * discipline): replays vocabulary build, fixed-point Lloyd, per-token
     * probe, stage-1 candidate ranks, and the exact stage-2 rerank. */
-  private def maxsimIvfOracle: String = {
+  private def maxsimIvfOracle: String = maxsimIvfOracleOver(big = false)
+
+  /** The IVF MaxSim serve oracle, parameterized by lifecycle state:
+    * `big` swaps in the bigvocab corpus; `append` unions the mod-3 delta
+    * batch (negative-namespace ids — see [[maxsimDeltaDocs]] for why not
+    * +1e15) into the SERVED token stream while the quantizer
+    * still trains on the BASE vocabulary (frozen-centroid semantics);
+    * `deleted` filters the mod-4 base docs out of SCORING while the
+    * quantizer keeps its as-trained state. Queries stay the base probe
+    * set in every variant. */
+  private def maxsimIvfOracleOver(big: Boolean, append: Boolean = false,
+      deleted: Boolean = false): String = {
     import graft.functions.Hashing.{polyHashDuck, A, B, P}
     import graft.ops.KMeans
     val cdims = (0 until 4)
@@ -254,17 +501,33 @@ object SimilarityQ {
       .map(i => s"CAST((h * ${A(i)} + ${B(i)}) % $P AS DOUBLE) / $P.0")
       .mkString(", ") + "]"
     val simSql = (0 until 4).map(i => s"q.q$i * c.v$i").mkString(" + ")
+    val sdocs =
+      if (append)
+        """sdocs AS (SELECT doc_id, text FROM mdocs
+          |  UNION ALL
+          |  SELECT -(doc_id + 1) AS doc_id, text
+          |  FROM mdocs WHERE doc_id % 10 = 3)""".stripMargin
+      else "sdocs AS (SELECT doc_id, text FROM mdocs)"
+    val liveWhere =
+      if (deleted)
+        "WHERE NOT (doc_id % 10 = 4 AND doc_id < 1000000000000000)"
+      else ""
     Q.materializeCtes(
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      s"""WITH ${docsCte(big)},
+         |$sdocs,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM mdocs),
          |th AS (SELECT doc_id, ${polyHashDuck("t")} AS h FROM tok),
          |voc AS (SELECT DISTINCT h FROM th),
          |vv AS (SELECT h AS tid, $vlist AS v FROM voc),
          |${KMeans.oracleCtes("vv", "tid", "v", MsKc, MsIters, 4, "mx")},
-         |cta AS (SELECT th.doc_id, th.h AS h, a.cluster
-         |        FROM th JOIN mxa$MsIters a ON a.tid = th.h),
+         |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |         FROM sdocs $liveWhere),
+         |sth AS (SELECT doc_id, ${polyHashDuck("t")} AS h FROM stok),
+         |cta AS (SELECT sth.doc_id, sth.h AS h, a.cluster
+         |        FROM sth JOIN mxa$MsIters a ON a.tid = sth.h),
          |ctv AS (SELECT doc_id, cluster, $cdims FROM cta),
          |q0 AS (SELECT doc_id AS q_doc, string_split(text, ' ') AS w
-         |       FROM documents WHERE doc_id % 250 = 0 AND doc_id < 1000000000),
+         |       FROM mdocs WHERE doc_id % 250 = 0 AND doc_id < 1000000000),
          |q1 AS (SELECT q_doc, z.x.p AS qpos, z.x.t AS t FROM (
          |         SELECT q_doc, unnest(list_transform(range(1, len(w) + 1),
          |             i -> {'p': i, 't': w[CAST(i AS INT)]})) AS x
@@ -288,7 +551,7 @@ object SimilarityQ {
          |                ORDER BY ms DESC, doc_id ASC) AS rn
          |       FROM s1),
          |cand AS (SELECT DISTINCT q_doc, doc_id FROM rd WHERE rn <= $MsT),
-         |ctf AS (SELECT doc_id, $cdims FROM th),
+         |ctf AS (SELECT doc_id, $cdims FROM sth),
          |mx AS (SELECT q.q_doc, q.qpos, c.doc_id, MAX($simSql) AS ms
          |       FROM qv q
          |       JOIN cand d ON d.q_doc = q.q_doc
@@ -625,14 +888,35 @@ object SimilarityQ {
       },
       Some(maxsimIvfOracle)),
 
+    // The token-IVF serve on the BIG-VOCABULARY fixture (round 13): the
+    // base test corpus has 31 distinct words, which saturates the kc axis
+    // and makes df/n_docs ≈ 1 for every term — this row pins the identical
+    // two-stage serve (same kc/nprobe/T, same fold) on the ~7.5k-word
+    // [[bigVocabDocs]] corpus, where cells hold ~940 words each and
+    // candidate share genuinely shrinks with kc. The kc cost curve itself
+    // is measured by the bench's maxsim_sweep bigvocab points and the
+    // scale sweep; correctness here is the full DuckDB replay (vocabulary
+    // build → Lloyd → probe → both stages) over the salted corpus.
+    Q("retrieval_maxsim_ivf_bigvocab",
+      (s, dir) => {
+        val (vocabAssigned, cents) = maxsimIvfBig(s, dir)
+        val ctAll = corpusTokens(s, dir, big = true)
+        val ct = ctAll.join(vocabAssigned.select(col("tid"), col("cluster")),
+          col("h") === col("tid"))
+        maxsimServe(ct, cents, ctAll, queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true))),
+
     // The DISK-persisted token-IVF serve (train-once / serve-many — the
     // ann_ivf_kmeans_persisted discipline): stage 1 reads ONLY the probed
     // cells' partition directories of the `maxsim_ivf_index` layout
     // (cluster-partitioned token postings; centroids broadcast from the
     // index's own table), stage 2 fetches candidates' full token lists
-    // from the base table (at 100 TB: a doc_id-bucketed forward index).
-    // Serving pays NO training or assignment — results must equal the
-    // in-session path bit-for-bit, so the oracle is the identical SQL.
+    // from a SECOND columnar read of the same cells (the index doubles as
+    // the forward table; at 100 TB: a doc_id-bucketed forward component).
+    // Serving pays NO training or assignment and touches the text zero
+    // times — results must equal the in-session path bit-for-bit, so the
+    // oracle is the identical SQL.
     Q("retrieval_maxsim_ivf_persisted",
       (s, dir) => {
         val path = maxsimIndex(s, dir)
@@ -646,9 +930,74 @@ object SimilarityQ {
         val cells = s.read.parquet(s"$path/cells")
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         val cents = s.read.parquet(s"$path/cents")
-        maxsimServe(cells, cents, corpusTokens(s, dir), queryTokens(s, dir))
+        // Stage 2 reads the INDEX's own cells as the forward token table
+        // (maxsimForward) — the persisted serve touches the text zero
+        // times. Round 12 passed corpusTokens here, so serving paid the
+        // in-session explode + full-width repartition AGAIN on top of the
+        // index scan: two corpus passes vs in-session's one reused
+        // exchange — the 100× inversion (380 s vs 242 s in-session).
+        maxsimServe(cells, cents, maxsimForward(s, path), queryTokens(s, dir))
       },
       Some(maxsimIvfOracle)),
+
+    // APPENDED token-IVF serve (round 13): the maxsim index's ingest path —
+    // a delta batch's tokens assigned under the FROZEN quantizer land as
+    // their own cells directory (pipeline:maxsim_ivf_delta), and serving
+    // unions base ∪ delta cells for stage 1 AND for the forward read. No
+    // retraining, base cells untouched: the ivf_pq_append / bm25_append
+    // discipline, which the late-interaction index lacked (it could only
+    // be rebuilt from scratch). Oracle: the full replay with the quantizer
+    // trained on the BASE vocabulary and the served stream = base ∪ delta.
+    Q("retrieval_maxsim_ivf_append",
+      (s, dir) => {
+        val base = maxsimIndexBig(s, dir)
+        val delta = maxsimDeltaCells(s, dir)
+        val cells = maxsimCellsUnion(s, Seq(base, delta))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = maxsimCellsUnion(s, Seq(base, delta))
+          .select("doc_id", "v0", "v1", "v2", "v3")
+        maxsimServe(cells, s.read.parquet(s"$base/cents"), fwd,
+          queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true))),
+
+    // DELETES against the appended state (round 13): the mod-4 base docs'
+    // tombstone table (pipeline:maxsim_ivf_tombstones, the bm25 delete
+    // fixture's family) filters BOTH reads — the stage-1 cells and the
+    // stage-2 forward — to live docs before any scoring, so a tombstoned
+    // doc can never appear at any k (no posting of it survives) while the
+    // quantizer and every stored dim stay as-built. Centroids are
+    // vocabulary-trained, so deletion cannot invalidate them.
+    Q("retrieval_maxsim_ivf_delete",
+      (s, dir) => {
+        val base = maxsimTombstoned(s, dir)
+        val delta = maxsimDeltaCells(s, dir)
+        val tomb = s.read.parquet(s"$base/tombstones")
+        def live(df: org.apache.spark.sql.DataFrame) =
+          df.join(tomb, Seq("doc_id"), "left_anti")
+        val cells = live(maxsimCellsUnion(s, Seq(base, delta)))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = live(maxsimCellsUnion(s, Seq(base, delta)))
+          .select("doc_id", "v0", "v1", "v2", "v3")
+        maxsimServe(cells, s.read.parquet(s"$base/cents"), fwd,
+          queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true, deleted = true))),
+
+    // Post-delete COMPACTION: live (base ∪ delta − tombstones) cells
+    // rewritten as one layout under the same frozen centroids
+    // (pipeline:maxsim_ivf_compact) — pure reorganization, so this serve
+    // must BIT-equal the tombstone-filtered union serve above: the two
+    // rows share one oracle (the segment-split-invariance discipline).
+    Q("retrieval_maxsim_ivf_lifecycle_compacted",
+      (s, dir) => {
+        val path = maxsimLifecycleCompacted(s, dir)
+        val cells = s.read.parquet(s"$path/cells")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        maxsimServe(cells, s.read.parquet(s"$path/cents"),
+          maxsimForward(s, path), queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true, deleted = true))),
 
 
     // Retrieval capstone: ANN top-3 per probe JOINED back to the documents

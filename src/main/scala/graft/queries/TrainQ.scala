@@ -289,6 +289,25 @@ object TrainQ {
       out
     }
 
+  /** Tombstones against the IVF-PQ index (round 13, the bm25/maxsim delete
+    * discipline): the mod-6 base vectors' id table under the index dir —
+    * an O(|deletes|) write; cells, centroids and codebooks untouched.
+    * Unlike the lexical index there are no global statistics to go stale:
+    * ADC distances are per-vector, so serve-time filtering IS the complete
+    * delete semantics and compaction is only a space/layout concern. */
+  private val ivfPqTombCache = new SessionCache[String](_ => ())
+
+  private def ivfPqTombstoned(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfPqTombCache.getOrElseUpdate(s, dir) {
+      val base = ivfPqIndex(s, dir)
+      Catalog.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 6).select("vec_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$base/tombstones")
+      base
+    }
+
   def pipelines: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "lloyd_kmeans" -> ((s, d) => { trained(s, d); () }),
@@ -298,6 +317,7 @@ object TrainQ {
       "pq_resid_codebooks" -> ((s, d) => { pqResidBooks(s, d); () }),
       "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }),
       "ivf_pq_compact" -> ((s, d) => { ivfPqCompacted(s, d); () }),
+      "ivf_pq_tombstones" -> ((s, d) => { ivfPqTombstoned(s, d); () }),
       "ivf_pq_promoted" -> ((s, d) => { promotedIndex(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
@@ -391,8 +411,13 @@ object TrainQ {
   /** Oracle for the append-maintenance path: coarse + PQ training on the
     * ORIGINAL corpus only (the batch must not influence either), the batch
     * assigned and encoded against those frozen artifacts, scoring over the
-    * union of original and batch encodings. */
-  private def ivfPqAppendOracle: String = {
+    * union of original and batch encodings. `deleted` (round 13) excludes
+    * the mod-6 base tombstone family from SCORING while centroids,
+    * codebooks and every stored code stay as-built — vector deletion
+    * cannot invalidate any trained artifact, it only removes candidates. */
+  private def ivfPqAppendOracle: String = ivfPqAppendOracleOver(false)
+
+  private def ivfPqAppendOracleOver(deleted: Boolean): String = {
     val batchEncCtes = (0 until PqM).map { j =>
       s"""bq$j AS (SELECT vec_id, ${PQ.subDuck("embedding", j, PqSub)} AS sub FROM b),
          |be$j AS (SELECT vec_id, cluster AS code$j FROM (
@@ -435,7 +460,11 @@ object TrainQ {
        |           FROM q
        |           JOIN pp ON pp.q_vec = q.q_vec
        |           JOIN allc ON allc.cluster = pp.p_cluster
-       |                    AND allc.vec_id <> q.q_vec
+       |                    AND allc.vec_id <> q.q_vec${
+                    if (deleted)
+                      "\n           AND NOT (allc.vec_id % 10 = 6 AND " +
+                        "allc.vec_id < 1000000000000000)"
+                    else ""}
        |           ${(0 until PqM).map(j =>
                       s"JOIN t$j ON t$j.q_vec = q.q_vec AND t$j.code = allc.code$j")
                       .mkString("\n           ")}),
@@ -902,6 +931,30 @@ object TrainQ {
           .orderBy("q_vec", "rank")
       },
       Some(ivfPqAppendOracle)),
+
+    // DELETES against the appended index (round 13): the mod-6 base
+    // vectors' tombstone table (pipeline:ivf_pq_tombstones) filters the
+    // cells union to live vectors before the ADC core — a tombstoned
+    // vector can never be returned at any k. No trained artifact is
+    // touched or invalidated: ADC distances are per-vector (no global
+    // statistics to go stale, unlike the lexical index), so serve-time
+    // filtering IS the complete delete semantics.
+    Q("ann_ivf_pq_delete",
+      (s, dir) => {
+        val base = ivfPqTombstoned(s, dir)
+        val delta = ivfPqDelta(s, dir)
+        val tomb = s.read.parquet(s"$base/tombstones")
+          .select(col("vec_id"))
+        val cells = s.read.parquet(s"$base/cells")
+          .unionByName(s.read.parquet(delta))
+          .join(tomb, Seq("vec_id"), "left_anti")
+        PQ.knnIvfPqCells(cells, s.read.parquet(s"$base/cents"),
+            PQ.readBooks(s, base),
+            Catalog.load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", Dims, nprobe = 2, kTop = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(ivfPqAppendOracleOver(deleted = true))),
 
     // Index COMPACTION closes the maintenance loop (append → compact →
     // serve): base ∪ delta rewritten one-file-per-cell; serving from the

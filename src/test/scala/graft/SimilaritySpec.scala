@@ -43,4 +43,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(bf.sorted.toSeq === ivf.sorted.toSeq)
   }
+
+  test("maxsim index lifecycle: appended docs are SERVED (negative-namespace " +
+      "clones win ties), tombstoned docs never appear, compaction is " +
+      "serve-equivalent") {
+    import spark.implicits._
+    // Designed corpus through the REAL conformance rows: a temp dir with
+    // only a documents table (the maxsim rows touch nothing else). Doc 0
+    // is the probe (0 % 250 == 0); mod-3 docs seed the delta; mod-4 docs
+    // are tombstoned. 20 docs ⇒ every doc is in the top-10's reach, so
+    // both lifecycle effects are observable, not just hash-stable.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 20L).map { i =>
+      val t = (0 until 6).map(j => words(((i * 7 + j * 3) % 10).toInt))
+      (i, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = graft.engine.TempDirs.create("graft_mslife_fixture")
+    docs.write.mode("overwrite")
+      .parquet(graft.engine.Catalog.path(dir, "documents"))
+    def ids(name: String): Seq[Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val append = ids("retrieval_maxsim_ivf_append")
+    val deleted = ids("retrieval_maxsim_ivf_delete")
+    val compacted = SparkEntry.queries(
+      "retrieval_maxsim_ivf_lifecycle_compacted")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // appended docs genuinely serve: negative-namespace clones surface
+    assert(append.exists(_ < 0L), s"no delta doc served: $append")
+    // pre-delete the tombstone family is present; post-delete NEVER
+    assert(append.exists(id => id >= 0 && id % 10 == 4), append)
+    assert(deleted.forall(id => !(id >= 0 && id % 10 == 4)), deleted)
+    // deletes keep the delta served
+    assert(deleted.exists(_ < 0L), deleted)
+    // compaction is pure reorganization: bit-equal serve
+    assert(compacted === deleted)
+  }
 }
