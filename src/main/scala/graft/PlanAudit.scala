@@ -13,12 +13,24 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.engine.GraftSession.local("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    // Measurement-hook audit (round 13): "kc:<n>" / "bigkc:<n>" audits the
+    // maxsim kc serve hook at that cell count (quantizer trained UNTIMED,
+    // then the same first/warm serve timing + plan walk as a named query).
+    val KcRow = "(big)?kc:(\\d+)".r
     args.foreach { q =>
+      val run: () => org.apache.spark.sql.DataFrame = q match {
+        case KcRow(big, kc) =>
+          val quant = graft.queries.SimilarityQ.maxsimQuantizerAtKc(
+            spark, dir, kc.toInt, big = big != null)
+          () => graft.queries.SimilarityQ.maxsimServeQuantized(
+            spark, dir, quant, big = big != null)
+        case name => () => SparkEntry.queries(name)(spark, dir)
+      }
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(q)(spark, dir)
+      val df = run()
       df.count() // finalize the adaptive plan
       val t1 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count() // warm re-run (layouts built)
+      run().count() // warm re-run (layouts built)
       val t2 = System.nanoTime()
       // Same serve-plan tree walk as Bench's fingerprint (PlanNodes), so
       // AUDIT numbers and the bench artifact's fp columns are directly

@@ -270,7 +270,12 @@ object SimilarityQ {
       : org.apache.spark.sql.DataFrame = {
     val (a, c) = q
     val ctAll = corpusTokens(s, dir, big)
-    val ct = ctAll.join(a.select(col("tid"), col("cluster")),
+    // Explicit broadcast of the vocabulary assignment: the dictionary is
+    // bounded by design (≪ the token stream), but a localCheckpoint'd
+    // DataFrame carries no size stats, so static planning can fall back
+    // to a sort-merge join that shuffles the whole token stream BY HASH —
+    // a corpus-wide exchange the hook exists to exclude.
+    val ct = ctAll.join(broadcast(a.select(col("tid"), col("cluster"))),
       col("h") === col("tid"))
     maxsimServe(ct, c.select(col("cluster"), col("cent")), ctAll,
       queryTokens(s, dir, big = big), nprobe, candT)
