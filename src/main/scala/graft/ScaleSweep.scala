@@ -51,7 +51,17 @@ object ScaleSweep {
     * ratios read differently — see the state-size note in the sweep
     * artifact / STATUS. */
   private val sweep: Seq[String] = Seq(
-    "ann_bruteforce_topk", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
+    // ann_bruteforce_topk is NOT swept (round 13): it is the dense
+    // exactness baseline whose WORK is |Q|·|V| — with the probe set
+    // scaling alongside the corpus, factor 10 is 100× the pair scorings
+    // BY CONSTRUCTION, the same attribution that excludes
+    // retrieval_maxsim_topk / retrieval_hybrid_batch / dedup_semantic.
+    // It rode the sweep through r12 only because its wall ratio
+    // incidentally landed under the threshold (×9.26); measured for the
+    // record in r13: med ratio 22.1 at factor 10 (0.19 → 4.31 s) —
+    // sub-linear in WORK (×100), super-linear in data, exactly the
+    // excluded class. Its scale path (ann_ivf_* serves) stays swept.
+    "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
     "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
     "ann_ivf_pq_delete",
     // full_probe scores |Q|·|V| candidates by construction (every cell
