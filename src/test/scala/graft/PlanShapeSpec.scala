@@ -516,6 +516,27 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("persisted MaxSim serve never scans the corpus text — stage 2 " +
+      "forward-reads the index's own cells (the round-13 100x fix)") {
+    // The r12 inversion: stage 2 re-exploded the documents table, so the
+    // persisted serve paid the in-session explode + a second full-width
+    // shuffle on top of its index scan (380.5 s vs 241.9 in-session at
+    // 100x). Pin the fix structurally: every scan of the documents table
+    // in this plan must carry the QUERY-side pushdown (doc_id % 250 = 0) —
+    // i.e. the corpus text is read for query tokens ONLY; the corpus-sized
+    // inputs are both index reads.
+    val df = SparkEntry.queries("retrieval_maxsim_ivf_persisted")(spark, dir)
+    df.count() // finalize AQE so the executed scans are the real ones
+    val p = df.queryExecution.executedPlan.toString
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.nonEmpty, "expected the query-side documents scan")
+    assert(docScans.forall(_.contains("% 250")),
+      "corpus-text scan without the query filter — stage 2 is re-exploding " +
+        "the text again:\n" + docScans.mkString("\n"))
+  }
+
   test("hybrid-served retrieval touches only indexes: bucket-pruned postings, " +
       "cell-pruned IVF, no cartesian") {
     val p = plan(SparkEntry.queries("retrieval_hybrid_served")(spark, dir))
