@@ -610,11 +610,19 @@ object Bench {
     // round (14.0 s vs 5.7 s: tiny-files layout + file-count-limited
     // stage-1 parallelism). Pin the ratio so a layout regression fires the
     // gate; 1.25x margin absorbs median noise at these ~2-3 s rows.
+    // Round 13: the pin generalizes to every persisted/in-session pair the
+    // suite carries. Sub-second pairs need the ABSOLUTE gap guard (0.3 s,
+    // the time channel's floor): the dense pairs sit at 0.4-0.9 s where a
+    // 1.25x ratio is inside box noise — a pin that flaps on noise teaches
+    // people to ignore it.
     val servePins: Seq[String] =
-      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf")).flatMap {
+      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
+          ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
+          ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
         case (per, ins) =>
           (finalResults.get(per), finalResults.get(ins)) match {
-            case (Some((p, _, false)), Some((i, _, false))) if p > i * 1.25 =>
+            case (Some((p, _, false)), Some((i, _, false)))
+                if p > i * 1.25 && p - i > 0.3 =>
               Some(f"serve_pin: $per $p%.2fs > 1.25x $ins $i%.2fs")
             case _ => None
           }

@@ -423,10 +423,14 @@ object ScaleSweep {
     // matters most.
     val tNmap = tN
     val servePinViolations: Seq[String] =
-      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf")).flatMap {
+      Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
+          ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
+          ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
         case (per, ins) =>
           (tNmap.get(per), tNmap.get(ins)) match {
-            case (Some(p), Some(i)) if p > i * 1.25 =>
+            // Same margin + absolute-gap guard as the bench pin (a pair
+            // absent from this sweep's row set simply doesn't pin).
+            case (Some(p), Some(i)) if p > i * 1.25 && p - i > 0.3 =>
               Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
             case _ => None
           }
