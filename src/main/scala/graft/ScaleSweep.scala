@@ -350,7 +350,25 @@ object ScaleSweep {
           graft.queries.SimilarityQ.maxsimServeQuantized(spark, dir, q).count()
           s"maxsim_serve_kc$kc" -> (System.nanoTime() - t0) / 1e9
         }
-      pipelines ++ queries ++ kcRows
+      // BIGVOCAB kc axis at scale (round 13): the same serve-only kc rows
+      // on the ~7.5k-word fixture, where the axis is off-saturation — the
+      // §9 sizing claim (kc ∝ |vocab| holds candidate share constant)
+      // measured against a replicated corpus, not just at 1×.
+      val bigKcRows =
+        if (!names.contains("retrieval_maxsim_ivf_bigvocab")) Seq.empty
+        else Seq(8, 32, 128)
+          .filter(kc => only.forall(
+            _.findFirstIn(s"maxsim_serve_bigkc$kc").isDefined))
+          .map { kc =>
+            println(s"[sweep] running maxsim_serve_bigkc$kc @ $dir")
+            val q = graft.queries.SimilarityQ
+              .maxsimQuantizerAtKc(spark, dir, kc, big = true)
+            val t0 = System.nanoTime()
+            graft.queries.SimilarityQ
+              .maxsimServeQuantized(spark, dir, q, big = true).count()
+            s"maxsim_serve_bigkc$kc" -> (System.nanoTime() - t0) / 1e9
+          }
+      pipelines ++ queries ++ kcRows ++ bigKcRows
     }
 
     // 1× first, then the replica — the SessionCache dir-eviction swaps the
