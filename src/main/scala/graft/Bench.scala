@@ -152,7 +152,8 @@ object Bench {
         name -> (med, if (med > 0) (warm.max - warm.min) / med else 0.0, false)
       }
     }.toMap
-    val finalResults = results ++ healed
+    // finalResults is assembled AFTER the sweep sections (second-chance
+    // heal, round 14) — every consumer sits below that point.
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // RECALL@10 of the IVF-PQ serve lifecycle vs the exact L2 answer set:
     // the correctness rows pin DETERMINISM (each serve equals its replayed
@@ -166,7 +167,8 @@ object Bench {
     val lifecycleServes = Seq(
       "ann_ivf_pq_persisted", "ann_ivf_pq_full_probe",
       "ann_ivf_pq_append", "ann_ivf_pq_compacted",
-      "ann_ivf_pq_promoted")
+      "ann_ivf_pq_promoted",
+      "ann_ivf_pq_promoted_append", "ann_ivf_pq_promoted_delete")
     val recall: Seq[(String, Double)] =
       if (!lifecycleServes.forall(selected.contains)) Seq.empty
       else try {
@@ -205,21 +207,41 @@ object Bench {
         // (the derived clustered corpus its index serves) — recall here is
         // the 0.565-class number the sweep promised, carried per run.
         val promCorpus = graft.queries.TrainQ.promotedCorpus(spark, sfDir)
+        val promProbes = promCorpus.filter(col("vec_id") % 100 === 0)
         val truthProm = graft.ops.AnnSweep.truthPairs(promCorpus,
-          promCorpus.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 10)
-        def hitsProm(name: String): Double = {
+          promProbes, "vec_id", "embedding", 10)
+        // Lifecycle truths at the promoted point (round 14): exact L2 over
+        // base ∪ delta (the mod-3 clone batch, same 10^15 id namespace the
+        // serve and oracle use), and over the post-delete state (mod-6
+        // base family removed). Probes are vec_id % 100 = 0 — never in the
+        // deleted family, so the probe set is identical across all three.
+        val promDelta = promCorpus.filter(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 1000000000000000L).as("vec_id"),
+            col("embedding"))
+        val truthPromUnion = graft.ops.AnnSweep.truthPairs(
+          promCorpus.unionByName(promDelta), promProbes,
+          "vec_id", "embedding", 10)
+        val truthPromDeleted = graft.ops.AnnSweep.truthPairs(
+          promCorpus.filter(!(col("vec_id") % 10 === 6))
+            .unionByName(promDelta), promProbes,
+          "vec_id", "embedding", 10)
+        def hitsProm(name: String, truth: Set[(Long, Long)]): Double = {
           val got = selected(name)(spark, sfDir)
             .select("q_vec", "neighbor").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          if (truthProm.isEmpty) 0.0
-          else truthProm.count(got).toDouble / truthProm.size
+          if (truth.isEmpty) 0.0
+          else truth.count(got).toDouble / truth.size
         }
         Seq(
           "ann_ivf_pq_persisted" -> hits("ann_ivf_pq_persisted", truthBase),
           "ann_ivf_pq_full_probe" -> hits("ann_ivf_pq_full_probe", truthBase),
           "ann_ivf_pq_append" -> hits("ann_ivf_pq_append", truthUnion),
           "ann_ivf_pq_compacted" -> hits("ann_ivf_pq_compacted", truthUnion),
-          "ann_ivf_pq_promoted" -> hitsProm("ann_ivf_pq_promoted"))
+          "ann_ivf_pq_promoted" -> hitsProm("ann_ivf_pq_promoted", truthProm),
+          "ann_ivf_pq_promoted_append" ->
+            hitsProm("ann_ivf_pq_promoted_append", truthPromUnion),
+          "ann_ivf_pq_promoted_delete" ->
+            hitsProm("ann_ivf_pq_promoted_delete", truthPromDeleted))
       } catch {
         case e: Throwable =>
           println(s"[bench] recall computation failed: ${e.getMessage}")
@@ -316,23 +338,32 @@ object Bench {
         // serve on the same fixture (every cell admitted, unbounded T —
         // provably the exact MaxSim ranking); overlap@10 against it rides
         // each point like the dense family's recall.
-        val bigTruth = graft.queries.SimilarityQ
-          .maxsimServeAtKc(spark, sfDir, 8, nprobe = 8,
-            candT = Int.MaxValue, big = true)
-          .select("q_doc", "doc_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val bigPts = for (kc <- Seq(8, 16, 32, 64, 128)) yield {
-          val q = graft.queries.SimilarityQ
-            .maxsimQuantizerAtKc(spark, sfDir, kc, big = true)
-          val t0 = System.nanoTime()
-          val got = graft.queries.SimilarityQ
-            .maxsimServeQuantized(spark, sfDir, q, big = true)
+        // The bigvocab axis rides its OWN try (r13 advice): basePts is
+        // already measured by this point, and a bigvocab-only failure
+        // throwing past `basePts ++ bigPts` discarded the whole sweep.
+        val bigPts = try {
+          val bigTruth = graft.queries.SimilarityQ
+            .maxsimServeAtKc(spark, sfDir, 8, nprobe = 8,
+              candT = Int.MaxValue, big = true)
             .select("q_doc", "doc_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val secs = (System.nanoTime() - t0) / 1e9
-          val ov = if (bigTruth.isEmpty) 0.0
-                   else bigTruth.count(got).toDouble / bigTruth.size
-          (s"bigvocab_kc$kc", ov, secs)
+          for (kc <- Seq(8, 16, 32, 64, 128)) yield {
+            val q = graft.queries.SimilarityQ
+              .maxsimQuantizerAtKc(spark, sfDir, kc, big = true)
+            val t0 = System.nanoTime()
+            val got = graft.queries.SimilarityQ
+              .maxsimServeQuantized(spark, sfDir, q, big = true)
+              .select("q_doc", "doc_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val secs = (System.nanoTime() - t0) / 1e9
+            val ov = if (bigTruth.isEmpty) 0.0
+                     else bigTruth.count(got).toDouble / bigTruth.size
+            (s"bigvocab_kc$kc", ov, secs)
+          }
+        } catch {
+          case e: Throwable =>
+            println(s"[bench] maxsim bigvocab sweep failed: ${e.getMessage}")
+            Seq.empty
         }
         basePts ++ bigPts
       } catch {
@@ -534,6 +565,37 @@ object Bench {
     // fingerprints — the regression class a plan diff is structurally
     // blind to. The committed baseline now carries each row's clean-box
     // median; any row exceeding it >2× at low warm spread fails loudly.
+    // SECOND-CHANCE HEAL (round 14): the first heal runs back-to-back with
+    // the contended measurement, so a multi-minute interference episode
+    // re-measures INSIDE the episode — r13's driver bench healed q18 to
+    // 5.95 s at spread 2.48 while the same query's local median was 0.86 s.
+    // Rows whose HEALED spread still exceeds the threshold get one more
+    // 5-rep attempt here, after the sweep sections above have run for
+    // minutes; keep whichever attempt has the LOWER median (contention
+    // only ever inflates, so the lower median is closer to the clean cost).
+    val stillNoisy = healed.collect {
+      case (name, (med, spread, false)) if spread > 0.5 && med > 0.3 => name
+    }.toSeq.sorted
+    val secondHeal: Map[String, (Double, Double, Boolean)] =
+      stillNoisy.flatMap { name =>
+        val raw = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { selected(name)(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        if (raw.exists(!_._2)) None
+        else {
+          val times = raw.map(_._1).sorted
+          val med = times(times.size / 2)
+          val warm = raw.tail.map(_._1)
+          val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
+          println(f"BENCH_DETAIL second_heal $name first=${healed(name)._1}%.3f " +
+            f"retry=$med%.3f spread=$spread%.2f")
+          if (med < healed(name)._1) Some(name -> (med, spread, false)) else None
+        }
+      }.toMap
+    val finalResults = results ++ healed ++ secondHeal
     val gateTimes: Map[String, (Double, Double)] = finalResults.collect {
       case (name, (med, spread, false)) => name -> (med, spread)
     }.toMap
@@ -617,6 +679,7 @@ object Bench {
     // people to ignore it.
     val servePins: Seq[String] =
       Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
+          ("retrieval_maxsim_ivf_fwd", "retrieval_maxsim_ivf"),
           ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
           ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
         case (per, ins) =>
@@ -763,10 +826,20 @@ object Bench {
     // first, then headline rows in order while the line still fits. The
     // driver's tail capture is ~2000 chars — any final line longer than
     // that loses its "{"metric" prefix and parses as null (BENCH_r09).
+    // Violation MESSAGES ride the driver line too (round 14, the r13
+    // verdict's auditability gap: BENCH_r13 carried the bare count 4 and
+    // the 2000-char tail truncated every detail line, so the driver
+    // artifact was un-auditable without its local twin). Capped at 5
+    // messages × 110 chars — the count above says when the cap truncated;
+    // headline rows below already yield under the same size budget.
+    def jvq(s: String): String =
+      "\"" + s.take(110).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val violJson = allViolations.take(5).map(jvq).mkString("[", ",", "]")
     val fixed = s""""unit":"sec","n":${finalResults.size},"reps":$reps,""" +
       s""""spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},""" +
       s""""failed":$failedNames,"healed":$healedNames,""" +
       s""""plan_gate_violations":${allViolations.size},""" +
+      s""""violations":$violJson,""" +
       s""""recall_at_10":$rec,"maint_recall":$maint"""
     val budget = 1800
     def render(entries: Seq[String]): String =

@@ -61,9 +61,14 @@ object ScaleSweep {
     // record in r13: med ratio 22.1 at factor 10 (0.19 → 4.31 s) —
     // sub-linear in WORK (×100), super-linear in data, exactly the
     // excluded class. Its scale path (ann_ivf_* serves) stays swept.
-    "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
-    "ann_pq_codes", "ann_ivf_pq_persisted", "ann_ivf_pq_append",
-    "ann_ivf_pq_delete",
+    // The in-session counterparts (ann_ivf_kmeans, ann_ivf_pq_topk) ride
+    // the sweep too (round 14): the scale-level serve-amortization pin
+    // compares each persisted serve against its in-session path, and two
+    // of its three pairs were dead letters without them (the r13 advice —
+    // tNmap.get(ins) was always None, so only the maxsim pair pinned).
+    "ann_ivf_kmeans", "ann_ivf_kmeans_persisted", "ann_ivf_persisted",
+    "ann_pq_codes", "ann_ivf_pq_topk", "ann_ivf_pq_persisted",
+    "ann_ivf_pq_append", "ann_ivf_pq_delete",
     // full_probe scores |Q|·|V| candidates by construction (every cell
     // admitted) — swept at 10× like the bruteforce exactness baseline,
     // excluded at 100× for the same |Q|-scales-with-corpus reason.
@@ -128,6 +133,11 @@ object ScaleSweep {
     // ×100 pairs — sub-linear in WORK, super-linear in data), exactly the
     // embarrassingly-parallel workload axis the pin removes.
     "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
+    // The doc_id-bucketed forward serve (round 14): same fixed query
+    // workload, stage-2 scan partition-pruned to candidate buckets —
+    // linear like its cells-as-forward sibling, pinned by the same
+    // serve-amortization pair at every factor.
+    "retrieval_maxsim_ivf_fwd",
     // Impact-ordered BM25 serve: 3 bucket-pruned posting prefixes + a
     // bounded candidate rescore — linear work, constant output (also in
     // the ≥100× linear set below). The all-index hybrid (single probe,
@@ -142,7 +152,7 @@ object ScaleSweep {
     "text_bm25_impact_delete", "text_bm25_impact_delete_compacted",
     "text_bm25_bigvocab_topk", "retrieval_maxsim_ivf_bigvocab",
     "retrieval_maxsim_ivf_append", "retrieval_maxsim_ivf_delete",
-    "retrieval_maxsim_ivf_lifecycle_compacted", "ann_ivf_pq_delete",
+    "retrieval_maxsim_ivf_lifecycle_compacted",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -209,6 +219,7 @@ object ScaleSweep {
     "retrieval_maxsim_ivf_lifecycle_compacted",
     "retrieval_hybrid_served",
     "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
+    "retrieval_maxsim_ivf_fwd",
     "text_collocations_pmi", "text_inverted_index", "text_tfidf_topk",
     "text_quality", "text_token_count", "train_preference_pairs",
     // Skip-gram pairs: array-local window transforms, linear in tokens;
@@ -240,7 +251,8 @@ object ScaleSweep {
     // Vocabulary-bounded Lloyd (maxsim), its cluster-partitioned cell
     // write, and one posting-table pass with a per-term rank window
     // (bm25) — all linear in corpus tokens.
-    "maxsim_token_ivf", "maxsim_ivf_index", "bm25_impact_index",
+    "maxsim_token_ivf", "maxsim_ivf_index", "maxsim_forward",
+    "bm25_impact_index",
     "bm25_impact_delta", "bm25_impact_compact",
     "bm25_impact_segments", "bm25_multiseg_compact",
     // Round-13 lifecycle/fixture builds: tombstone writes are O(|deletes|),
@@ -293,7 +305,10 @@ object ScaleSweep {
     // linear-work subset. Dev aid (mirrors Bench): SPARK_GRAFT_ONLY=<regex>
     // sweeps a subset; pipelines still front the run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val names = (if (factor <= 10) sweep else sweepLinear)
+    // .distinct: a name listed twice (the r13 ann_ivf_pq_delete slip) would
+    // run twice per scale, emit a duplicate JSON key, and pair the first
+    // entry's ratio with the warm second run's timing.
+    val names = (if (factor <= 10) sweep else sweepLinear).distinct
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
 
     def runAll(dir: String): Seq[(String, Double)] = {
@@ -442,6 +457,7 @@ object ScaleSweep {
     val tNmap = tN
     val servePinViolations: Seq[String] =
       Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
+          ("retrieval_maxsim_ivf_fwd", "retrieval_maxsim_ivf"),
           ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
           ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
         case (per, ins) =>

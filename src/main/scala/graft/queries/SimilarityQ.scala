@@ -23,6 +23,11 @@ object SimilarityQ {
   private val MsIters = 2
   private val MsNprobe = 2
   private val MsT = 20 // candidate docs kept per query token (stage 1)
+  // Doc-bucket count of the persisted FORWARD component (round 14): small
+  // here so every bucket holds real rows at sf0.001; at 100 TB this grows
+  // with the corpus (thousands of buckets) so a serve's candidate fetch
+  // touches ≤ |candidate docs| directories of a corpus-sized table.
+  private val MsFwdBuckets = 32
 
   /** Session-scoped trained token IVF: (vocab assignment (tid, v, cluster),
     * centroids (cluster, cent)) — the Lloyd-pipeline discipline, trained
@@ -156,7 +161,8 @@ object SimilarityQ {
   /** The two-stage IVF MaxSim serve over cluster-tagged corpus tokens
     * `ct(doc_id, cluster, v0..v3)`: probe -> stage-1 candidate docs per
     * query token -> exact rerank over `ctAll` (the full forward token
-    * table; at 100 TB a doc_id-bucketed forward index). Shared verbatim by
+    * table; against the [[maxsimForwardBucketed]] layout the fetch is
+    * partition-pruned to candidate buckets). Shared verbatim by
     * the in-session and the persisted serves so their results — and their
     * single DuckDB oracle — are identical by construction. */
   private def maxsimServe(
@@ -194,7 +200,28 @@ object SimilarityQ {
     // only candidate rows reach the exchange). The in-session path still
     // reuses ctAll's one repartition exchange across both stages; the
     // persisted path can pass a plain index read here and pay no shuffle.
-    val mx = ctAll.join(broadcast(cand), "doc_id")
+    // The bound only holds for FINITE candT: the full-probe truth path
+    // (candT = Int.MaxValue, the bench's bigvocab exact serve) admits every
+    // scored doc — an |Q|·|V|-sized set that must NOT be broadcast (driver/
+    // broadcast limits at larger SFs); it falls back to a shuffle join.
+    //
+    // DOC-BUCKETED forward (round 14): when the forward table carries the
+    // `fb` partition column (the maxsim_forward layout), the join adds
+    // fb = pmod(doc_id, buckets) on the candidate side so dynamic partition
+    // pruning reaches the forward scan — stage 2 then reads ≤ |cand docs|
+    // bucket directories instead of every cell file, the 100 TB structure
+    // the cells-as-forward read (correct, but linear in the corpus) lacked.
+    // fb is a pure function of the join key, so results are unchanged.
+    val fetched =
+      if (ctAll.columns.contains("fb"))
+        ctAll.join(broadcast(cand.withColumn("fb",
+            pmod(col("doc_id"), lit(MsFwdBuckets)).cast("int"))),
+          Seq("fb", "doc_id"))
+      else {
+        val candB = if (candT == Int.MaxValue) cand else broadcast(cand)
+        ctAll.join(candB, "doc_id")
+      }
+    val mx = fetched
       .join(broadcast(qt), "q_doc")
       .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
       .agg(max(sim).as("ms"))
@@ -308,12 +335,39 @@ object SimilarityQ {
       path: String) =
     s.read.parquet(s"$path/cells").select("doc_id", "v0", "v1", "v2", "v3")
 
+  /** DOC_ID-BUCKETED forward component (round 14, closing the structure
+    * `maxsimServe`'s scaladoc names): the index's token occurrences
+    * rewritten once, partitioned by `fb = pmod(doc_id, MsFwdBuckets)` —
+    * one file per bucket (the ivf_pq_compact discipline). The cells-as-
+    * forward read is CORRECT but scans every cell file at serve time
+    * (linear in the corpus); against this layout, the stage-2 candidate
+    * fetch dynamic-partition-prunes to the ≤ |q_tokens|·T candidate docs'
+    * buckets, so the forward read is bounded by the WORKLOAD, not the
+    * corpus. Build is one linear pass over the already-built index. */
+  private val maxsimFwdCache = new SessionCache[String](_ => ())
+
+  private def maxsimForwardBucketed(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimFwdCache.getOrElseUpdate(s, dir) {
+      val path = maxsimIndex(s, dir)
+      val tmp = graft.engine.TempDirs.create("graft_msfwd")
+      s.read.parquet(s"$path/cells")
+        .select(col("doc_id"), col("v0"), col("v1"), col("v2"), col("v3"))
+        .withColumn("fb", pmod(col("doc_id"), lit(MsFwdBuckets)).cast("int"))
+        .repartition(col("fb"))
+        .sortWithinPartitions("fb", "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("fb").parquet(s"$tmp/forward")
+      tmp
+    }
+
   /** Session-scoped DISK token-IVF index (train-once / serve-many, the
     * kmeansIndex discipline): `cells/` = every corpus-token occurrence
     * with its dims, PARTITIONED by the trained cluster — the persisted
     * serve's stage-1 scan prunes to the probed cells' directories;
     * `cents/` = the centroid table. The stage-2 forward fetch reads the
-    * base documents table (at 100 TB: a doc_id-bucketed forward index). */
+    * index's own cells — or, for the bounded-at-scale variant, the
+    * doc_id-bucketed [[maxsimForwardBucketed]] component (round 14). */
   private val maxsimIndexCache = new SessionCache[String](_ => ())
 
   private def maxsimIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
@@ -473,6 +527,7 @@ object SimilarityQ {
       "maxsim_token_ivf" -> ((s, d) => { maxsimIvf(s, d); () }),
       "maxsim_token_ivf_big" -> ((s, d) => { maxsimIvfBig(s, d); () }),
       "maxsim_ivf_index" -> ((s, d) => { maxsimIndex(s, d); () }),
+      "maxsim_forward" -> ((s, d) => { maxsimForwardBucketed(s, d); () }),
       "maxsim_ivf_index_big" -> ((s, d) => { maxsimIndexBig(s, d); () }),
       "maxsim_ivf_delta" -> ((s, d) => { maxsimDeltaCells(s, d); () }),
       "maxsim_ivf_tombstones" -> ((s, d) => { maxsimTombstoned(s, d); () }),
@@ -918,7 +973,8 @@ object SimilarityQ {
     // (cluster-partitioned token postings; centroids broadcast from the
     // index's own table), stage 2 fetches candidates' full token lists
     // from a SECOND columnar read of the same cells (the index doubles as
-    // the forward table; at 100 TB: a doc_id-bucketed forward component).
+    // the forward table; the retrieval_maxsim_ivf_fwd row below serves the
+    // doc_id-bucketed forward component, whose fetch is partition-pruned).
     // Serving pays NO training or assignment and touches the text zero
     // times — results must equal the in-session path bit-for-bit, so the
     // oracle is the identical SQL.
@@ -942,6 +998,24 @@ object SimilarityQ {
         // index scan: two corpus passes vs in-session's one reused
         // exchange — the 100× inversion (380 s vs 242 s in-session).
         maxsimServe(cells, cents, maxsimForward(s, path), queryTokens(s, dir))
+      },
+      Some(maxsimIvfOracle)),
+
+    // The persisted serve against the DOC_ID-BUCKETED forward component
+    // (round 14): stage 1 is identical to the row above; stage 2 fetches
+    // candidates from the `maxsim_forward` layout, whose scan carries a
+    // dynamic partition filter on fb (pinned in PlanShapeSpec) — at scale
+    // the forward read touches only the candidate docs' buckets instead of
+    // every cell file. fb is a pure function of doc_id, so the result —
+    // and the oracle — are bit-identical to the cells-as-forward serve.
+    Q("retrieval_maxsim_ivf_fwd",
+      (s, dir) => {
+        val path = maxsimIndex(s, dir)
+        val cells = s.read.parquet(s"$path/cells")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = s.read.parquet(s"${maxsimForwardBucketed(s, dir)}/forward")
+        maxsimServe(cells, s.read.parquet(s"$path/cents"), fwd,
+          queryTokens(s, dir))
       },
       Some(maxsimIvfOracle)),
 

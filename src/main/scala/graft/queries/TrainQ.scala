@@ -168,6 +168,55 @@ object TrainQ {
       tmp
     }
 
+  /** Session-scoped PROMOTED delta cells (round 14): the append path at the
+    * promoted operating point — the r13 verdict's gap was that maintenance
+    * only had lifecycle coverage at the cost-floor config (recall@10
+    * ~0.08), so "maintenance preserves recall" was never pinned where
+    * recall actually lives. The batch (re-identified mod-3 clones, the
+    * ivfPqDelta discipline and id namespace) is assigned with the PERSISTED
+    * promoted centroids and encoded with the PERSISTED promoted codebooks
+    * on the JOIN path — at m=16 × 256 codes the books stay DATA (broadcast
+    * joins), never driver literals. No retraining, base cells untouched. */
+  private val promDeltaCache = new SessionCache[String](_ => ())
+
+  private def promotedDelta(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    promDeltaCache.getOrElseUpdate(s, dir) {
+      import graft.ops.AnnSweep
+      val base = promotedIndex(s, dir)
+      val cents = s.read.parquet(s"$base/cents")
+      val books = s.read.parquet(s"$base/books")
+      val batch = promotedCorpus(s, dir)
+        .filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000000000000L).as("vec_id"),
+          col("embedding"))
+      val assigned = AnnSweep.assignJoin(batch, "vec_id", "embedding", cents)
+      val enc = AnnSweep.encodeJoin(assigned, "vec_id", "embedding", books,
+        PromM, PromSub)
+      val delta = graft.engine.TempDirs.create("graft_ivfpq_prom_delta") + "/cells"
+      enc.repartition(col("cluster"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cluster").parquet(delta)
+      delta
+    }
+
+  /** Tombstones against the PROMOTED index — same O(|deletes|) id-table
+    * semantics as [[ivfPqTombstoned]]: ADC distances are per-vector, so
+    * serve-time filtering IS the complete delete; centroids and 16
+    * codebooks stay as-built. */
+  private val promTombCache = new SessionCache[String](_ => ())
+
+  private def promotedTombstoned(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    promTombCache.getOrElseUpdate(s, dir) {
+      val base = promotedIndex(s, dir)
+      Catalog.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 6).select("vec_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$base/tombstones")
+      base
+    }
+
   /** Session-scoped PQ codebooks — trained once, consumed by the encode and
     * ADC-search queries (O(k·dims) driver scalars, the centroid budget). */
   private val pqCache =
@@ -318,7 +367,9 @@ object TrainQ {
       "ivf_pq_delta" -> ((s, d) => { ivfPqDelta(s, d); () }),
       "ivf_pq_compact" -> ((s, d) => { ivfPqCompacted(s, d); () }),
       "ivf_pq_tombstones" -> ((s, d) => { ivfPqTombstoned(s, d); () }),
-      "ivf_pq_promoted" -> ((s, d) => { promotedIndex(s, d); () }))
+      "ivf_pq_promoted" -> ((s, d) => { promotedIndex(s, d); () }),
+      "ivf_pq_promoted_delta" -> ((s, d) => { promotedDelta(s, d); () }),
+      "ivf_pq_promoted_tombstones" -> ((s, d) => { promotedTombstoned(s, d); () }))
 
   /** Shared oracle for both IVF-PQ paths (in-session and persisted) —
     * bucketed serving must return exactly what the in-session path does. */
@@ -406,6 +457,80 @@ object TrainQ {
        |      FROM scored)
        |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
        |ORDER BY q_vec, rank""".stripMargin
+  }
+
+  /** Oracle for the PROMOTED lifecycle rows (round 14): the promoted
+    * oracle's corpus + trainings, the batch CTEs of [[ivfPqAppendOracleOver]]
+    * re-derived at the promoted shape (m=16 encodings against the frozen
+    * p{j}c{iters} codebooks), scoring over base ∪ batch; `deleted` excludes
+    * the mod-6 base family from scoring exactly as the cost-floor delete
+    * does. Forced MATERIALIZED like every promoted-shape oracle. */
+  private def promotedLifecycleOracle(deleted: Boolean): String = {
+    val tabCtes = (0 until PromM).map { j =>
+      s"""pqs$j AS (SELECT q_vec, ${PQ.subDuck("embedding", j, PromSub)} AS sub FROM q),
+         |pt$j AS (SELECT q_vec, c.cluster AS code,
+         |               ${KMeans.distDuck("v.sub", "c.cent", PromSub)} AS dd
+         |        FROM pqs$j v, p${j}c$PromIters c)""".stripMargin
+    }.mkString(",\n")
+    val batchEncCtes = (0 until PromM).map { j =>
+      s"""bq$j AS (SELECT vec_id, ${PQ.subDuck("embedding", j, PromSub)} AS sub FROM b),
+         |be$j AS (SELECT vec_id, cluster AS code$j FROM (
+         |  SELECT v.vec_id, c.cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${KMeans.distDuck("v.sub", "c.cent", PromSub)} ASC, c.cluster ASC) AS rn
+         |  FROM bq$j v, p${j}c$PromIters c) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bencJoin = (1 until PromM)
+      .map(j => s"JOIN be$j ON be$j.vec_id = be0.vec_id").mkString(" ")
+    val codeCols = (0 until PromM).map(j => s"code$j").mkString(", ")
+    val tabJoins = (0 until PromM)
+      .map(j => s"JOIN pt$j ON pt$j.q_vec = q.q_vec AND pt$j.code = allc.code$j")
+      .mkString("\n           ")
+    val adist = (0 until PromM).map(j => s"pt$j.dd").mkString(" + ")
+    Q.materializeCtes(
+      s"""WITH $promotedCorpusCte,
+         |${KMeans.oracleCtes("cc", "vec_id", "embedding", PromKc, PromIters, Dims)},
+         |${PQ.oracleCtes("cc", "vec_id", "embedding", PromM, PromKcode, PromIters, Dims)},
+         |b AS (SELECT vec_id + 1000000000000000 AS vec_id, embedding FROM cc
+         |      WHERE vec_id % 10 = 3),
+         |ab AS (SELECT vec_id, cluster FROM (
+         |    SELECT b.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |               ORDER BY ${KMeans.distDuck("b.embedding", "c.cent", Dims)} ASC,
+         |                        c.cluster ASC) AS rn
+         |    FROM b, c$PromIters c) x WHERE rn = 1),
+         |$batchEncCtes,
+         |benc AS (SELECT be0.vec_id, $codeCols FROM be0 $bencJoin),
+         |allc AS (SELECT e.vec_id, a.cluster, $codeCols
+         |         FROM enc e JOIN a$PromIters a ON a.vec_id = e.vec_id
+         |         UNION ALL
+         |         SELECT be.vec_id, ab.cluster, $codeCols
+         |         FROM benc be JOIN ab ON ab.vec_id = be.vec_id),
+         |q AS (SELECT vec_id AS q_vec, embedding FROM cc WHERE vec_id % 100 = 0),
+         |pp AS (SELECT q_vec, cluster AS p_cluster FROM (
+         |    SELECT q.q_vec, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+         |               ORDER BY ${KMeans.distDuck("q.embedding", "c.cent", Dims)} ASC,
+         |                        c.cluster ASC) AS pr
+         |    FROM q, c$PromIters c) z WHERE pr <= $PromNprobe),
+         |$tabCtes,
+         |scored AS (SELECT q.q_vec, allc.vec_id AS neighbor,
+         |                  $adist AS adist
+         |           FROM q
+         |           JOIN pp ON pp.q_vec = q.q_vec
+         |           JOIN allc ON allc.cluster = pp.p_cluster
+         |                    AND allc.vec_id <> q.q_vec${
+                      if (deleted)
+                        "\n           AND NOT (allc.vec_id % 10 = 6 AND " +
+                          "allc.vec_id < 1000000000000000)"
+                      else ""}
+         |           $tabJoins),
+         |r AS (SELECT q_vec, neighbor, adist,
+         |             ROW_NUMBER() OVER (PARTITION BY q_vec
+         |                                ORDER BY adist ASC, neighbor ASC) AS rank
+         |      FROM scored)
+         |SELECT q_vec, rank, neighbor, adist FROM r WHERE rank <= 10
+         |ORDER BY q_vec, rank""".stripMargin)
   }
 
   /** Oracle for the append-maintenance path: coarse + PQ training on the
@@ -877,6 +1002,49 @@ object TrainQ {
             nprobe = PromNprobe, kTop = 10)
           .orderBy("q_vec", "rank"),
       Some(promotedOracle)),
+
+    // PROMOTED-point APPEND (round 14): the r13 verdict's gap — lifecycle
+    // coverage existed only at the cost-floor config (recall@10 ~0.08), so
+    // "maintenance preserves recall" was never a pinned row at the
+    // operating point a deployment would run (0.515). Batch assigned +
+    // encoded under the FROZEN promoted artifacts (pipeline:
+    // ivf_pq_promoted_delta), served base ∪ delta through the same ADC
+    // core; bench carries recall@10 vs exact union truth per run. Shape is
+    // the swept cost-floor append + the swept promoted base serve, so it
+    // stays 1×-bench-measured rather than re-swept.
+    Q("ann_ivf_pq_promoted_append",
+      (s, dir) => {
+        val base = promotedIndex(s, dir)
+        val cells = s.read.parquet(s"$base/cells")
+          .unionByName(s.read.parquet(promotedDelta(s, dir)))
+        graft.ops.AnnSweep.serveAdc(cells,
+            s.read.parquet(s"$base/cents"), s.read.parquet(s"$base/books"),
+            promotedCorpus(s, dir).filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", PromM, PromSub,
+            nprobe = PromNprobe, kTop = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(promotedLifecycleOracle(deleted = false))),
+
+    // PROMOTED-point DELETE against the appended state: mod-6 base
+    // tombstones filter the cells union before the ADC core (the
+    // ann_ivf_pq_delete semantics at the promoted shape) — no trained
+    // artifact touched, a tombstoned vector can never be returned.
+    Q("ann_ivf_pq_promoted_delete",
+      (s, dir) => {
+        val base = promotedTombstoned(s, dir)
+        val tomb = s.read.parquet(s"$base/tombstones").select(col("vec_id"))
+        val cells = s.read.parquet(s"$base/cells")
+          .unionByName(s.read.parquet(promotedDelta(s, dir)))
+          .join(tomb, Seq("vec_id"), "left_anti")
+        graft.ops.AnnSweep.serveAdc(cells,
+            s.read.parquet(s"$base/cents"), s.read.parquet(s"$base/books"),
+            promotedCorpus(s, dir).filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", PromM, PromSub,
+            nprobe = PromNprobe, kTop = 10)
+          .orderBy("q_vec", "rank")
+      },
+      Some(promotedLifecycleOracle(deleted = true))),
 
     // Cluster-balanced (diversity) selection — the curation op that keeps a
     // quota of the best documents PER EMBEDDING CLUSTER instead of a global

@@ -537,6 +537,36 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
         "the text again:\n" + docScans.mkString("\n"))
   }
 
+  test("bucketed-forward MaxSim serve: stage-2 forward scan is dynamically " +
+      "partition-pruned on fb, and the corpus text is still query-only") {
+    // The round-14 structure: the forward component is partitioned by
+    // fb = pmod(doc_id, buckets), and the stage-2 candidate join carries fb
+    // so DPP prunes the forward read to candidate buckets — bounded by the
+    // workload, not the corpus. Without the dynamic filter the layout is
+    // decoration (stage 2 silently reads all buckets, the same linear-scan
+    // class as r12's text re-explode).
+    val df = SparkEntry.queries("retrieval_maxsim_ivf_fwd")(spark, dir)
+    df.count() // finalize AQE so the executed scans are the real ones
+    val p = df.queryExecution.executedPlan.toString
+    val fwdScans = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("fb#"))
+      .toSeq
+    assert(fwdScans.nonEmpty, "expected the fb-partitioned forward scan:\n" + p)
+    assert(fwdScans.forall(_.contains("dynamicpruning")),
+      "forward scan without a dynamic fb filter — stage 2 reads every " +
+        "bucket:\n" + fwdScans.mkString("\n"))
+    // stage 1 keeps its cluster DPP; no cartesian anywhere
+    assert(p.contains("dynamicpruning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the r13 pin holds here too: every documents scan is query-side
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.nonEmpty, "expected the query-side documents scan")
+    assert(docScans.forall(_.contains("% 250")),
+      "corpus-text scan without the query filter:\n" + docScans.mkString("\n"))
+  }
+
   test("hybrid-served retrieval touches only indexes: bucket-pruned postings, " +
       "cell-pruned IVF, no cartesian") {
     val p = plan(SparkEntry.queries("retrieval_hybrid_served")(spark, dir))
