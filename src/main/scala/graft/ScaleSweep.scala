@@ -455,20 +455,46 @@ object ScaleSweep {
     // The pin now rides the sweep at the REPLICA scale, where an index
     // matters most.
     val tNmap = tN
-    val servePinViolations: Seq[String] =
+    val pinPairs =
       Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
           ("retrieval_maxsim_ivf_fwd", "retrieval_maxsim_ivf"),
           ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
-          ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
-        case (per, ins) =>
-          (tNmap.get(per), tNmap.get(ins)) match {
-            // Same margin + absolute-gap guard as the bench pin (a pair
-            // absent from this sweep's row set simply doesn't pin).
-            case (Some(p), Some(i)) if p > i * 1.25 && p - i > 0.3 =>
-              Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
-            case _ => None
-          }
+          ("ann_ivf_pq_persisted", "ann_ivf_pq_topk"))
+    def pinsOver(m: Map[String, Double]): Seq[String] =
+      pinPairs.flatMap { case (per, ins) =>
+        (m.get(per), m.get(ins)) match {
+          // Same margin + absolute-gap guard as the bench pin (a pair
+          // absent from this sweep's row set simply doesn't pin).
+          case (Some(p), Some(i)) if p > i * 1.25 && p - i > 0.3 =>
+            Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
+          case _ => None
+        }
       }
+    // MEDIANS MODE for fired pins (round 14): the pin compared SINGLE-SHOT
+    // N× timings, so one interference transient on one row faked a
+    // violation (measured: persisted 54.0 s in the full sweep, 13.7 s
+    // medians minutes later, pin clean) — the exact failure mode the
+    // super-linear channel's median re-measure already guards. Re-measure
+    // BOTH rows of every fired pair at N× and re-evaluate before the
+    // verdict; a pin that survives medians is a real layout regression.
+    val provisionalPins = pinsOver(tNmap)
+    val pinMeds: Map[String, Double] =
+      if (provisionalPins.isEmpty) Map.empty
+      else pinPairs.filter { case (per, ins) =>
+          (tNmap.get(per), tNmap.get(ins)) match {
+            case (Some(p), Some(i)) => p > i * 1.25 && p - i > 0.3
+            case _ => false
+          }
+        }.flatMap { case (per, ins) => Seq(per, ins) }.distinct
+        .flatMap { n =>
+          val m = median3(dst, n)
+          m.foreach(v => println(
+            f"[sweep] pin re-measure $n%-34s single=${tNmap(n)}%.2f medN=$v%.2f"))
+          m.map(n -> _)
+        }.toMap
+    val servePinViolations: Seq[String] = pinsOver(tNmap ++ pinMeds)
+    provisionalPins.filterNot(servePinViolations.contains).foreach(v =>
+      println(s"[sweep] pin transient (cleared by medians): $v"))
     servePinViolations.foreach(v => println(s"[sweep] VIOLATION $v"))
     // Driver-visible artifact (SPARK_GRAFT_SWEEP_OUT=<file>): per-query
     // 1×/N× seconds + ratio and the super-linear verdict, so the scale gate
