@@ -253,6 +253,73 @@ object SourcesQ {
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // AVRO container-file round trip (round 14). /opt/spark/jars has no
+    // spark-avro DataSource, but the avro-core + avro-mapred JARs ARE
+    // present — so the interchange rides the public Hadoop-format path:
+    // write via AvroKeyOutputFormat (one container file per partition,
+    // deflate-coded), read via AvroKeyInputFormat. The per-partition
+    // closure is codec I/O only (the javax.imageio discipline — an
+    // OutputFormat cannot be a Catalyst expression); records are unpacked
+    // to primitives INSIDE the reading task because Hadoop record readers
+    // REUSE the AvroKey instance (caching the raw keys would alias every
+    // row to the last record). Four Avro types covered: long, string
+    // (Utf8 → String), int, double — all bit-preserving, so the oracle is
+    // the identity read of the same parquet table.
+    Q("src_avro_roundtrip",
+      (s, dir) => {
+        import org.apache.avro.Schema
+        import org.apache.avro.generic.{GenericData, GenericRecord}
+        import org.apache.avro.mapred.AvroKey
+        import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+        import org.apache.hadoop.io.NullWritable
+        import org.apache.hadoop.mapreduce.Job
+        val schemaJson =
+          """{"type":"record","name":"PartRec","fields":[
+            |{"name":"p_partkey","type":"long"},
+            |{"name":"p_name","type":"string"},
+            |{"name":"p_size","type":"int"},
+            |{"name":"p_retailprice","type":"double"}]}""".stripMargin
+        val tmp = graft.engine.TempDirs.create("graft_avro") + "/t"
+        val writeJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+        AvroJob.setOutputKeySchema(writeJob,
+          new Schema.Parser().parse(schemaJson))
+        Catalog.load(s, dir, "part")
+          .select("p_partkey", "p_name", "p_size", "p_retailprice")
+          .rdd.mapPartitions { it =>
+            // Schema parsed per partition: avro Schema is not serializable.
+            val sch = new Schema.Parser().parse(schemaJson)
+            it.map { r =>
+              val rec: GenericRecord = new GenericData.Record(sch)
+              rec.put("p_partkey", r.getLong(0))
+              rec.put("p_name", r.getString(1))
+              rec.put("p_size", r.getInt(2))
+              rec.put("p_retailprice", r.getDouble(3))
+              (new AvroKey[GenericRecord](rec), NullWritable.get())
+            }
+          }
+          .saveAsNewAPIHadoopFile(tmp, classOf[AvroKey[GenericRecord]],
+            classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+            writeJob.getConfiguration)
+        val readJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+        AvroJob.setInputKeySchema(readJob, new Schema.Parser().parse(schemaJson))
+        val back = s.sparkContext.newAPIHadoopFile(tmp,
+            classOf[AvroKeyInputFormat[GenericRecord]],
+            classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+            readJob.getConfiguration)
+          .map { case (k, _) =>
+            val r = k.datum()
+            (r.get("p_partkey").asInstanceOf[Long],
+              r.get("p_name").toString,
+              r.get("p_size").asInstanceOf[Int],
+              r.get("p_retailprice").asInstanceOf[Double])
+          }
+        s.createDataFrame(back)
+          .toDF("p_partkey", "p_name", "p_size", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_size, p_retailprice
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     Q("src_text_gzip_roundtrip",
       (s, dir) => {
         val tmp = graft.engine.TempDirs.create("graft_text") + "/t"
