@@ -152,6 +152,29 @@ object Bench {
         name -> (med, if (med > 0) (warm.max - warm.min) / med else 0.0, false)
       }
     }.toMap
+    // A heal only REPLACES the measurement (and only lands in the headline
+    // "healed" list) when it moved the median materially LOWER (>20%) —
+    // round 15, closing the r14 driver-heal item. The spread trigger is a
+    // contention DETECTOR; when the 5-rep retry lands on the original
+    // median, the original number was fine and reporting it "healed" reads
+    // as a warm-up artifact where none existed (the r14 driver artifact
+    // carried 6 healed rows this way). A retry that FAILS or measures
+    // HIGHER keeps the original successful measurement — contention only
+    // inflates, so the lower median is closer to the clean cost (the
+    // old unconditional replace let a transient retry failure poison a
+    // good row with failed=-1).
+    val healApplied: Map[String, (Double, Double, Boolean)] =
+      healed.flatMap {
+        case (name, (med, spread, false)) if med < 0.8 * results(name)._1 =>
+          Some(name -> ((med, spread, false)))
+        case (name, (med, _, false)) =>
+          println(f"BENCH_DETAIL heal_noop $name orig=${results(name)._1}%.3f " +
+            f"retry=$med%.3f (kept original)")
+          None
+        case (name, _) =>
+          println(s"BENCH_DETAIL heal_noop $name retry failed (kept original)")
+          None
+      }
     // finalResults is assembled AFTER the sweep sections (second-chance
     // heal, round 14) — every consumer sits below that point.
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
@@ -483,7 +506,20 @@ object Bench {
             OpPoint("clu_np2_m8_k64", kc = 20, nprobe = 2, m = 8, k = 64),
             OpPoint("clu_np4_m16_k256", kc = 20, nprobe = 4, m = 16, k = 256),
             OpPoint("clu_np4_m32_k256", kc = 20, nprobe = 4, m = 32, k = 256)))
-        real ++ clustered
+        // THIRD corpus (round 15, the r14 verdict's geometry item): the
+        // operating-point curve was measured only on near-isotropic and
+        // well-separated-isotropic geometry — the two shapes IVF-PQ is
+        // BEST at. The skewed corpus (anisotropic ellipsoids, heavy-tailed
+        // cluster masses, 5% outlier vectors — AnnSweep.skewedCorpus) is
+        // the one that can actually embarrass it; same points as the
+        // clustered corpus so the two curves are directly comparable.
+        val skewed = AnnSweep.sweep(
+          AnnSweep.skewedCorpus(spark, 2000, 64, 20, 0.3),
+          "vec_id", "embedding", 64, Seq(
+            OpPoint("skw_np2_m8_k64", kc = 20, nprobe = 2, m = 8, k = 64),
+            OpPoint("skw_np4_m16_k256", kc = 20, nprobe = 4, m = 16, k = 256),
+            OpPoint("skw_np4_m32_k256", kc = 20, nprobe = 4, m = 32, k = 256)))
+        real ++ clustered ++ skewed
       } catch {
         case e: Throwable =>
           println(s"[bench] recall sweep failed: ${e.getMessage}")
@@ -576,6 +612,12 @@ object Bench {
     val stillNoisy = healed.collect {
       case (name, (med, spread, false)) if spread > 0.5 && med > 0.3 => name
     }.toSeq.sorted
+    // Best successful measurement so far — the second heal must beat THIS
+    // (original, or the first heal when it was applied), and the same
+    // moved-materially rule decides whether it replaces and reports.
+    def bestSoFar(name: String): Double =
+      math.min(results(name)._1,
+        healApplied.get(name).map(_._1).getOrElse(Double.MaxValue))
     val secondHeal: Map[String, (Double, Double, Boolean)] =
       stillNoisy.flatMap { name =>
         val raw = (1 to 5).map { _ =>
@@ -590,12 +632,13 @@ object Bench {
           val med = times(times.size / 2)
           val warm = raw.tail.map(_._1)
           val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
-          println(f"BENCH_DETAIL second_heal $name first=${healed(name)._1}%.3f " +
+          println(f"BENCH_DETAIL second_heal $name first=${bestSoFar(name)}%.3f " +
             f"retry=$med%.3f spread=$spread%.2f")
-          if (med < healed(name)._1) Some(name -> (med, spread, false)) else None
+          if (med < 0.8 * bestSoFar(name)) Some(name -> (med, spread, false))
+          else None
         }
       }.toMap
-    val finalResults = results ++ healed ++ secondHeal
+    val finalResults = results ++ healApplied ++ secondHeal
     val gateTimes: Map[String, (Double, Double)] = finalResults.collect {
       case (name, (med, spread, false)) => name -> (med, spread)
     }.toMap
@@ -680,6 +723,12 @@ object Bench {
     val servePins: Seq[String] =
       Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
           ("retrieval_maxsim_ivf_fwd", "retrieval_maxsim_ivf"),
+          // Round-15 lifecycle forward serves: each bucketed-segment serve
+          // must not cost more than the union-forward sibling it bounds.
+          ("retrieval_maxsim_ivf_append_fwd", "retrieval_maxsim_ivf_append"),
+          ("retrieval_maxsim_ivf_delete_fwd", "retrieval_maxsim_ivf_delete"),
+          ("retrieval_maxsim_ivf_lifecycle_compacted_fwd",
+            "retrieval_maxsim_ivf_lifecycle_compacted"),
           ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
           ("ann_ivf_pq_persisted", "ann_ivf_pq_topk")).flatMap {
         case (per, ins) =>
@@ -697,7 +746,8 @@ object Bench {
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
     }
     finalResults.toSeq.sortBy(-_._2._1).foreach { case (k, (med, spread, failed)) =>
-      val tag = if (healed.contains(k)) " healed" else ""
+      val tag = if (healApplied.contains(k) || secondHeal.contains(k)) " healed"
+        else ""
       val fp = fingerprints.get(k).map(" fp={" + _ + "}").getOrElse("")
       if (failed) println(s"BENCH_DETAIL $k FAILED")
       else println(f"BENCH_DETAIL $k $med%.3f spread=$spread%.2f$tag$fp")
@@ -785,7 +835,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failedNames = finalResults.collect { case (k, (_, _, true)) => s"\"$k\"" }
       .toSeq.sorted.mkString("[", ",", "]")
-    val healedNames = healNames.map(n => s""""$n"""").mkString("[", ",", "]")
+    // Only APPLIED heals ride the headline (round 15): spread-trips whose
+    // retry confirmed the original median are heal_noop detail lines.
+    val healedNames = (healApplied.keySet ++ secondHeal.keySet).toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     // Spread aggregates: the artifact-embedded contention signal. A clean
     // box shows median relative spread of a few percent; a contended one
     // shows large spreads exactly on the queries whose medians moved.
@@ -832,16 +885,30 @@ object Bench {
     // artifact was un-auditable without its local twin). Capped at 5
     // messages × 110 chars — the count above says when the cap truncated;
     // headline rows below already yield under the same size budget.
-    def jvq(s: String): String =
-      "\"" + s.take(110).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val violJson = allViolations.take(5).map(jvq).mkString("[", ",", "]")
-    val fixed = s""""unit":"sec","n":${finalResults.size},"reps":$reps,""" +
-      s""""spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},""" +
-      s""""failed":$failedNames,"healed":$healedNames,""" +
-      s""""plan_gate_violations":${allViolations.size},""" +
-      s""""violations":$violJson,""" +
-      s""""recall_at_10":$rec,"maint_recall":$maint"""
+    def jvq(cap: Int)(s: String): String =
+      "\"" + s.take(cap).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def fixedWith(violJson: String): String =
+      s""""unit":"sec","n":${finalResults.size},"reps":$reps,""" +
+        s""""spread_med":${r3(spreadMed)},"spread_max":${r3(spreadMax)},""" +
+        s""""failed":$failedNames,"healed":$healedNames,""" +
+        s""""plan_gate_violations":${allViolations.size},""" +
+        s""""violations":$violJson,""" +
+        s""""recall_at_10":$rec,"maint_recall":$maint"""
     val budget = 1800
+    // The violations array rides the FIXED section, which never yields
+    // under the budget — only headline rows do. Long failed/healed lists
+    // plus 5×110-char messages can push the fixed section alone past the
+    // driver tail (the BENCH_r09 null-parse). Degrade the messages (fewer,
+    // then shorter, then count-only) until the zero-headline render fits.
+    val violJson = Seq((5, 110), (3, 110), (3, 60), (1, 60), (0, 0))
+      .iterator
+      .map { case (k, cap) =>
+        allViolations.take(k).map(jvq(cap)).mkString("[", ",", "]") }
+      .find { vj =>
+        (s"""{"metric":"total","value":${r3(total)},${fixedWith(vj)},""" +
+          s""""queries":{},"sf":"$sfDir"}""").length <= budget }
+      .getOrElse("[]")
+    val fixed = fixedWith(violJson)
     def render(entries: Seq[String]): String =
       s"""{"metric":"total","value":${r3(total)},$fixed,""" +
         s""""queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""

@@ -153,6 +153,11 @@ object ScaleSweep {
     "text_bm25_bigvocab_topk", "retrieval_maxsim_ivf_bigvocab",
     "retrieval_maxsim_ivf_append", "retrieval_maxsim_ivf_delete",
     "retrieval_maxsim_ivf_lifecycle_compacted",
+    // Round-15 bucketed-forward lifecycle serves: identical stage-1 shapes,
+    // stage-2 DPP-pruned per forward segment — linear like their
+    // union-forward siblings, which they must not exceed (serve pin below).
+    "retrieval_maxsim_ivf_append_fwd", "retrieval_maxsim_ivf_delete_fwd",
+    "retrieval_maxsim_ivf_lifecycle_compacted_fwd",
     "mv_affected_group_refresh", "retrieval_rrf_fusion",
     "profile_columns",
     "rfm_segmentation", "s12_snapshot_diff", "sample_bottomk",
@@ -217,6 +222,8 @@ object ScaleSweep {
     "text_bm25_bigvocab_topk", "retrieval_maxsim_ivf_bigvocab",
     "retrieval_maxsim_ivf_append", "retrieval_maxsim_ivf_delete",
     "retrieval_maxsim_ivf_lifecycle_compacted",
+    "retrieval_maxsim_ivf_append_fwd", "retrieval_maxsim_ivf_delete_fwd",
+    "retrieval_maxsim_ivf_lifecycle_compacted_fwd",
     "retrieval_hybrid_served",
     "retrieval_maxsim_ivf", "retrieval_maxsim_ivf_persisted",
     "retrieval_maxsim_ivf_fwd",
@@ -261,7 +268,45 @@ object ScaleSweep {
     "maxsim_token_ivf_big", "maxsim_ivf_index_big",
     "maxsim_ivf_delta", "maxsim_ivf_tombstones",
     "maxsim_ivf_compact", "bm25_tombstones", "bm25_tombstone_compact",
-    "bm25_bigvocab_index", "ivf_pq_tombstones")
+    "bm25_bigvocab_index", "ivf_pq_tombstones",
+    // Round-15 forward segments: one linear pass each over cells (base,
+    // delta) or over the forward components themselves (compact merge).
+    "maxsim_forward_big", "maxsim_forward_delta", "maxsim_forward_compact")
+
+  /** Post-execution metrics of the first file scan whose location matches
+    * `tag`: (numFiles, staticFilesNum, filesSize, staticFilesSize) — the
+    * static pair is the PRE-pruning layout size when the scan carries a
+    * dynamic partition filter, so read/static is the measured DPP benefit.
+    * AQE-aware traversal (the final plan hides under query stages). */
+  private def fwdScanMetrics(df: org.apache.spark.sql.DataFrame, tag: String)
+      : Option[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    // AQE re-instantiates stage plans, so the tree can hold BOTH an
+    // executed scan (metrics set) and a never-run copy (zeros) — keep the
+    // populated one, not the first found.
+    val matches = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(tag)))
+    if (matches.isEmpty) None
+    else {
+      def m(f: org.apache.spark.sql.execution.FileSourceScanExec,
+            n: String, alt: Long) =
+        f.metrics.get(n).map(_.value).getOrElse(alt)
+      val f = matches.maxBy(x => m(x, "numFiles", -1L))
+      val nf = m(f, "numFiles", -1L)
+      val sz = m(f, "filesSize", -1L)
+      // staticFilesNum only exists when the scan carries a dynamic
+      // pruning filter — its ABSENCE means no DPP reached this scan, which
+      // must read as -1 (loudly wrong), not silently as 100%-selected.
+      Some((nf, m(f, "staticFilesNum", -1L), sz, m(f, "staticFilesSize", -1L)))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -383,7 +428,40 @@ object ScaleSweep {
               .maxsimServeQuantized(spark, dir, q, big = true).count()
             s"maxsim_serve_bigkc$kc" -> (System.nanoTime() - t0) / 1e9
           }
-      pipelines ++ queries ++ kcRows ++ bigKcRows
+      // FORWARD-BUCKET sensitivity axis (round 15, §9's sizing rule made
+      // data): the bucketed-forward serve at two moduli. Serve cost should
+      // be INSENSITIVE to the count (the candidate fetch reads ≤ |candidate
+      // docs| directories either way) while the PRUNED FRACTION moves —
+      // both are printed, the scan metrics carrying the pruning evidence
+      // (numFiles/filesSize post-DPP vs staticFilesNum/staticFilesSize).
+      // Layout build is untimed (the kc-axis split discipline); 10×-only
+      // like every serve axis. Cache-less layouts: a per-knob forward must
+      // not evict the session's shared pipeline caches.
+      val fwdBucketRows =
+        if (factor > 10 || !names.contains("retrieval_maxsim_ivf_fwd"))
+          Seq.empty
+        else Seq(32, 128)
+          .filter(b => only.forall(
+            _.findFirstIn(s"maxsim_fwd_b$b").isDefined))
+          .map { b =>
+            println(s"[sweep] running maxsim_fwd_b$b @ $dir")
+            val layout = graft.queries.SimilarityQ
+              .maxsimFwdLayoutAtBuckets(spark, dir, b)
+            val t0 = System.nanoTime()
+            val df = graft.queries.SimilarityQ
+              .maxsimFwdServeAtBuckets(spark, dir, layout, b)
+            // collect, not count: count() spawns a NEW QueryExecution, so
+            // df's own plan (whose scan metrics we read below) never runs.
+            df.collect()
+            val t = (System.nanoTime() - t0) / 1e9
+            fwdScanMetrics(df, "graft_msfwd_b").foreach {
+              case (nf, snf, sz, ssz) => println(
+                f"[sweep] maxsim_fwd_b$b forward scan: files $nf/$snf " +
+                  f"bytes $sz/$ssz (read ${100.0 * sz / math.max(1L, ssz)}%.1f%% post-DPP)")
+            }
+            s"maxsim_fwd_b$b" -> t
+          }
+      pipelines ++ queries ++ kcRows ++ bigKcRows ++ fwdBucketRows
     }
 
     // 1× first, then the replica — the SessionCache dir-eviction swaps the
@@ -458,17 +536,20 @@ object ScaleSweep {
     val pinPairs =
       Seq(("retrieval_maxsim_ivf_persisted", "retrieval_maxsim_ivf"),
           ("retrieval_maxsim_ivf_fwd", "retrieval_maxsim_ivf"),
+          ("retrieval_maxsim_ivf_append_fwd", "retrieval_maxsim_ivf_append"),
+          ("retrieval_maxsim_ivf_delete_fwd", "retrieval_maxsim_ivf_delete"),
+          ("retrieval_maxsim_ivf_lifecycle_compacted_fwd",
+            "retrieval_maxsim_ivf_lifecycle_compacted"),
           ("ann_ivf_kmeans_persisted", "ann_ivf_kmeans"),
           ("ann_ivf_pq_persisted", "ann_ivf_pq_topk"))
-    def pinsOver(m: Map[String, Double]): Seq[String] =
-      pinPairs.flatMap { case (per, ins) =>
-        (m.get(per), m.get(ins)) match {
-          // Same margin + absolute-gap guard as the bench pin (a pair
-          // absent from this sweep's row set simply doesn't pin).
-          case (Some(p), Some(i)) if p > i * 1.25 && p - i > 0.3 =>
-            Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
-          case _ => None
-        }
+    def pinOf(per: String, ins: String,
+              m: Map[String, Double]): Option[String] =
+      (m.get(per), m.get(ins)) match {
+        // Same margin + absolute-gap guard as the bench pin (a pair
+        // absent from this sweep's row set simply doesn't pin).
+        case (Some(p), Some(i)) if p > i * 1.25 && p - i > 0.3 =>
+          Some(f"serve_pin@${factor}x: $per $p%.2fs > 1.25x $ins $i%.2fs")
+        case _ => None
       }
     // MEDIANS MODE for fired pins (round 14): the pin compared SINGLE-SHOT
     // N× timings, so one interference transient on one row faked a
@@ -477,24 +558,29 @@ object ScaleSweep {
     // super-linear channel's median re-measure already guards. Re-measure
     // BOTH rows of every fired pair at N× and re-evaluate before the
     // verdict; a pin that survives medians is a real layout regression.
-    val provisionalPins = pinsOver(tNmap)
+    // Verdicts are tracked PER PAIR (round 15): only provisionally-fired
+    // pairs are re-evaluated with medians — a re-measured (lower) median
+    // for a row SHARED with a non-fired pair must not newly fire that
+    // other pair against a possibly-inflated single-shot on its
+    // unmeasured side; non-fired pairs keep their single-shot verdicts.
+    val firedPairs = pinPairs.filter { case (per, ins) =>
+      pinOf(per, ins, tNmap).isDefined }
     val pinMeds: Map[String, Double] =
-      if (provisionalPins.isEmpty) Map.empty
-      else pinPairs.filter { case (per, ins) =>
-          (tNmap.get(per), tNmap.get(ins)) match {
-            case (Some(p), Some(i)) => p > i * 1.25 && p - i > 0.3
-            case _ => false
-          }
-        }.flatMap { case (per, ins) => Seq(per, ins) }.distinct
+      firedPairs.flatMap { case (per, ins) => Seq(per, ins) }.distinct
         .flatMap { n =>
           val m = median3(dst, n)
           m.foreach(v => println(
             f"[sweep] pin re-measure $n%-34s single=${tNmap(n)}%.2f medN=$v%.2f"))
           m.map(n -> _)
         }.toMap
-    val servePinViolations: Seq[String] = pinsOver(tNmap ++ pinMeds)
-    provisionalPins.filterNot(servePinViolations.contains).foreach(v =>
-      println(s"[sweep] pin transient (cleared by medians): $v"))
+    val servePinViolations: Seq[String] = firedPairs.flatMap {
+      case (per, ins) =>
+        val verdict = pinOf(per, ins, tNmap ++ pinMeds)
+        if (verdict.isEmpty) println(
+          s"[sweep] pin transient (cleared by medians): " +
+            pinOf(per, ins, tNmap).get)
+        verdict
+    }
     servePinViolations.foreach(v => println(s"[sweep] VIOLATION $v"))
     // Driver-visible artifact (SPARK_GRAFT_SWEEP_OUT=<file>): per-query
     // 1×/N× seconds + ratio and the super-linear verdict, so the scale gate

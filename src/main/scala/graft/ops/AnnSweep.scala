@@ -85,6 +85,45 @@ object AnnSweep {
            |            +  pmod(xxhash64(id, d, 57),  999983) /  999983.0) - 1.0)
            |  AS FLOAT))""".stripMargin).as("embedding"))
 
+  /** Deterministic ADVERSARIAL corpus for the recall sweep (round 15): the
+    * same xxhash64 well-separated centers as [[clusteredCorpus]], but with
+    * the three properties that actually embarrass IVF-PQ, which the
+    * near-isotropic corpora cannot exhibit:
+    *   - ANISOTROPY: per-(cluster, dim) noise scale drawn from a power-4
+    *     law (most dims tight, a few stretched ~20×) — clusters are
+    *     elongated ellipsoids, so coarse Voronoi cells cut across them and
+    *     PQ subquantizers see correlated residual energy concentrated in a
+    *     few subspaces.
+    *   - VARIABLE DENSITY: cluster ids drawn from a cubed-uniform map, so
+    *     low clusters hold most of the mass (heaviest ≈ n/3, lightest a
+    *     handful) — dense cells dominate probe budgets while sparse cells
+    *     waste them.
+    *   - HEAVY TAIL: 1 vector in 20 carries 5× noise — outliers land in
+    *     the wrong coarse cell, the misassignment class recall@10 feels
+    *     directly.
+    * Same determinism contract as [[clusteredCorpus]] (pure integer-hash
+    * functions of ids; per-engine, no oracle reads it). */
+  def skewedCorpus(
+      spark: SparkSession, n: Long, dims: Int, c: Int,
+      sigma: Double): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(
+        s"""transform(sequence(1, $dims), d -> CAST(
+           |  (pmod(xxhash64(CAST(
+           |     CAST(pow(pmod(xxhash64(id, 7), 1000003) / 1000003.0, 3.0)
+           |          * $c AS BIGINT) AS BIGINT), d, 17), 1000003)
+           |     / 1000003.0 * 2.0 - 1.0)
+           |  + $sigma
+           |    * (0.05 + 0.95 * pow(pmod(xxhash64(CAST(
+           |         CAST(pow(pmod(xxhash64(id, 7), 1000003) / 1000003.0, 3.0)
+           |              * $c AS BIGINT) AS BIGINT) * 997 + d, 23), 1000003)
+           |         / 1000003.0, 4.0) * 20.0)
+           |    * (CASE WHEN pmod(xxhash64(id, 41), 20) = 0
+           |            THEN 5.0 ELSE 1.0 END)
+           |    * ((pmod(xxhash64(id, d, 31), 1000003) / 1000003.0
+           |      + pmod(xxhash64(id, d, 57),  999983) /  999983.0) - 1.0)
+           |  AS FLOAT))""".stripMargin).as("embedding"))
+
   private def sqDist(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) ->
        |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *

@@ -27,7 +27,39 @@ object SimilarityQ {
   // here so every bucket holds real rows at sf0.001; at 100 TB this grows
   // with the corpus (thousands of buckets) so a serve's candidate fetch
   // touches ≤ |candidate docs| directories of a corpus-sized table.
+  // Round 15: a DEFAULT, not a constant — every bucketed layout records its
+  // own modulus in the serve's [[FwdPart]] (a delta segment wants far fewer
+  // buckets than its base), and [[msFwdBucketsFor]] is the sizing rule.
   private val MsFwdBuckets = 32
+  // Delta segments are ~1/10th of the base corpus by construction (the
+  // mod-3 clone batch); sized by the same rule, one power-of-two notch
+  // above its floor — ALSO exercising that per-segment moduli serve
+  // correctly side by side (the fb join computes each segment's fb with
+  // the modulus that segment was written with).
+  private val MsFwdDeltaBuckets = 8
+
+  /** §9 sizing rule for the forward component's bucket count: buckets grow
+    * LINEARLY with the corpus so each fb directory stays a bounded number
+    * of well-sized files (~`rowsPerBucket` token occurrences ≈ one to a few
+    * 128 MB–1 GB parquet files at ~40 B/row). Serve cost is insensitive to
+    * the count (the candidate fetch reads ≤ |candidate docs| directories
+    * either way — measured on the 10× sweep's bucket-sensitivity rows);
+    * what the count controls is the PRUNED-READ GRANULARITY: too few
+    * buckets and one candidate doc drags in 1/buckets of a 100 TB table,
+    * too many and the layout degrades to small files. At 1e12 tokens the
+    * rule gives ~30k buckets ⇒ a 20-token query at T=20 touches ≤400
+    * directories ≈ 0.04 TB of a 40 TB forward — workload-bounded, with
+    * each directory still holding ~1 GB files. Floor 4: below that the
+    * layout cannot beat a plain scan even at test scale. */
+  private[graft] def msFwdBucketsFor(
+      tokenRows: Long, rowsPerBucket: Long = 32L * 1024 * 1024): Int = {
+    val raw = math.max(4L, (tokenRows + rowsPerBucket - 1) / rowsPerBucket)
+    // Round UP to a power of two so replica-scaled corpora reuse layouts
+    // across nearby sizes instead of rewriting at every growth step.
+    var b = 4L
+    while (b < raw) b <<= 1
+    math.min(b, 1 << 20).toInt
+  }
 
   /** Session-scoped trained token IVF: (vocab assignment (tid, v, cluster),
     * centroids (cluster, cent)) — the Lloyd-pipeline discipline, trained
@@ -169,11 +201,55 @@ object SimilarityQ {
       ct: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
       ctAll: org.apache.spark.sql.DataFrame, qt: org.apache.spark.sql.DataFrame,
       nprobe: Int = MsNprobe, candT: Int = MsT)
+      : org.apache.spark.sql.DataFrame =
+    maxsimServeParts(ct, cents, Seq(FwdPart(ctAll)), qt, nprobe, candT, None)
+
+  /** A stage-2 forward component: `df` the token table (doc_id, v0..v3,
+    * plus the `fb` partition column when the layout is the bucketed
+    * [[maxsimForwardBucketed]] one), `buckets` that component's OWN fb
+    * modulus — segments differ (a delta batch wants far fewer buckets than
+    * the base corpus; the §9 sizing rule lives at [[msFwdBucketsFor]]), and
+    * fb on the candidate side must be computed with the modulus the
+    * component was WRITTEN with or the pruning join matches nothing. */
+  private[graft] case class FwdPart(
+      df: org.apache.spark.sql.DataFrame, buckets: Int = MsFwdBuckets)
+
+  /** The multi-segment serve core: stage 2 joins the bounded candidate set
+    * against EACH forward component separately and unions the fetched
+    * token rows — a union BELOW the join would break dynamic partition
+    * pruning (Catalyst's PartitionPruning rule finds the partitioned scan
+    * through Project/Filter chains, not through Union), silently reverting
+    * every bucketed segment to a full scan. `tomb` (the delete serve)
+    * anti-joins the fetched stream — above the scans for the same reason;
+    * stage-1 candidates are already tombstone-filtered by the caller, this
+    * keeps "no posting of a deleted doc survives" true of stage 2
+    * independently of the candidate source. */
+  private def maxsimServeParts(
+      ct: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
+      fwd: Seq[FwdPart], qt: org.apache.spark.sql.DataFrame,
+      nprobe: Int = MsNprobe, candT: Int = MsT,
+      tomb: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wProbe = Window.partitionBy("q_doc", "qpos")
-      .orderBy(col("d").asc, col("p_cluster").asc)
-    val probes = qt
+    // Probe cut and candidate cut are AGGREGATES, not row_number windows
+    // (round 15). Two reasons, both load-bearing at scale:
+    //   1. A WindowExec ANYWHERE in the stage-2 join's build side makes
+    //      Catalyst degrade every dynamic partition filter downstream to
+    //      dynamicpruningexpression(true) — broadcast-reuse DPP requires
+    //      the re-planned subquery to sameResult the join's build side,
+    //      and window plans never do (measured: filter/distinct/groupBy
+    //      builds prune for real; any window, even deep in the lineage,
+    //      silently reads every partition). The r14 fwd layout was
+    //      DECORATIVE at runtime because of this — the plan string showed
+    //      "dynamicpruning" while the scan read all 32 buckets.
+    //   2. row_number() <= k sorts EVERY row of every group; the bounded
+    //      TopKAggregate buffers k entries and combines map-side, so the
+    //      candidate shuffle carries |groups|·k rows, not |candidates| —
+    //      the same reason it exists (TopKAggregate.scala's scaladoc).
+    // The (score desc, id asc) heap order is EXACTLY the old window order
+    // (probe cut: d asc ≡ -d desc, cluster asc tiebreak), so results are
+    // bit-identical and the oracles are unchanged.
+    val probePipeline = qt
       .withColumn("qv", array((0 until 4).map(i => col(s"q$i")): _*))
       .crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
@@ -181,19 +257,52 @@ object SimilarityQ {
         """aggregate(zip_with(qv, cent, (x, y) ->
           |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
           |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_doc", "qpos", "q0", "q1", "q2", "q3", "p_cluster")
+      .groupBy(col("q_doc"), col("qpos"),
+        col("q0"), col("q1"), col("q2"), col("q3"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(-col("d"), col("p_cluster").cast("long"), nprobe).as("top"))
+      .select(col("q_doc"), col("qpos"),
+        col("q0"), col("q1"), col("q2"), col("q3"),
+        explode(col("top.id")).as("p_cluster"))
+    // PROBE SELECTION RUNS AS QUERY PLANNING (round 15): the probe table is
+    // materialized to the driver — it is workload-bounded (|q_tokens|·nprobe
+    // rows; the query set, never the corpus — the Streams.scala:395 /
+    // Corpus.scala:766 bounded-collect class) and its materialization buys
+    // the two structures the lazy pipeline could not deliver together:
+    //   1. The probed-cluster set becomes a STATIC partition filter on the
+    //      stage-1 cells scan (collect → isin) — strictly stronger than the
+    //      dynamic filter it replaces (pruned at planning, no subquery).
+    //   2. Stage-1 loses its DynamicPruningSubquery, which was POISONING
+    //      the stage-2 forward DPP: Catalyst degrades a dynamic partition
+    //      filter to `true` when the candidate build side fails sameResult
+    //      against its re-planned copy, and a NESTED dynamic filter inside
+    //      that build side makes it fail every time (measured: suppressing
+    //      stage-1's subquery flips the forward scan from reading all
+    //      buckets to 27/64 files). A LocalRelation probe side cannot
+    //      carry a subquery, so the stage-2 filter stays REAL.
+    val probeRows = probePipeline.collect()
+    val probes = ct.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePipeline.schema)
+    val pcIdx = probePipeline.schema.fieldIndex("p_cluster")
+    val probedClusters = probeRows.map(_.getLong(pcIdx).toInt).distinct.sorted
+    val ctPruned =
+      if (probedClusters.isEmpty) ct.filter(lit(false))
+      else ct.filter(col("cluster").isin(probedClusters.toSeq: _*))
     val sim = (0 until 4).map(i => col(s"q$i") * col(s"v$i")).reduce(_ + _)
-    val s1 = ct.join(broadcast(probes),
+    val s1 = ctPruned.join(broadcast(probes),
         col("cluster") === col("p_cluster") && col("doc_id") =!= col("q_doc"))
       .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
       .agg(max(sim).as("ms"))
-    val wCand = Window.partitionBy("q_doc", "qpos")
-      .orderBy(col("ms").desc, col("doc_id").asc)
-    val cand = s1.withColumn("rn", row_number().over(wCand))
-      .filter(col("rn") <= candT)
-      .select("q_doc", "doc_id").distinct()
+    // Full-probe truth path (candT = Int.MaxValue): EVERY scored doc is a
+    // candidate — no cut at all (the old rn <= MAX_INT window was a full
+    // sort that filtered nothing).
+    val cand =
+      if (candT == Int.MaxValue) s1.select("q_doc", "doc_id").distinct()
+      else s1.groupBy(col("q_doc"), col("qpos"))
+        .agg(graft.expressions.TopKAggregate
+          .topK(col("ms"), col("doc_id"), candT).as("top"))
+        .select(col("q_doc"), explode(col("top.id")).as("doc_id"))
+        .distinct()
     // Stage-2 forward fetch: cand is bounded (≤ |q_tokens|·T pairs by
     // construction) — broadcast it so the corpus-sized forward table needs
     // NO distribution for this join (its partial max aggregates map-side;
@@ -212,15 +321,24 @@ object SimilarityQ {
     // bucket directories instead of every cell file, the 100 TB structure
     // the cells-as-forward read (correct, but linear in the corpus) lacked.
     // fb is a pure function of the join key, so results are unchanged.
-    val fetched =
-      if (ctAll.columns.contains("fb"))
-        ctAll.join(broadcast(cand.withColumn("fb",
-            pmod(col("doc_id"), lit(MsFwdBuckets)).cast("int"))),
-          Seq("fb", "doc_id"))
-      else {
+    def fetchOne(part: FwdPart): org.apache.spark.sql.DataFrame =
+      if (part.df.columns.contains("fb")) {
+        val candFb = cand.withColumn("fb",
+          pmod(col("doc_id"), lit(part.buckets)).cast("int"))
+        // Same finite-candT guard as the plain branch: a full-probe serve
+        // (candT = Int.MaxValue) admits an |Q|·|V|-sized candidate set that
+        // must not be broadcast even when the forward is bucketed.
+        val candB = if (candT == Int.MaxValue) candFb else broadcast(candFb)
+        part.df.join(candB, Seq("fb", "doc_id"))
+          .select("q_doc", "doc_id", "v0", "v1", "v2", "v3")
+      } else {
         val candB = if (candT == Int.MaxValue) cand else broadcast(cand)
-        ctAll.join(candB, "doc_id")
+        part.df.join(candB, "doc_id")
+          .select("q_doc", "doc_id", "v0", "v1", "v2", "v3")
       }
+    val fetchedAll = fwd.map(fetchOne).reduce(_.unionByName(_))
+    val fetched = tomb.fold(fetchedAll)(t =>
+      fetchedAll.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val mx = fetched
       .join(broadcast(qt), "q_doc")
       .groupBy(col("q_doc"), col("qpos"), col("doc_id"))
@@ -321,6 +439,28 @@ object SimilarityQ {
       maxsimForward(s, path), queryTokens(s, dir, mod))
   }
 
+  /** Measurement hook (the kc-axis split discipline): build a forward
+    * layout at an ARBITRARY bucket count UNTIMED, return the timed serve —
+    * the §9 bucket-sensitivity datum (serve cost should be insensitive to
+    * the modulus while the pruned fraction moves; see [[msFwdBucketsFor]]).
+    * Deliberately cache-less: a one-off layout per knob value must not
+    * evict the session's shared pipeline caches. */
+  private[graft] def maxsimFwdLayoutAtBuckets(
+      s: org.apache.spark.sql.SparkSession, dir: String, buckets: Int): String =
+    writeForwardBuckets(s.read.parquet(s"${maxsimIndex(s, dir)}/cells"),
+      s"graft_msfwd_b$buckets", buckets)
+
+  private[graft] def maxsimFwdServeAtBuckets(
+      s: org.apache.spark.sql.SparkSession, dir: String, layout: String,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    val path = maxsimIndex(s, dir)
+    val cells = s.read.parquet(s"$path/cells")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    maxsimServeParts(cells, s.read.parquet(s"$path/cents"),
+      Seq(FwdPart(s.read.parquet(s"$layout/forward"), buckets)),
+      queryTokens(s, dir))
+  }
+
   /** Stage-2 forward token table OF THE INDEX ITSELF: the cells layout
     * already holds every corpus-token occurrence with its dims, so the
     * persisted serve's exact rerank is a second columnar read of the index
@@ -346,19 +486,71 @@ object SimilarityQ {
     * corpus. Build is one linear pass over the already-built index. */
   private val maxsimFwdCache = new SessionCache[String](_ => ())
 
+  /** One linear pass: token rows → fb = pmod(doc_id, buckets) → one file
+    * per bucket dir (the ivf_pq_compact discipline; pmod keeps negative
+    * delta doc_ids in range, matching the serve's candidate-side fb). */
+  private def writeForwardBuckets(df: org.apache.spark.sql.DataFrame,
+      tag: String, buckets: Int): String = {
+    val tmp = graft.engine.TempDirs.create(tag)
+    df.select(col("doc_id"), col("v0"), col("v1"), col("v2"), col("v3"))
+      .withColumn("fb", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .repartition(col("fb"))
+      .sortWithinPartitions("fb", "doc_id")
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("fb").parquet(s"$tmp/forward")
+    tmp
+  }
+
   private def maxsimForwardBucketed(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     maxsimFwdCache.getOrElseUpdate(s, dir) {
-      val path = maxsimIndex(s, dir)
-      val tmp = graft.engine.TempDirs.create("graft_msfwd")
-      s.read.parquet(s"$path/cells")
-        .select(col("doc_id"), col("v0"), col("v1"), col("v2"), col("v3"))
-        .withColumn("fb", pmod(col("doc_id"), lit(MsFwdBuckets)).cast("int"))
-        .repartition(col("fb"))
-        .sortWithinPartitions("fb", "doc_id")
-        .write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("fb").parquet(s"$tmp/forward")
-      tmp
+      writeForwardBuckets(
+        s.read.parquet(s"${maxsimIndex(s, dir)}/cells"),
+        "graft_msfwd", MsFwdBuckets)
+    }
+
+  /** Forward component of the BIGVOCAB base index — the lifecycle serves'
+    * base segment (round 15: the append/delete/compacted serves previously
+    * forward-read the cells union, correct but corpus-linear at serve
+    * time — the exact shape the base serve's fwd row escaped in r14). */
+  private val maxsimFwdBigCache = new SessionCache[String](_ => ())
+
+  private def maxsimForwardBig(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimFwdBigCache.getOrElseUpdate(s, dir) {
+      writeForwardBuckets(
+        s.read.parquet(s"${maxsimIndexBig(s, dir)}/cells"),
+        "graft_msfwd_big", MsFwdBuckets)
+    }
+
+  /** Forward component of the DELTA segment, written beside the base with
+    * its OWN (smaller) modulus — the ivf_pq_append discipline applied to
+    * the forward table: ingest never rewrites base buckets. */
+  private val maxsimFwdDeltaCache = new SessionCache[String](_ => ())
+
+  private def maxsimForwardDelta(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimFwdDeltaCache.getOrElseUpdate(s, dir) {
+      writeForwardBuckets(
+        s.read.parquet(s"${maxsimDeltaCells(s, dir)}/cells"),
+        "graft_msfwd_delta", MsFwdDeltaBuckets)
+    }
+
+  /** Post-delete forward COMPACTION: a genuine merge of the two forward
+    * COMPONENT layouts (base ∪ delta bucket dirs, tombstones dropped),
+    * rewritten under one modulus — it never goes back to the cells, so
+    * compacting the forward costs one pass over the forward itself. */
+  private val maxsimFwdCompactCache = new SessionCache[String](_ => ())
+
+  private def maxsimForwardCompacted(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    maxsimFwdCompactCache.getOrElseUpdate(s, dir) {
+      val tomb = s.read.parquet(s"${maxsimTombstoned(s, dir)}/tombstones")
+      val live = Seq(maxsimForwardBig(s, dir), maxsimForwardDelta(s, dir))
+        .map(p => s.read.parquet(s"$p/forward").drop("fb"))
+        .reduce(_.unionByName(_))
+        .join(tomb, Seq("doc_id"), "left_anti")
+      writeForwardBuckets(live, "graft_msfwd_compact", MsFwdBuckets)
     }
 
   /** Session-scoped DISK token-IVF index (train-once / serve-many, the
@@ -531,7 +723,10 @@ object SimilarityQ {
       "maxsim_ivf_index_big" -> ((s, d) => { maxsimIndexBig(s, d); () }),
       "maxsim_ivf_delta" -> ((s, d) => { maxsimDeltaCells(s, d); () }),
       "maxsim_ivf_tombstones" -> ((s, d) => { maxsimTombstoned(s, d); () }),
-      "maxsim_ivf_compact" -> ((s, d) => { maxsimLifecycleCompacted(s, d); () }))
+      "maxsim_ivf_compact" -> ((s, d) => { maxsimLifecycleCompacted(s, d); () }),
+      "maxsim_forward_big" -> ((s, d) => { maxsimForwardBig(s, d); () }),
+      "maxsim_forward_delta" -> ((s, d) => { maxsimForwardDelta(s, d); () }),
+      "maxsim_forward_compact" -> ((s, d) => { maxsimForwardCompacted(s, d); () }))
 
   /** The ONE DuckDB oracle for both IVF MaxSim serves (in-session and
     * persisted must be bit-equal — the ann_ivf_kmeans(_persisted)
@@ -1075,6 +1270,75 @@ object SimilarityQ {
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         maxsimServe(cells, s.read.parquet(s"$path/cents"),
           maxsimForward(s, path), queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true, deleted = true))),
+
+    // The APPENDED serve against BUCKETED forward components (round 15):
+    // stage 1 is identical to retrieval_maxsim_ivf_append; stage 2 fetches
+    // candidates from TWO forward segments — the base corpus's bucket
+    // layout and the delta batch's own (smaller-modulus) one, each join
+    // DPP-pruned to its candidate buckets (pinned in PlanShapeSpec). The
+    // union sits ABOVE the candidate joins: below them it would break
+    // Catalyst's partition-pruning traversal and silently read every
+    // bucket. fb is a pure function of doc_id per segment, so the result —
+    // and the oracle — are bit-identical to the union-forward serve above.
+    Q("retrieval_maxsim_ivf_append_fwd",
+      (s, dir) => {
+        val base = maxsimIndexBig(s, dir)
+        val delta = maxsimDeltaCells(s, dir)
+        val cells = maxsimCellsUnion(s, Seq(base, delta))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = Seq(
+          FwdPart(s.read.parquet(s"${maxsimForwardBig(s, dir)}/forward"),
+            MsFwdBuckets),
+          FwdPart(s.read.parquet(s"${maxsimForwardDelta(s, dir)}/forward"),
+            MsFwdDeltaBuckets))
+        maxsimServeParts(cells, s.read.parquet(s"$base/cents"), fwd,
+          queryTokens(s, dir, big = true))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true))),
+
+    // DELETES against the bucketed forward components: tombstones filter
+    // stage 1 (live cells) exactly as the union-forward delete row, and the
+    // serve core anti-joins them against the FETCHED stream — above the
+    // forward scans, where the filter costs O(|fetched|) and DPP survives
+    // (an anti-join below the candidate join would break the pruning
+    // traversal, reverting both segments to full scans). No bucket is
+    // rewritten by a delete; compaction is the rewrite.
+    Q("retrieval_maxsim_ivf_delete_fwd",
+      (s, dir) => {
+        val base = maxsimTombstoned(s, dir)
+        val delta = maxsimDeltaCells(s, dir)
+        val tomb = s.read.parquet(s"$base/tombstones")
+        val cells = maxsimCellsUnion(s, Seq(base, delta))
+          .join(tomb, Seq("doc_id"), "left_anti")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = Seq(
+          FwdPart(s.read.parquet(s"${maxsimForwardBig(s, dir)}/forward"),
+            MsFwdBuckets),
+          FwdPart(s.read.parquet(s"${maxsimForwardDelta(s, dir)}/forward"),
+            MsFwdDeltaBuckets))
+        maxsimServeParts(cells, s.read.parquet(s"$base/cents"), fwd,
+          queryTokens(s, dir, big = true), tomb = Some(tomb))
+      },
+      Some(maxsimIvfOracleOver(big = true, append = true, deleted = true))),
+
+    // Post-delete forward COMPACTION: the two forward segments merged into
+    // ONE bucket layout (tombstones dropped, single modulus) by a pass over
+    // the forward components themselves — never back to the cells. Serving
+    // the compacted cells against it must BIT-equal the two-segment delete
+    // serve above (segment-split invariance: the three rows
+    // delete/delete_fwd/compacted_fwd share one oracle).
+    Q("retrieval_maxsim_ivf_lifecycle_compacted_fwd",
+      (s, dir) => {
+        val path = maxsimLifecycleCompacted(s, dir)
+        val cells = s.read.parquet(s"$path/cells")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        val fwd = Seq(FwdPart(
+          s.read.parquet(s"${maxsimForwardCompacted(s, dir)}/forward"),
+          MsFwdBuckets))
+        maxsimServeParts(cells, s.read.parquet(s"$path/cents"), fwd,
+          queryTokens(s, dir, big = true))
       },
       Some(maxsimIvfOracleOver(big = true, append = true, deleted = true))),
 

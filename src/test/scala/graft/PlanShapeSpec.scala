@@ -493,26 +493,34 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
   test("MaxSim IVF serve: candidate join is a cluster equi-join — the full " +
       "probe-token cross never forms") {
     // The scale claim in one plan property: stage 1 joins probed CELLS by
-    // hash equi-join on cluster (BroadcastHashJoin), so the only
-    // nested-loop in the plan is the 8-row centroid broadcast of the probe
-    // ranking — the |Q_tok|·|corpus_tok| BroadcastNestedLoopJoin cross that
-    // defines the exact row must NOT appear against the token table.
+    // hash equi-join on cluster (BroadcastHashJoin). The |Q_tok|·|corpus_tok|
+    // BroadcastNestedLoopJoin cross that defines the exact row must NOT
+    // appear against the token table — and as of round 15 the kc-row
+    // centroid cross of the probe ranking runs as a separate PLANNING job
+    // (probes are driver-materialized), so the served plan carries ZERO
+    // nested-loop joins.
     val p = plan(SparkEntry.queries("retrieval_maxsim_ivf")(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    // exactly one BNLJ: the kc-row centroid table crossed into the probe
-    // ranking (bounded by kc, not by the corpus)
     assert(p.linesIterator.count(
-      l => l.contains("- BroadcastNestedLoopJoin")) == 1, p)
+      l => l.contains("- BroadcastNestedLoopJoin")) == 0, p)
   }
 
-  test("persisted MaxSim token-IVF serve prunes cell partitions dynamically") {
-    // Stage 1 must read ONLY the probed clusters' directories: the cells
-    // scan carries a runtime partition filter on `cluster` (the
-    // knnIvfPersisted discipline) — a full-index token scan at serve time
-    // defeats the layout.
+  test("persisted MaxSim token-IVF serve prunes cell partitions statically " +
+      "to the probed clusters") {
+    // Stage 1 must read ONLY the probed clusters' directories. Round 15:
+    // the probed-cluster set is collected at planning (bounded by the
+    // query workload) and lands as a STATIC IN partition filter — pruned
+    // at listing time, no subquery to degrade, and no nested dynamic
+    // filter left to poison the stage-2 forward DPP.
     val p = plan(SparkEntry.queries("retrieval_maxsim_ivf_persisted")(spark, dir))
-    assert(p.contains("dynamicpruning"), p)
+    val cellScans = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cluster#"))
+      .toSeq
+    assert(cellScans.nonEmpty, "expected the cluster-partitioned cells scan:\n" + p)
+    assert(cellScans.forall(_.contains(" IN (")),
+      "cells scan without the static probed-cluster IN filter:\n" +
+        cellScans.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -552,11 +560,28 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
       .filter(l => l.contains("PartitionFilters") && l.contains("fb#"))
       .toSeq
     assert(fwdScans.nonEmpty, "expected the fb-partitioned forward scan:\n" + p)
-    assert(fwdScans.forall(_.contains("dynamicpruning")),
-      "forward scan without a dynamic fb filter — stage 2 reads every " +
-        "bucket:\n" + fwdScans.mkString("\n"))
-    // stage 1 keeps its cluster DPP; no cartesian anywhere
-    assert(p.contains("dynamicpruning"), p)
+    // "dynamicpruning#<id>" is a LIVE subquery reference; a filter Catalyst
+    // degraded to dynamicpruningexpression(true) also contains the word
+    // "dynamicpruning" but reads every bucket — the r14 pin accepted it
+    // (the layout was decorative at runtime for one round). Require the
+    // live form explicitly.
+    assert(fwdScans.forall(_.contains("dynamicpruning#")),
+      "forward scan without a LIVE dynamic fb filter — stage 2 reads " +
+        "every bucket:\n" + fwdScans.mkString("\n"))
+    assert(!p.contains("dynamicpruningexpression(true)"),
+      "a dynamic filter degenerated to literal true:\n" + p)
+    // stage 1's cluster pruning is STATIC as of round 15 (the probed-
+    // cluster set is collected at planning and lands as an IN filter on
+    // the partition column — stronger than the dynamic filter it
+    // replaced, and the nested subquery it carried was what degraded the
+    // forward filter to true).
+    val cellScans = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cluster#"))
+      .toSeq
+    assert(cellScans.nonEmpty, "expected the cluster-partitioned cells scan")
+    assert(cellScans.forall(l => l.contains("cluster#") && l.contains(" IN (")),
+      "cells scan without the static probed-cluster IN filter:\n" +
+        cellScans.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
     // and the r13 pin holds here too: every documents scan is query-side
     val docScans = p.linesIterator
@@ -565,6 +590,40 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
     assert(docScans.nonEmpty, "expected the query-side documents scan")
     assert(docScans.forall(_.contains("% 250")),
       "corpus-text scan without the query filter:\n" + docScans.mkString("\n"))
+  }
+
+  test("lifecycle MaxSim fwd serves: EVERY forward-segment scan (base AND " +
+      "delta moduli, and the compacted merge) is DPP-pruned on fb") {
+    // Round 15: the lifecycle serves previously forward-read the cells
+    // union — correct but corpus-linear. The bucketed variants fetch from
+    // per-segment forward layouts; the union sits ABOVE the candidate
+    // joins because Catalyst's PartitionPruning rule does not traverse
+    // Union — pinned here so a refactor that unions below the join (and
+    // silently reverts every segment to a full scan) fails loudly.
+    val expectedScans = Map(
+      "retrieval_maxsim_ivf_append_fwd" -> 2, // base + delta segments
+      "retrieval_maxsim_ivf_delete_fwd" -> 2,
+      "retrieval_maxsim_ivf_lifecycle_compacted_fwd" -> 1) // merged
+    for ((name, nScans) <- expectedScans) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count() // finalize AQE so the executed scans are the real ones
+      val p = df.queryExecution.executedPlan.toString
+      val fwdScans = p.linesIterator
+        .filter(l => l.contains("PartitionFilters") && l.contains("fb#"))
+        .toSeq
+      assert(fwdScans.size == nScans,
+        s"$name: expected $nScans fb-partitioned forward scans, got " +
+          s"${fwdScans.size}:\n" + fwdScans.mkString("\n"))
+      // Live subquery reference required — dynamicpruningexpression(true)
+      // is Catalyst's silent give-up and reads every bucket (see the base
+      // fwd pin above for the full story).
+      assert(fwdScans.forall(_.contains("dynamicpruning#")),
+        s"$name: forward scan without a LIVE dynamic fb filter — stage 2 " +
+          "reads every bucket:\n" + fwdScans.mkString("\n"))
+      assert(!p.contains("dynamicpruningexpression(true)"),
+        s"$name: a dynamic filter degenerated to literal true:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
   }
 
   test("hybrid-served retrieval touches only indexes: bucket-pruned postings, " +
