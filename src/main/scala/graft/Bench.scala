@@ -687,28 +687,73 @@ object Bench {
         s"(${fpNums.size} query + ${plFp.size} pipeline rows; " +
         s"${cmeds.size} clean-epoch carry: ${cmeds.keys.toSeq.sorted.mkString(",")})")
     }
-    val gateViolations: Seq[String] =
-      if (only.nonEmpty) Seq.empty
+    val (gateViolations, gateInfo): (Seq[String], Seq[String]) =
+      if (only.nonEmpty) (Seq.empty, Seq.empty)
       else try {
         val p = java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_PLAN_BASELINE", "PLAN_BASELINE.json"))
         if (!java.nio.file.Files.exists(p)) {
           println(s"[bench] no plan baseline at $p - gate skipped")
-          Seq.empty
-        } else graft.engine.PlanGate.violations(fpNums.toMap,
-          graft.engine.PlanGate.parseBaseline(java.nio.file.Files.readString(p)),
-          graft.queries.Q.designHxMap(SparkEntry.allQueries),
-          graft.queries.Q.layoutRowsMap(SparkEntry.allQueries),
-          graft.ops.Bucketing.registeredLayouts,
-          gateTimes ++ pipelineGateTimes)
+          (Seq.empty, Seq.empty)
+        } else {
+          val base = graft.engine.PlanGate
+            .parseBaseline(java.nio.file.Files.readString(p))
+          (graft.engine.PlanGate.violations(fpNums.toMap, base,
+            graft.queries.Q.designHxMap(SparkEntry.allQueries),
+            graft.queries.Q.layoutRowsMap(SparkEntry.allQueries),
+            graft.ops.Bucketing.registeredLayouts,
+            gateTimes ++ pipelineGateTimes),
+            // Non-gating clean-floor exceedances (episode re-base, round
+            // 16): visible in the artifact, never in the violations list.
+            graft.engine.PlanGate.infoLines(base,
+              gateTimes ++ pipelineGateTimes))
+        }
       } catch {
         // A gate-machinery failure (e.g. a mangled baseline row tripping
         // parseBaseline's require) must SURFACE as a violation, not read as
         // a clean run with every channel silently disabled.
         case e: Throwable =>
           println(s"[bench] plan gate failed: ${e.getMessage}")
-          Seq(s"plan_gate_error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+          (Seq(s"plan_gate_error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"),
+            Seq.empty)
       }
+    // SCAN AUDIT (round 16, closing the silent-degradation class for
+    // good): every index-serving row's "pruned by design" claim becomes
+    // PER-RUN DATA — one extra execution per audited row (collect, so the
+    // row's OWN plan runs and carries metrics), then every file scan in
+    // the executed plan prints files-read vs the layout's on-disk total
+    // (static pruning) and staticFilesNum (live DPP). The r14/r15 lesson:
+    // two pruning claims in a row were decorative at runtime while their
+    // plan-string pins stayed green; executed metrics are the only
+    // evidence that cannot lie this way.
+    if (only.isEmpty) {
+      val scanAudit = Seq("ann_ivf_persisted", "ann_ivf_kmeans_persisted",
+        "ann_ivf_pq_persisted", "ann_ivf_pq_append", "ann_ivf_pq_promoted",
+        "retrieval_hybrid_served", "retrieval_maxsim_ivf_fwd",
+        "retrieval_maxsim_ivf_persisted", "text_bm25_impact_topk",
+        "tpch_q18_bucketed")
+      for (name <- scanAudit if selected.contains(name)) try {
+        val df = selected(name)(spark, sfDir)
+        df.collect()
+        val seen = scala.collection.mutable.Set.empty[String]
+        for (f <- graft.engine.ScanMetrics.scans(df.queryExecution.executedPlan)) {
+          val root = f.relation.location.rootPaths.headOption
+            .map(_.toString).getOrElse("?")
+          val local = root.stripPrefix("file:")
+          if (local.startsWith("/tmp/") && seen.add(root)) {
+            def m(n: String) = f.metrics.get(n).map(_.value).getOrElse(-1L)
+            val total = graft.engine.ScanMetrics.parquetFilesUnder(local)
+            val tail = local.split('/').takeRight(2).mkString("/")
+            println(s"BENCH_DETAIL scan_audit $name $tail " +
+              s"files=${m("numFiles")} staticDpp=${m("staticFilesNum")} " +
+              s"onDisk=$total")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"BENCH_DETAIL scan_audit $name failed: ${e.getMessage}")
+      }
+    }
     // SERVE-AMORTIZATION PIN (round 12): a persisted index whose serve
     // costs more than the in-session path it amortizes is backwards —
     // exactly the state retrieval_maxsim_ivf_persisted shipped in for one
@@ -735,12 +780,43 @@ object Bench {
           (finalResults.get(per), finalResults.get(ins)) match {
             case (Some((p, _, false)), Some((i, _, false)))
                 if p > i * 1.25 && p - i > 0.3 =>
-              Some(f"serve_pin: $per $p%.2fs > 1.25x $ins $i%.2fs")
+              // PER-PAIR MEDIANS RE-MEASURE (round 16, porting the scale
+              // sweep's r15 discipline to the driver path): the main-loop
+              // medians of a pair are measured minutes apart, so an
+              // episode onset BETWEEN them skews the ratio — r15's
+              // artifact shipped `append_fwd 5.02 > 1.25x 3.00` this way
+              // while every adjacent measurement said the opposite.
+              // Re-run BOTH rows back-to-back, medians-of-3, and verdict
+              // on those; a cleared firing is recorded as detail, not
+              // hidden.
+              def med3(name: String): Option[Double] = {
+                val ts = (1 to 3).flatMap { _ =>
+                  val t0 = System.nanoTime()
+                  val ok = try { selected(name)(spark, sfDir).count(); true }
+                           catch { case _: Throwable => false }
+                  if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+                }
+                if (ts.size == 3) Some(ts.sorted.apply(1)) else None
+              }
+              (med3(per), med3(ins)) match {
+                case (Some(p2), Some(i2)) if p2 > i2 * 1.25 && p2 - i2 > 0.3 =>
+                  Some(f"serve_pin: $per $p2%.2fs > 1.25x $ins $i2%.2fs" +
+                    f" (per-pair medians-of-3; main-loop $p%.2f vs $i%.2f)")
+                case (Some(p2), Some(i2)) =>
+                  println(f"BENCH_DETAIL serve_pin_cleared $per $p2%.2fs vs" +
+                    f" $ins $i2%.2fs (main-loop firing $p%.2f > 1.25x" +
+                    f" $i%.2f was adjacent-measurement skew)")
+                  None
+                case _ =>
+                  Some(f"serve_pin: $per $p%.2fs > 1.25x $ins $i%.2fs" +
+                    " (re-measure failed; main-loop verdict stands)")
+              }
             case _ => None
           }
       }
     val allViolations = gateViolations ++ servePins
     allViolations.foreach(v => println(s"BENCH_DETAIL plan_gate VIOLATION $v"))
+    gateInfo.foreach(v => println(s"BENCH_DETAIL plan_gate INFO $v"))
     // Full per-query detail for humans (NOT the machine-read line).
     pipelineTimes.foreach { case (k, v) =>
       println(f"BENCH_DETAIL pipeline:$k ${v}%.3f")
@@ -788,11 +864,12 @@ object Bench {
       def jq(s: String): String =
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = allViolations.map(jq).mkString("[", ",", "]")
+      val gInfo = gateInfo.map(jq).mkString("[", ",", "]")
       val maint = maintRecall.map(r =>
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
         .getOrElse("null")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"bm25_seg_sweep":$segSw,"probe_sweep":$prbSw,"plan_gate_violations":$gate,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"bm25_seg_sweep":$segSw,"probe_sweep":$prbSw,"plan_gate_violations":$gate,"plan_gate_info":$gInfo,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and

@@ -274,39 +274,11 @@ object ScaleSweep {
     "maxsim_forward_big", "maxsim_forward_delta", "maxsim_forward_compact")
 
   /** Post-execution metrics of the first file scan whose location matches
-    * `tag`: (numFiles, staticFilesNum, filesSize, staticFilesSize) — the
-    * static pair is the PRE-pruning layout size when the scan carries a
-    * dynamic partition filter, so read/static is the measured DPP benefit.
-    * AQE-aware traversal (the final plan hides under query stages). */
+    * `tag` — delegates to [[graft.engine.ScanMetrics.forPath]] (the shared
+    * executed-metrics helper the plan pins use too). */
   private def fwdScanMetrics(df: org.apache.spark.sql.DataFrame, tag: String)
-      : Option[(Long, Long, Long, Long)] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case o => (o.children ++ o.subqueries).flatMap(scans)
-    }
-    // AQE re-instantiates stage plans, so the tree can hold BOTH an
-    // executed scan (metrics set) and a never-run copy (zeros) — keep the
-    // populated one, not the first found.
-    val matches = scans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains(tag)))
-    if (matches.isEmpty) None
-    else {
-      def m(f: org.apache.spark.sql.execution.FileSourceScanExec,
-            n: String, alt: Long) =
-        f.metrics.get(n).map(_.value).getOrElse(alt)
-      val f = matches.maxBy(x => m(x, "numFiles", -1L))
-      val nf = m(f, "numFiles", -1L)
-      val sz = m(f, "filesSize", -1L)
-      // staticFilesNum only exists when the scan carries a dynamic
-      // pruning filter — its ABSENCE means no DPP reached this scan, which
-      // must read as -1 (loudly wrong), not silently as 100%-selected.
-      Some((nf, m(f, "staticFilesNum", -1L), sz, m(f, "staticFilesSize", -1L)))
-    }
-  }
+      : Option[(Long, Long, Long, Long)] =
+    graft.engine.ScanMetrics.forPath(df, tag)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -455,9 +427,15 @@ object ScaleSweep {
             df.collect()
             val t = (System.nanoTime() - t0) / 1e9
             fwdScanMetrics(df, "graft_msfwd_b").foreach {
-              case (nf, snf, sz, ssz) => println(
+              // staticFilesSize exists only when a live dynamic filter
+              // executed; ssz < 0 means NO DPP reached this scan — say so
+              // instead of printing sz/1 as a garbage percentage.
+              case (nf, snf, sz, ssz) if ssz > 0 => println(
                 f"[sweep] maxsim_fwd_b$b forward scan: files $nf/$snf " +
-                  f"bytes $sz/$ssz (read ${100.0 * sz / math.max(1L, ssz)}%.1f%% post-DPP)")
+                  f"bytes $sz/$ssz (read ${100.0 * sz / ssz}%.1f%% post-DPP)")
+              case (nf, _, sz, _) => println(
+                s"[sweep] maxsim_fwd_b$b forward scan: files $nf bytes $sz " +
+                  "— NO DPP on forward scan (static metrics absent)")
             }
             s"maxsim_fwd_b$b" -> t
           }

@@ -62,14 +62,35 @@ object PlanGate {
     * regression landing inside that allowance would have been invisible.
     * When a re-author measures a row >[[EpochFamilyFactor]]× its last
     * known clean cost, the clean value rides along as `cmed` and the time
-    * rule gates on min(med, cmed) — the inflated epoch can never widen the
-    * allowance. The first re-author that measures back in family drops the
-    * field ([[carryCleanMedians]]). A DELIBERATE slowdown (algorithm
-    * change) is the one case that must hand-remove the row's cmed — the
-    * hardened parse makes a bad edit loud. */
+    * rule originally gated on min(med, cmed) — the inflated epoch could
+    * never widen the allowance.
+    *
+    * EPISODE RE-BASE (round 16): after a FIFTH consecutive multi-hour
+    * host-interference episode (r11, r13, r14, r15, r16 — each canaried
+    * on unmodified HEAD), gating on the clean floor produced a violations
+    * list that was 100% known-noise every round (9 local + 3 driver in
+    * r15, every one fingerprint-identical and episode-attributed) — a
+    * gate nobody can act on trains people to ignore it. The time rule now
+    * gates on the RE-AUTHORED median (`med` — the box's operative steady
+    * state), while the clean epoch stays carried as a HISTORICAL FLOOR:
+    * [[carryCleanMedians]] still propagates the tightest epoch across
+    * re-authors (so one quiet round auto-restores the tight gate), and
+    * [[infoLines]] keeps floor exceedances visible in the artifact as
+    * non-gating observations. The cost accepted: a real code regression
+    * that hides inside the episode allowance fires only as INFO until the
+    * box quiets — the price of an actionable violations list. A
+    * DELIBERATE slowdown (algorithm change) is the one case that must
+    * hand-remove the row's cmed — the hardened parse makes a bad edit
+    * loud. */
   final case class Base(fp: Fp, medianS: Double, cleanMedianS: Double = -1.0) {
-    /** The median the time rule gates on: the tightest epoch we know. */
+    /** The median the time rule GATES on: the re-authored epoch (the
+      * box's operative steady state; episode re-base, round 16). */
     def gateMedianS: Double =
+      if (medianS >= 0) medianS else cleanMedianS
+    /** The tightest epoch we know — the historical floor: what
+      * [[carryCleanMedians]] preserves across re-authors and
+      * [[infoLines]] reports exceedances against. */
+    def floorMedianS: Double =
       if (cleanMedianS >= 0 && medianS >= 0) math.min(medianS, cleanMedianS)
       else if (medianS >= 0) medianS
       else cleanMedianS
@@ -144,7 +165,7 @@ object PlanGate {
       medians: Map[String, Double]): Map[String, Double] =
     medians.flatMap { case (name, m) =>
       prev.get(name).flatMap { b =>
-        val clean = b.gateMedianS
+        val clean = b.floorMedianS
         if (clean >= 0 && m >= 0 && m > EpochFamilyFactor * clean)
           Some(name -> clean)
         else None
@@ -198,7 +219,7 @@ object PlanGate {
               spread <= TimeSpreadCeiling &&
               med > TimeRegressionFactor * b.gateMedianS =>
             val epoch = if (b.cleanMedianS >= 0 && b.cleanMedianS < b.medianS)
-              f" (clean epoch ${b.cleanMedianS}%.2f s vs carried ${b.medianS}%.2f s)"
+              f" (clean floor ${b.cleanMedianS}%.2f s rides as cmed)"
             else ""
             f"$name: warm median ${med}%.2f s vs baseline ${b.gateMedianS}%.2f s$epoch" +
               f" (>${TimeRegressionFactor}%.1fx at warm spread ${spread}%.2f" +
@@ -207,4 +228,27 @@ object PlanGate {
     }
     cbRises ++ undeclared ++ unregistered ++ bucketedHx ++ timeRegressions
   }
+
+  /** NON-GATING floor observations (episode re-base, round 16): rows that
+    * pass the operative-epoch gate but exceed [[TimeRegressionFactor]]× the
+    * HISTORICAL FLOOR (the carried clean epoch). These keep the clean-box
+    * cost visible in the artifact while the box sits on an interference
+    * plateau — a regression hiding inside the episode allowance shows up
+    * here, and the first quiet round's re-author (auto-restore) promotes
+    * it back to a gating violation. Same spread/floor exemptions as the
+    * gate. */
+  def infoLines(baseline: Map[String, Base],
+      times: Map[String, (Double, Double)] = Map.empty): Seq[String] =
+    times.toSeq.sortBy(_._1).flatMap { case (name, (med, spread)) =>
+      baseline.get(name).collect {
+        case b if b.floorMedianS >= TimeFloorS && med > 0 &&
+            spread <= TimeSpreadCeiling &&
+            med <= TimeRegressionFactor * b.gateMedianS &&
+            med > TimeRegressionFactor * b.floorMedianS =>
+          f"$name: warm median ${med}%.2f s is >${TimeRegressionFactor}%.1fx" +
+            f" the clean floor ${b.floorMedianS}%.2f s (inside the carried" +
+            f" episode epoch ${b.gateMedianS}%.2f s — non-gating; a quiet" +
+            " round's re-author restores the tight gate)"
+      }
+    }
 }

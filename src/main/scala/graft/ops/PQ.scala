@@ -179,9 +179,13 @@ object PQ {
   }
 
   /** Serve ADC top-k from a persisted [[writeIvfPqIndex]] index: coarse
-    * centroids broadcast, each probe picks `nprobe` cells, and the cell
-    * join prunes the CODES scan to those partition directories (dynamic
-    * partition pruning) — the serving path never reads a raw vector. */
+    * centroids broadcast, each probe picks `nprobe` cells, and the
+    * probed-cell union prunes the CODES scan to those partition
+    * directories as a STATIC partition filter (probe selection runs as
+    * query planning — [[Similarity.materializeProbes]]; the previous
+    * runtime-DPP form silently degraded to
+    * `dynamicpruningexpression(true)` and read every cell, r15 audit) —
+    * the serving path never reads a raw vector. */
   def knnIvfPqPersisted(
       spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String,
@@ -201,21 +205,31 @@ object PQ {
     val m = books.size
     val sub = dims / m
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))
-    val wProbe = Window.partitionBy("q_vec")
-      .orderBy(col("d").asc, col("p_cluster").asc)
-    val probeParts = q.crossJoin(broadcast(
+    // nprobe cut as a bounded TopKAggregate — (d asc, p_cluster asc) ≡ the
+    // heap order on (-d, id) — materialized at planning; the probed-cell
+    // union statically prunes the codes scan (and pushes through the
+    // base ∪ delta Union of the append/delete paths, which runtime DPP
+    // never could — PartitionPruning does not traverse Union).
+    val probePipeline = q.crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
       .withColumn("d", expr(
         """aggregate(zip_with(_qv, cent, (x, y) ->
           |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
           |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_vec", "_qv", "p_cluster")
+      .groupBy(col("q_vec"), col("_qv"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(-col("d"), col("p_cluster").cast("long"), nprobe).as("top"))
+      .select(col("q_vec"), col("_qv"), explode(col("top.id")).as("p_cluster"))
+    val (probeParts, probed) =
+      Similarity.materializeProbes(probePipeline, "p_cluster")
+    // The ADC distance tables are pure per-row functions of the probe
+    // vector — added ABOVE the LocalRelation so the collect ships only
+    // (q_vec, _qv, p_cluster), not m·|codebook| doubles per row.
     val qt = books.zipWithIndex.foldLeft(probeParts) { case (d, (cs, j)) =>
       d.withColumn(s"tab$j", expr(distTable(cs, "_qv", j, sub)))
     }
-    val scored = enc.join(broadcast(qt),
+    val encPruned = Similarity.pruneCells(enc, "cluster", probed)
+    val scored = encPruned.join(broadcast(qt),
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .withColumn("adist",
         (0 until m).map(j => expr(s"element_at(tab$j, code$j)"))

@@ -214,29 +214,71 @@ object Similarity {
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/cents")
   }
 
+  /** Materialize a workload-bounded probe-selection pipeline to the driver
+    * and return it as a LocalRelation plus the distinct probed-cell ids
+    * (sorted, for deterministic IN-list rendering).
+    *
+    * This is the round-15 MaxSim recipe applied to the dense serves (round
+    * 16): probe selection runs AS QUERY PLANNING. The pipeline is
+    * |Q|·nprobe rows — the query workload, never the corpus (the
+    * Streams/Corpus bounded-collect class) — and materializing it buys the
+    * structure the lazy pipeline could not deliver: the probed-cell union
+    * becomes a STATIC partition filter on the cells scan (collect → isin,
+    * pruned at planning, no subquery), where the previous runtime-DPP form
+    * silently degraded to `dynamicpruningexpression(true)` and read every
+    * cell directory (the r15 scan-metrics audit; windows and nested
+    * dynamic filters in the candidate build side break Catalyst's
+    * broadcast-reuse DPP every time). A LocalRelation probe side cannot
+    * carry a subquery, so nothing is left to degrade. */
+  private[ops] def materializeProbes(pipeline: DataFrame, cellCol: String)
+      : (DataFrame, Seq[Long]) = {
+    val rows = pipeline.collect()
+    val local = pipeline.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pipeline.schema)
+    val ci = pipeline.schema.fieldIndex(cellCol)
+    (local, rows.map(_.getLong(ci)).distinct.sorted.toSeq)
+  }
+
+  /** Static probed-cell pruning: `cells` restricted to the probed ids.
+    * Pre-filtering by the equi-join key set is a semantic no-op (every
+    * surviving row joins, every dropped row could not), so results are
+    * bit-unchanged; on a cell-partitioned layout the IN lands as a static
+    * partition filter and the scan reads only probed directories. */
+  private[ops] def pruneCells(
+      cells: DataFrame, cellCol: String, probed: Seq[Long]): DataFrame =
+    if (probed.isEmpty) cells.filter(lit(false))
+    else cells.filter(col(cellCol).isin(probed: _*))
+
   /** Probe a [[writeKmeansIvfIndex]] index from disk: the k centroids
     * broadcast, each probe picks its `nprobe` nearest cells by squared L2
-    * (the metric the quantizer was trained in), and the cell join prunes the
-    * scan to the selected partition directories (dynamic partition pruning,
-    * pinned in PlanShapeSpec). Results are identical to the in-session
-    * trained path (`ann_ivf_kmeans`), so the same oracle checks both. */
+    * (the metric the quantizer was trained in — the cut a bounded
+    * [[graft.expressions.TopKAggregate]], not a row_number sort of every
+    * (probe, cell) pair), and the probed-cell union lands on the cells
+    * scan as a STATIC partition filter via [[materializeProbes]] — pruned
+    * at planning, metrics-pinned in PlanShapeSpec. Results are identical
+    * to the in-session trained path (`ann_ivf_kmeans`), so the same oracle
+    * checks both. */
   def knnIvfKmeansPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String,
       nprobe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/cents")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
       norm(col(vecCol)).as("q_nrm"))
-    val wProbe = Window.partitionBy("q_vec").orderBy(col("d").asc, col("p_cluster").asc)
-    val probeParts = q.crossJoin(broadcast(
+    // (d asc, p_cluster asc) ≡ the TopKAggregate heap order on (-d, id) —
+    // the old window order exactly, so the selected cells are unchanged.
+    val probePipeline = q.crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
       .withColumn("d", expr(
         """aggregate(zip_with(q_emb, cent, (x, y) ->
           |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
           |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_vec", "q_emb", "q_nrm", "p_cluster")
-    val v = spark.read.parquet(s"$path/cells")
+      .groupBy(col("q_vec"), col("q_emb"), col("q_nrm"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(-col("d"), col("p_cluster").cast("long"), nprobe).as("top"))
+      .select(col("q_vec"), col("q_emb"), col("q_nrm"),
+        explode(col("top.id")).as("p_cluster"))
+    val (probeParts, probed) = materializeProbes(probePipeline, "p_cluster")
+    val v = pruneCells(spark.read.parquet(s"$path/cells"), "cluster", probed)
     val scored = v.join(broadcast(probeParts),
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
@@ -248,27 +290,32 @@ object Similarity {
   }
 
   /** Probe a [[writeIvfIndex]] index from disk — the ANN SERVING path:
-    * representatives broadcast, each probe picks its nprobe cells, and the
-    * cell join against the label-partitioned index prunes the scan to the
-    * selected partition directories (dynamic partition pruning; pinned in
-    * PlanShapeSpec). Results are identical to [[knnIvf]] over the same
-    * data. */
+    * representatives broadcast, each probe picks its nprobe cells (a
+    * bounded [[graft.expressions.TopKAggregate]] cut), and the probed-cell
+    * union lands on the label-partitioned cells scan as a STATIC partition
+    * filter via [[materializeProbes]] — pruned at planning, metrics-pinned
+    * in PlanShapeSpec. The label must be an integral type (it rides the
+    * TopKAggregate id slot). Results are identical to [[knnIvf]] over the
+    * same data. */
   def knnIvfPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String, labelCol: String,
       nprobe: Int, k: Int): DataFrame = {
     val reps = spark.read.parquet(s"$path/reps")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
       norm(col(vecCol)).as("q_nrm"))
-    val wProbe = Window.partitionBy("q_vec")
-      .orderBy(col("rep_cos").desc, col("rep_label").asc)
-    val probeParts = q.crossJoin(broadcast(reps))
-      .select(col("q_vec"), col("q_emb"), col("q_nrm"), col("rep_label"),
-        (dot(col("q_emb"), col("rep_emb")) / sqrt(dot(col("q_emb"), col("q_emb")))
-          / sqrt(dot(col("rep_emb"), col("rep_emb")))).as("rep_cos"))
-      .withColumn("_pr", row_number().over(wProbe))
-      .filter(col("_pr") <= nprobe)
-      .select("q_vec", "q_emb", "q_nrm", "rep_label")
-    val v = spark.read.parquet(s"$path/cells")
+    // (rep_cos desc, rep_label asc) is the TopKAggregate heap order — the
+    // old window order exactly.
+    val probePipeline = q.crossJoin(broadcast(reps))
+      .withColumn("rep_cos",
+        dot(col("q_emb"), col("rep_emb")) / sqrt(dot(col("q_emb"), col("q_emb")))
+          / sqrt(dot(col("rep_emb"), col("rep_emb"))))
+      .groupBy(col("q_vec"), col("q_emb"), col("q_nrm"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(col("rep_cos"), col("rep_label").cast("long"), nprobe).as("top"))
+      .select(col("q_vec"), col("q_emb"), col("q_nrm"),
+        explode(col("top.id")).as("rep_label"))
+    val (probeParts, probed) = materializeProbes(probePipeline, "rep_label")
+    val v = pruneCells(spark.read.parquet(s"$path/cells"), labelCol, probed)
     val scored = v.join(broadcast(probeParts),
         col(labelCol) === col("rep_label") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),

@@ -210,7 +210,11 @@ object SimilarityQ {
     * modulus — segments differ (a delta batch wants far fewer buckets than
     * the base corpus; the §9 sizing rule lives at [[msFwdBucketsFor]]), and
     * fb on the candidate side must be computed with the modulus the
-    * component was WRITTEN with or the pruning join matches nothing. */
+    * component was WRITTEN with or the pruning join matches nothing —
+    * which is why bucketed parts are built ONLY by [[fwdPart]], which
+    * reads the modulus persisted beside the layout (advice r15; the
+    * default here serves the unbucketed cells-as-forward path, whose df
+    * has no fb column and never reads it). */
   private[graft] case class FwdPart(
       df: org.apache.spark.sql.DataFrame, buckets: Int = MsFwdBuckets)
 
@@ -456,9 +460,11 @@ object SimilarityQ {
     val path = maxsimIndex(s, dir)
     val cells = s.read.parquet(s"$path/cells")
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    val part = fwdPart(s, layout)
+    require(part.buckets == buckets,
+      s"layout $layout was written with ${part.buckets} buckets, caller says $buckets")
     maxsimServeParts(cells, s.read.parquet(s"$path/cents"),
-      Seq(FwdPart(s.read.parquet(s"$layout/forward"), buckets)),
-      queryTokens(s, dir))
+      Seq(part), queryTokens(s, dir))
   }
 
   /** Stage-2 forward token table OF THE INDEX ITSELF: the cells layout
@@ -498,8 +504,26 @@ object SimilarityQ {
       .sortWithinPartitions("fb", "doc_id")
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("fb").parquet(s"$tmp/forward")
+    // The modulus is PART OF THE LAYOUT (advice r15): a serve whose
+    // candidate-side fb disagrees with the modulus the buckets were
+    // written with silently matches nothing — candidate docs would drop
+    // from results, a wrong answer, not an error. Persist it beside the
+    // data and make [[fwdPart]] the only way a serve learns it.
+    val s = df.sparkSession
+    import s.implicits._
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/forward_meta")
     tmp
   }
+
+  /** The ONLY constructor for a bucketed [[FwdPart]]: reads the layout's
+    * forward table and its PERSISTED modulus together, so serve-side fb
+    * computation can never disagree with the layout (the silent
+    * wrong-answer hazard of threading the modulus by hand). */
+  private def fwdPart(s: org.apache.spark.sql.SparkSession,
+      layoutPath: String): FwdPart =
+    FwdPart(s.read.parquet(s"$layoutPath/forward"),
+      s.read.parquet(s"$layoutPath/forward_meta").head().getInt(0))
 
   private def maxsimForwardBucketed(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
@@ -1208,8 +1232,8 @@ object SimilarityQ {
         val path = maxsimIndex(s, dir)
         val cells = s.read.parquet(s"$path/cells")
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-        val fwd = s.read.parquet(s"${maxsimForwardBucketed(s, dir)}/forward")
-        maxsimServe(cells, s.read.parquet(s"$path/cents"), fwd,
+        maxsimServeParts(cells, s.read.parquet(s"$path/cents"),
+          Seq(fwdPart(s, maxsimForwardBucketed(s, dir))),
           queryTokens(s, dir))
       },
       Some(maxsimIvfOracle)),
@@ -1288,11 +1312,8 @@ object SimilarityQ {
         val delta = maxsimDeltaCells(s, dir)
         val cells = maxsimCellsUnion(s, Seq(base, delta))
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-        val fwd = Seq(
-          FwdPart(s.read.parquet(s"${maxsimForwardBig(s, dir)}/forward"),
-            MsFwdBuckets),
-          FwdPart(s.read.parquet(s"${maxsimForwardDelta(s, dir)}/forward"),
-            MsFwdDeltaBuckets))
+        val fwd = Seq(fwdPart(s, maxsimForwardBig(s, dir)),
+          fwdPart(s, maxsimForwardDelta(s, dir)))
         maxsimServeParts(cells, s.read.parquet(s"$base/cents"), fwd,
           queryTokens(s, dir, big = true))
       },
@@ -1313,11 +1334,8 @@ object SimilarityQ {
         val cells = maxsimCellsUnion(s, Seq(base, delta))
           .join(tomb, Seq("doc_id"), "left_anti")
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-        val fwd = Seq(
-          FwdPart(s.read.parquet(s"${maxsimForwardBig(s, dir)}/forward"),
-            MsFwdBuckets),
-          FwdPart(s.read.parquet(s"${maxsimForwardDelta(s, dir)}/forward"),
-            MsFwdDeltaBuckets))
+        val fwd = Seq(fwdPart(s, maxsimForwardBig(s, dir)),
+          fwdPart(s, maxsimForwardDelta(s, dir)))
         maxsimServeParts(cells, s.read.parquet(s"$base/cents"), fwd,
           queryTokens(s, dir, big = true), tomb = Some(tomb))
       },
@@ -1334,9 +1352,7 @@ object SimilarityQ {
         val path = maxsimLifecycleCompacted(s, dir)
         val cells = s.read.parquet(s"$path/cells")
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-        val fwd = Seq(FwdPart(
-          s.read.parquet(s"${maxsimForwardCompacted(s, dir)}/forward"),
-          MsFwdBuckets))
+        val fwd = Seq(fwdPart(s, maxsimForwardCompacted(s, dir)))
         maxsimServeParts(cells, s.read.parquet(s"$path/cents"), fwd,
           queryTokens(s, dir, big = true))
       },

@@ -173,44 +173,56 @@ class PlanGateSpec extends AnyFunSuite {
       times = Map("pipeline:ivf_pq_promoted" -> (40.0, 0.0))).isEmpty)
   }
 
-  test("dual-median time channel: gate takes min(med, cmed) — an inflated " +
-      "interference epoch cannot widen the allowance (red test)") {
-    // The round-11 scenario: baseline re-authored during a host
-    // interference plateau carries med 3.12 while the clean epoch was
-    // 0.95. A synthetic 2x CODE slowdown over clean (2.1 s) sits INSIDE
-    // the inflated allowance — the single-median gate was blind to it.
+  test("episode re-base (round 16): the gate takes the re-authored median; " +
+      "the clean floor stays visible as a NON-GATING info line") {
+    // The fifth-consecutive-episode policy: baseline re-authored on the
+    // interference plateau carries med 3.12 with the clean epoch 0.95
+    // riding as cmed. A 2.1 s measurement (2.2x the clean floor, inside
+    // the operative epoch) must NOT gate — for four rounds this class was
+    // 100% known-noise — but MUST surface as an info observation.
     val b = baseline.updated("plain_query", Base(Fp(5, 0), 3.12, 0.95))
-    val v = gate(baselineFp, b, times = Map("plain_query" -> (2.1, 0.1)))
-    assert(v.size === 1 && v.head.contains("clean epoch 0.95"), v)
-    // Below 2x of the CLEAN epoch: passes.
+    assert(gate(baselineFp, b, times = Map("plain_query" -> (2.1, 0.1))).isEmpty)
+    val info = PlanGate.infoLines(b, Map("plain_query" -> (2.1, 0.1)))
+    assert(info.size === 1 && info.head.contains("clean floor 0.95"), info)
+    // Below 2x of the clean floor: no gate, no info.
     assert(gate(baselineFp, b, times = Map("plain_query" -> (1.8, 0.1))).isEmpty)
-    // cmed larger than med (stale hand edit) never loosens: min still rules.
+    assert(PlanGate.infoLines(b, Map("plain_query" -> (1.8, 0.1))).isEmpty)
+    // Beyond 2x of the OPERATIVE epoch (a regression even by episode
+    // standards): gates, and the message names the carried floor.
+    val v = gate(baselineFp, b, times = Map("plain_query" -> (7.0, 0.1)))
+    assert(v.size === 1 && v.head.contains("clean floor 0.95"), v)
+    assert(PlanGate.infoLines(b, Map("plain_query" -> (7.0, 0.1))).isEmpty)
+    // A cmed LARGER than med (stale hand edit) still never loosens the
+    // gate: med is the operative epoch.
     val b2 = baseline.updated("plain_query", Base(Fp(5, 0), 1.0, 5.0))
     assert(gate(baselineFp, b2, times = Map("plain_query" -> (2.5, 0.1))).size === 1)
   }
 
-  test("the COMMITTED baseline fires on a 2x-of-clean slowdown for the " +
-      "formerly env-elevated rows (round-12 verdict done-criterion)") {
-    // Reads the real PLAN_BASELINE.json. These rows spent round 11 on an
-    // interference plateau; whichever epoch state the committed file is
-    // in now (cmed carried while elevated, or auto-restored to a single
-    // clean med once back in family — the round-12 re-author restored
-    // them), a 2.05x slowdown of the row's GATE median must fire, and
-    // the gate median must never exceed the r10 clean cost by more than
-    // the epoch-carry family factor (i.e. the plateau meds can never be
-    // what the gate is satisfied against).
+  test("the COMMITTED baseline: historical floors survive the episode " +
+      "re-base, and a 2x-of-gate slowdown still fires") {
+    // Reads the real PLAN_BASELINE.json. These rows spent rounds 11-15 on
+    // recurring interference plateaus. Under the round-16 episode re-base
+    // the GATE median is the re-authored (possibly in-episode) epoch, but
+    // the committed file must never LOSE the clean floor: floorMedianS
+    // stays within the epoch-carry family factor of the last known clean
+    // cost, so one quiet round's re-author auto-restores the tight gate.
     val base = PlanGate.parseBaseline(java.nio.file.Files.readString(
       java.nio.file.Paths.get("PLAN_BASELINE.json")))
     for ((row, r10clean) <- Seq("dedup_ngram_jaccard_exact" -> 0.951,
                                 "retrieval_maxsim_topk" -> 2.509)) {
-      val gateMed = base(row).gateMedianS
-      assert(gateMed >= PlanGate.TimeFloorS, s"$row: no time channel")
-      assert(gateMed <= PlanGate.EpochFamilyFactor * r10clean,
-        s"$row: gate median $gateMed carries the interference plateau" +
+      val floor = base(row).floorMedianS
+      assert(floor >= PlanGate.TimeFloorS, s"$row: no time channel")
+      assert(floor <= PlanGate.EpochFamilyFactor * r10clean,
+        s"$row: historical floor $floor lost the clean epoch" +
           s" (r10 clean $r10clean)")
+      val gateMed = base(row).gateMedianS
       val v = PlanGate.violations(Map.empty, base,
         times = Map(row -> (2.05 * gateMed, 0.1)))
       assert(v.size === 1 && v.head.startsWith(s"$row:"), v)
+      // A measurement back at the clean floor is quiet on BOTH channels.
+      assert(PlanGate.violations(Map.empty, base,
+        times = Map(row -> (floor, 0.1))).isEmpty)
+      assert(PlanGate.infoLines(base, Map(row -> (floor, 0.1))).isEmpty)
     }
   }
 
