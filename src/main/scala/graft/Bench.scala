@@ -744,9 +744,15 @@ object Bench {
             def m(n: String) = f.metrics.get(n).map(_.value).getOrElse(-1L)
             val total = graft.engine.ScanMetrics.parquetFilesUnder(local)
             val tail = local.split('/').takeRight(2).mkString("/")
+            // numFiles <= 0 on a scan under an InMemoryRelation means the
+            // session cache served the rows and the scan never ran — say
+            // so; "files=0" would read as a broken layout (it is the
+            // opposite: the cache IS the reuse story for bucketed
+            // layouts).
+            val nf = m("numFiles")
+            val files = if (nf <= 0) "files=cached(0)" else s"files=$nf"
             println(s"BENCH_DETAIL scan_audit $name $tail " +
-              s"files=${m("numFiles")} staticDpp=${m("staticFilesNum")} " +
-              s"onDisk=$total")
+              s"$files staticDpp=${m("staticFilesNum")} onDisk=$total")
           }
         }
       } catch {

@@ -35,6 +35,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(3L))
   }
 
+  test("persisted IVF serve: empty probe workload yields an empty result " +
+      "(the pruneCells lit(false) branch), and results equal the " +
+      "in-session path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sivf_empty")
+      .toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", "label", tmp)
+    // Zero probes: probe materialization collects nothing, the probed-cell
+    // set is empty, and the serve must plan/execute to an empty result —
+    // not throw on an empty IN list.
+    val empty = Similarity.knnIvfPersisted(spark, tmp,
+      vecs.filter(col("vec_id") === -1L), "vec_id", "embedding", "label",
+      nprobe = 2, k = 3)
+    assert(empty.collect().isEmpty)
+    // Full-cell coverage (nprobe = |labels|): the persisted serve equals
+    // the in-session path bit-for-bit on the same data.
+    val p = Similarity.knnIvfPersisted(spark, tmp,
+        vecs.filter(col("vec_id") === 1L), "vec_id", "embedding", "label",
+        nprobe = 2, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val i = Similarity.knnIvf(vecs, vecs.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", "label", nprobe = 2, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(p.toSeq === i.toSeq)
+  }
+
   test("brute force and IVF with all partitions agree") {
     val bf = Similarity.knnBruteForce(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", k = 4).collect().map(r => (r.getInt(1), r.getLong(2)))
