@@ -726,6 +726,10 @@ object Bench {
     // two pruning claims in a row were decorative at runtime while their
     // plan-string pins stayed green; executed metrics are the only
     // evidence that cannot lie this way.
+    // (row, layout tail, numFiles, staticFilesNum, on-disk files) — also
+    // emitted as the machine-readable "scan_audit" artifact section.
+    val auditRows =
+      scala.collection.mutable.Buffer.empty[(String, String, Long, Long, Long)]
     if (only.isEmpty) {
       val scanAudit = Seq("ann_ivf_persisted", "ann_ivf_kmeans_persisted",
         "ann_ivf_pq_persisted", "ann_ivf_pq_append", "ann_ivf_pq_promoted",
@@ -753,6 +757,7 @@ object Bench {
             val files = if (nf <= 0) "files=cached(0)" else s"files=$nf"
             println(s"BENCH_DETAIL scan_audit $name $tail " +
               s"$files staticDpp=${m("staticFilesNum")} onDisk=$total")
+            auditRows += ((name, tail, nf, m("staticFilesNum"), total))
           }
         }
       } catch {
@@ -871,11 +876,15 @@ object Bench {
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = allViolations.map(jq).mkString("[", ",", "]")
       val gInfo = gateInfo.map(jq).mkString("[", ",", "]")
+      val audit = auditRows.map { case (row, layout, nf, snf, total) =>
+          s"""{"row":${jq(row)},"layout":${jq(layout)},"files":$nf,""" +
+            s""""static_dpp":$snf,"on_disk":$total}"""
+        }.mkString("[", ",", "]")
       val maint = maintRecall.map(r =>
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")
         .getOrElse("null")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"bm25_seg_sweep":$segSw,"probe_sweep":$prbSw,"plan_gate_violations":$gate,"plan_gate_info":$gInfo,"queries":{$rows}}""")
+        s"""{"reps":$reps,"sf":"$sfDir","pipelines_s":$pls,"recall_at_10":$rec,"recall_sweep":$swp,"maint_recall":$maint,"bpe_sweep":$bpe,"maxsim_sweep":$msw,"bm25_seg_sweep":$segSw,"probe_sweep":$prbSw,"plan_gate_violations":$gate,"plan_gate_info":$gInfo,"scan_audit":$audit,"queries":{$rows}}""")
       println(s"[bench] wrote $out")
     }
     // The driver keeps only a ~2000-char tail of this process's output and
