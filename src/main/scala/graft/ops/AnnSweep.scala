@@ -260,11 +260,13 @@ object AnnSweep {
     * column (j → code → dd), broadcast across the codes scan; per
     * candidate, adist = the m nested lookups summed j = 0..m-1 (fixed
     * order). Identical plan shape to [[PQ.knnIvfPqCells]] — broadcast
-    * probe tables, cell-pruned codes join, per-query top-k window. */
+    * probe tables, cell-pruned codes join, bounded
+    * [[Similarity.topKCut]] final cut. */
   def serveAdc(
       enc: DataFrame, cents: DataFrame, books: DataFrame,
       probes: DataFrame, idCol: String, vecCol: String,
       m: Int, sub: Int, nprobe: Int, kTop: Int): DataFrame = {
+    Similarity.requireIntegralId(cents, "cluster", "serveAdc")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))
     // nprobe cut: bounded TopKAggregate ((_d asc, p_cluster asc) ≡ the
     // heap order on (-_d, id)), materialized at planning so the probed-
@@ -303,11 +305,9 @@ object AnnSweep {
     val scored = encPruned.join(broadcast(qt),
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .withColumn("adist", adist)
-    val w = Window.partitionBy("q_vec")
-      .orderBy(col("adist").asc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
-      .select(col("q_vec"), col("rank"), col(idCol).as("neighbor"), col("adist"))
+    Similarity.topKCut(scored.withColumn("neighbor", col(idCol)),
+        "adist", kTop, ascending = true)
+      .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
   }
 
   /** Persist a join-path IVF-PQ index (the large-codebook layout the

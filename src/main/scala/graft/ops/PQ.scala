@@ -104,7 +104,6 @@ object PQ {
   def adcTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       books: Seq[Seq[(Int, Seq[Double])]], dims: Int, kTop: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = books.size
     val sub = dims / m
     val enc = encode(corpus, vecCol, books, sub)
@@ -122,11 +121,7 @@ object PQ {
       .withColumn("adist",
         (0 until m).map(j => expr(s"element_at(tab$j, code$j)"))
           .reduce(_ + _))
-    val w = Window.partitionBy(col("q_vec"))
-      .orderBy(col("adist").asc, col("neighbor").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
+    Similarity.topKCut(scored, "adist", kTop, ascending = true)
       .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
   }
 
@@ -201,9 +196,9 @@ object PQ {
       enc: DataFrame, cents: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
       probes: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int, kTop: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = books.size
     val sub = dims / m
+    Similarity.requireIntegralId(cents, "cluster", "knnIvfPqCells")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("_qv"))
     // nprobe cut as a bounded TopKAggregate — (d asc, p_cluster asc) ≡ the
     // heap order on (-d, id) — materialized at planning; the probed-cell
@@ -234,12 +229,8 @@ object PQ {
       .withColumn("adist",
         (0 until m).map(j => expr(s"element_at(tab$j, code$j)"))
           .reduce(_ + _))
-    val w = Window.partitionBy("q_vec")
-      .orderBy(col("adist").asc, col("neighbor").asc)
-    scored
-      .withColumn("neighbor", col(idCol))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
+    Similarity.topKCut(scored.withColumn("neighbor", col(idCol)),
+        "adist", kTop, ascending = true)
       .select(col("q_vec"), col("rank"), col("neighbor"), col("adist"))
   }
 

@@ -138,9 +138,7 @@ object Similarity {
     val scored = v.join(broadcast(q), col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
         (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKCut(scored, "cos", k)
       .select("q_vec", "rank", "neighbor", "cos")
   }
 
@@ -177,9 +175,7 @@ object Similarity {
         col(labelCol) === col("rep_label") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
         (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKCut(scored, "cos", k)
       .select("q_vec", "rank", "neighbor", "cos")
   }
 
@@ -214,6 +210,51 @@ object Similarity {
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/cents")
   }
 
+  /** Loud guard for the TopKAggregate id slot: the aggregate's `update()`
+    * silently DROPS null ids, and a non-integral column (e.g. a string
+    * label) cast to long becomes null — the probe set would come back
+    * empty and the serve would return zero rows with no error. Misuse must
+    * fail at construction instead. */
+  private[ops] def requireIntegralId(df: DataFrame, colName: String,
+      ctx: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(colName)).dataType
+    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+        dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+      s"$ctx: column '$colName' must be an integral type (it rides the " +
+        s"TopKAggregate id slot; a cast from $dt would become null and " +
+        "silently empty the result)")
+  }
+
+  /** Bounded per-query final top-k cut — the de-windowed form of
+    * `row_number().over(partitionBy("q_vec").orderBy(value, neighbor))
+    * <= k`: a [[graft.expressions.TopKAggregate]] whose heap order
+    * (score desc, id asc) equals the window order exactly (pass
+    * `ascending = true` for distance serves — the score is negated in and
+    * back out, a sign-bit flip that is bit-exact for doubles), so results
+    * are identical and the same oracle checks both forms. The scale win:
+    * the window form EXCHANGES every scored candidate row on `q_vec` and
+    * sorts it; the aggregate's partial buffers cap at k, so map-side
+    * combine ships at most |Q|·k rows per input partition into the
+    * shuffle. `scored` must carry (q_vec, neighbor: integral, valueCol).
+    * Output: q_vec, rank, neighbor, valueCol. */
+  private[ops] def topKCut(scored: DataFrame, valueCol: String, k: Int,
+      ascending: Boolean = false): DataFrame = {
+    requireIntegralId(scored, "neighbor", "topKCut")
+    // Rendered back at the id's input type so the output schema matches the
+    // window form it replaces (long → int is exact here: the values came in
+    // as ints).
+    val idDt = scored.schema(scored.schema.fieldIndex("neighbor")).dataType
+    val score = if (ascending) -col(valueCol) else col(valueCol)
+    scored.groupBy(col("q_vec"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(score.cast("double"), col("neighbor").cast("long"), k).as("_top"))
+      .select(col("q_vec"), posexplode(col("_top")))
+      .select(col("q_vec"), (col("pos") + 1).as("rank"),
+        col("col.id").cast(idDt).as("neighbor"),
+        (if (ascending) -col("col.score") else col("col.score")).as(valueCol))
+  }
+
   /** Materialize a workload-bounded probe-selection pipeline to the driver
     * and return it as a LocalRelation plus the distinct probed-cell ids
     * (sorted, for deterministic IN-list rendering).
@@ -229,7 +270,15 @@ object Similarity {
     * cell directory (the r15 scan-metrics audit; windows and nested
     * dynamic filters in the candidate build side break Catalyst's
     * broadcast-reuse DPP every time). A LocalRelation probe side cannot
-    * carry a subquery, so nothing is left to degrade. */
+    * carry a subquery, so nothing is left to degrade.
+    *
+    * EAGER — the collect runs at CONSTRUCTION: building a persisted-serve
+    * DataFrame through here executes real Spark jobs before anything is
+    * collected downstream (plan-only consumers pay them too), and the
+    * probed-cell set is FROZEN at that moment — a serve frame built once
+    * and reused across index or probe-workload updates would silently
+    * serve the stale cell selection. Long-lived callers must construct
+    * the serve frame immediately before each execution. */
   private[ops] def materializeProbes(pipeline: DataFrame, cellCol: String)
       : (DataFrame, Seq[Long]) = {
     val rows = pipeline.collect()
@@ -262,6 +311,7 @@ object Similarity {
       probes: DataFrame, idCol: String, vecCol: String,
       nprobe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/cents")
+    requireIntegralId(cents, "cluster", "knnIvfKmeansPersisted")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
       norm(col(vecCol)).as("q_nrm"))
     // (d asc, p_cluster asc) ≡ the TopKAggregate heap order on (-d, id) —
@@ -283,9 +333,7 @@ object Similarity {
         col("cluster") === col("p_cluster") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
         (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKCut(scored, "cos", k)
       .select("q_vec", "rank", "neighbor", "cos")
   }
 
@@ -301,6 +349,7 @@ object Similarity {
       probes: DataFrame, idCol: String, vecCol: String, labelCol: String,
       nprobe: Int, k: Int): DataFrame = {
     val reps = spark.read.parquet(s"$path/reps")
+    requireIntegralId(reps, "rep_label", "knnIvfPersisted")
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
       norm(col(vecCol)).as("q_nrm"))
     // (rep_cos desc, rep_label asc) is the TopKAggregate heap order — the
@@ -320,9 +369,7 @@ object Similarity {
         col(labelCol) === col("rep_label") && col(idCol) =!= col("q_vec"))
       .select(col("q_vec"), col(idCol).as("neighbor"),
         (dot(col("q_emb"), col(vecCol)) / (col("q_nrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKCut(scored, "cos", k)
       .select("q_vec", "rank", "neighbor", "cos")
   }
 }
