@@ -19,6 +19,9 @@ object Bench {
       // One file per bucket is guaranteed by Bucketing.writeBucketed, so
       // bucketed scans may report their sortBy order (see GraftSession).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Keep the bounded top-k aggregates on the hash path past 128 query
+      // groups per task (see GraftSession for sizing rationale).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -208,11 +211,8 @@ object Bench {
             .crossJoin(broadcast(queries.select(
               col("vec_id").as("q_vec"), col("embedding").as("q"))))
             .filter(col("q_vec") =!= col("neighbor"))
-            .withColumn("d2", expr(
-              """aggregate(zip_with(q, e, (x, y) ->
-                |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+            .withColumn("d2",
+              graft.expressions.SqDist.sqDist(col("q"), col("e")))
             .withColumn("rank", row_number().over(
               Window.partitionBy("q_vec").orderBy(col("d2").asc, col("neighbor").asc)))
             .filter(col("rank") <= 10)
@@ -698,15 +698,72 @@ object Bench {
         } else {
           val base = graft.engine.PlanGate
             .parseBaseline(java.nio.file.Files.readString(p))
+          // TIME-VIOLATION RE-MEASURE (round 17, the r16 verdict's #4 —
+          // the serve-pin discipline ported to the time channel): a
+          // main-loop median is measured minutes from its baseline twin,
+          // so an episode onset mid-run ships one-shot violations (r16's
+          // q18 13.43 s vs 1.16 s local, bit-identical plans). Any QUERY
+          // row whose main-loop median would fire the time rule is re-run
+          // back-to-back, medians-of-3, and the gate verdicts on the
+          // LOWER median (contention only inflates; a retry that measures
+          // higher confirms the original). The event is always printed —
+          // a cleared firing is recorded, not hidden. Pipeline rows are
+          // session-cached builds (a re-run is a no-op), so their
+          // violations stand as one-shots with a printed note.
+          val mainTimes = gateTimes ++ pipelineGateTimes
+          val suspects = gateTimes.toSeq.sortBy(_._1).collect {
+            case (name, (med, spread)) if selected.contains(name) &&
+                base.get(name).exists(b => graft.engine.PlanGate
+                  .timeRegressionFires(b, med, spread)) => name
+          }
+          pipelineGateTimes.toSeq.sortBy(_._1).foreach {
+            case (name, (med, spread)) =>
+              if (base.get(name).exists(b => graft.engine.PlanGate
+                  .timeRegressionFires(b, med, spread)))
+                println(s"BENCH_DETAIL time_violation_note $name fires as a " +
+                  "one-shot (session-cached pipeline build - not " +
+                  "re-measurable in-run)")
+          }
+          val reTimes: Map[String, (Double, Double)] = suspects.flatMap {
+            name =>
+              val raw = (1 to 3).flatMap { _ =>
+                val t0 = System.nanoTime()
+                val ok = try { selected(name)(spark, sfDir).count(); true }
+                         catch { case _: Throwable => false }
+                if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+              }
+              val orig = gateTimes(name)._1
+              if (raw.size < 3) {
+                println(s"BENCH_DETAIL time_violation_remeasure $name " +
+                  "retry failed - main-loop verdict stands")
+                None
+              } else {
+                val med2 = raw.sorted.apply(1)
+                val spread2 = if (med2 > 0) (raw.max - raw.min) / med2 else 0.0
+                if (med2 < orig) {
+                  val still = base.get(name).exists(b => graft.engine
+                    .PlanGate.timeRegressionFires(b, med2, spread2))
+                  println(f"BENCH_DETAIL time_violation_remeasure $name " +
+                    f"main=$orig%.2f retry_med3=$med2%.2f spread=$spread2%.2f" +
+                    f" -> ${if (still) "CONFIRMED" else "cleared"}")
+                  Some(name -> ((med2, spread2)))
+                } else {
+                  println(f"BENCH_DETAIL time_violation_remeasure $name " +
+                    f"main=$orig%.2f retry_med3=$med2%.2f -> CONFIRMED " +
+                    "(retry not lower)")
+                  None
+                }
+              }
+          }.toMap
+          val verdictTimes = mainTimes ++ reTimes
           (graft.engine.PlanGate.violations(fpNums.toMap, base,
             graft.queries.Q.designHxMap(SparkEntry.allQueries),
             graft.queries.Q.layoutRowsMap(SparkEntry.allQueries),
             graft.ops.Bucketing.registeredLayouts,
-            gateTimes ++ pipelineGateTimes),
+            verdictTimes),
             // Non-gating clean-floor exceedances (episode re-base, round
             // 16): visible in the artifact, never in the violations list.
-            graft.engine.PlanGate.infoLines(base,
-              gateTimes ++ pipelineGateTimes))
+            graft.engine.PlanGate.infoLines(base, verdictTimes))
         }
       } catch {
         // A gate-machinery failure (e.g. a mangled baseline row tripping
@@ -876,9 +933,12 @@ object Bench {
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = allViolations.map(jq).mkString("[", ",", "]")
       val gInfo = gateInfo.map(jq).mkString("[", ",", "]")
+      // "cached" mirrors the printed files=cached(0) marker (r16 advice): a
+      // JSON consumer must be able to tell "the session cache served the
+      // scan" from "the layout read zero files".
       val audit = auditRows.map { case (row, layout, nf, snf, total) =>
           s"""{"row":${jq(row)},"layout":${jq(layout)},"files":$nf,""" +
-            s""""static_dpp":$snf,"on_disk":$total}"""
+            s""""cached":${nf <= 0},"static_dpp":$snf,"on_disk":$total}"""
         }.mkString("[", ",", "]")
       val maint = maintRecall.map(r =>
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")

@@ -42,6 +42,19 @@ object GraftSession {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // The bounded top-k cuts (TopKAggregate) run as ObjectHashAggregate;
+      // its default sort-based fallback threshold (128 distinct groups per
+      // task) is sized for UNBOUNDED object buffers (collect_list-class),
+      // and every serve with >128 queries per task tripped it — the partial
+      // aggregate then SORTS the full candidate stream map-side, the exact
+      // cost the bounded cut exists to avoid (measured r17, ann_ivf-family
+      // bench subset: 14.59 s with window cuts → 13.92 s aggregate cuts on
+      // the sort fallback → 12.88 s on the hash path; the biggest
+      // candidate stream, ann_ivf_kmeans_persisted, went 0.63 → 0.83 →
+      // 0.70 s). TopKAggregate buffers cap at k entries
+      // (~16·k bytes), so 4096 groups ≈ 2 MB/task worst case — memory-safe
+      // at any scale; the value is buffer-size-derived, not box-tuned.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       // Report the per-bucket sortBy order from bucketed scans so merge
       // joins over them skip their Sort. Off by default (SPARK-28595)
       // because a bucket spanning files would need a slow sort-merge read;

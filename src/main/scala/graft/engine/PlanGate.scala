@@ -84,9 +84,17 @@ object PlanGate {
     * loud. */
   final case class Base(fp: Fp, medianS: Double, cleanMedianS: Double = -1.0) {
     /** The median the time rule GATES on: the re-authored epoch (the
-      * box's operative steady state; episode re-base, round 16). */
+      * box's operative steady state; episode re-base, round 16), CAPPED at
+      * [[EpisodeAllowanceCap]]× the historical clean floor (round 17, the
+      * r16 advice): an unbounded re-base let rows like
+      * retrieval_maxsim_topk (med 8.243, cmed 1.689) fire only above
+      * ~16.5 s — ~10× the clean cost — so a real multi-× code regression
+      * could ride the episode allowance indefinitely. The cap bounds how
+      * far any episode can widen the allowance while keeping the gate
+      * actionable on a noisy box. */
     def gateMedianS: Double =
-      if (medianS >= 0) medianS else cleanMedianS
+      if (medianS < 0) cleanMedianS
+      else math.min(medianS, EpisodeAllowanceCap * floorMedianS)
     /** The tightest epoch we know — the historical floor: what
       * [[carryCleanMedians]] preserves across re-authors and
       * [[infoLines]] reports exceedances against. */
@@ -104,6 +112,12 @@ object PlanGate {
     * "cmed" instead of being forgotten. Below it, the row is back in family
     * and the current measurement becomes the (only) epoch. */
   val EpochFamilyFactor = 1.3
+  /** Episode re-bases may widen the operative time allowance only to this
+    * factor of the historical clean floor (so the fire threshold is at most
+    * [[TimeRegressionFactor]]·this × the clean cost). Chosen above every
+    * observed episode plateau ratio that was genuinely environment (×2-3 in
+    * r11-r15) and below the unbounded ~10× the r16 re-base allowed. */
+  val EpisodeAllowanceCap = 4.0
 
   // Designed-exchange declarations live ON the row definitions
   // (`graft.queries.Q.designHx`, assembled by `Q.designHxMap`) — a
@@ -172,6 +186,17 @@ object PlanGate {
       }
     }
 
+  /** The time rule's firing predicate, exposed so the bench can identify
+    * rows whose main-loop median WOULD fire and re-measure them
+    * back-to-back before the gate renders its verdict (round 17 — the
+    * serve-pin re-measure discipline ported to the time channel; a
+    * main-loop median is measured minutes from its neighbors, so an
+    * episode onset mid-run produced one-shot violations like r16's q18
+    * 13.43 s that the same session later measured at 1.16 s). */
+  def timeRegressionFires(b: Base, med: Double, spread: Double): Boolean =
+    b.gateMedianS >= TimeFloorS && med > 0 && spread <= TimeSpreadCeiling &&
+      med > TimeRegressionFactor * b.gateMedianS
+
   /** The gate: violation messages for `current` vs `baseline` (empty =
     * clean).
     *  - `designHx`: per-row designed-exchange declarations (`Q.designHxMap`)
@@ -215,9 +240,7 @@ object PlanGate {
     val timeRegressions = times.toSeq.sortBy(_._1).flatMap {
       case (name, (med, spread)) =>
         baseline.get(name).collect {
-          case b if b.gateMedianS >= TimeFloorS && med > 0 &&
-              spread <= TimeSpreadCeiling &&
-              med > TimeRegressionFactor * b.gateMedianS =>
+          case b if timeRegressionFires(b, med, spread) =>
             val epoch = if (b.cleanMedianS >= 0 && b.cleanMedianS < b.medianS)
               f" (clean floor ${b.cleanMedianS}%.2f s rides as cmed)"
             else ""

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,11 +129,15 @@ object AnnSweep {
            |      + pmod(xxhash64(id, d, 57),  999983) /  999983.0) - 1.0)
            |  AS FLOAT))""".stripMargin).as("embedding"))
 
-  private def sqDist(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-       |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-       |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-       |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  // Squared L2 as the codegen [[graft.expressions.SqDist]] expression
+  // (round 17): the old HOF form (aggregate over zip_with) is
+  // CodegenFallback — interpreted lambda dispatch + a per-row intermediate
+  // array on the n·k assignment rows and the n·m·k codebook rows, the
+  // highest-volume rows this module produces. Same element widening, same
+  // left-to-right fold — bit-identical distances, so every argmin and
+  // every oracle hash is unchanged.
+  private def sqDist(a: String, b: String): Column =
+    graft.expressions.SqDist.sqDist(col(a), col(b))
 
   /** Nearest-centroid assignment against a centroid TABLE (cluster, cent):
     * broadcast join + min(struct(d, cluster)) argmin — squared L2, ties to
@@ -144,7 +148,7 @@ object AnnSweep {
       vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents.select(col("cluster").as("_ac"), col("cent"))))
-      .withColumn("_d", expr(sqDist(vecCol, "cent")))
+      .withColumn("_d", sqDist(vecCol, "cent"))
       .groupBy(col(idCol))
       .agg(min(struct(col("_d"), col("_ac"), col(vecCol))).as("_m"))
       .select(col(idCol), col("_m._ac").as("cluster"),
@@ -196,7 +200,7 @@ object AnnSweep {
       def assignAll(cs: DataFrame): DataFrame =
         subs.join(broadcast(cs.select(col("j"),
             col("cluster").as("_ac"), col("cent"))), "j")
-          .withColumn("_d", expr(sqDist("sub", "cent")))
+          .withColumn("_d", sqDist("sub", "cent"))
           .groupBy(col("j"), col(idCol))
           .agg(min(struct(col("_d"), col("_ac"), col("sub"))).as("_m"))
           .select(col("j"), col(idCol), col("_m._ac").as("cluster"),
@@ -245,7 +249,7 @@ object AnnSweep {
     val codesLong = subVectors(assigned, idCol, vecCol, m, sub)
       .join(broadcast(books.select(col("subspace").as("j"),
         col("code").as("_c"), col("cent"))), "j")
-      .withColumn("_d", expr(sqDist("sub", "cent")))
+      .withColumn("_d", sqDist("sub", "cent"))
       .groupBy(col(idCol), col("j"))
       .agg(min(struct(col("_d"), col("_c"))).as("_m"))
       .select(col(idCol), col("j"), col("_m._c").as("code"))
@@ -277,7 +281,7 @@ object AnnSweep {
     // lazy: only (q_vec, _qv, p_cluster) ships to the driver.
     val probePipeline = q.crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
-      .withColumn("_d", expr(sqDist("_qv", "cent")))
+      .withColumn("_d", sqDist("_qv", "cent"))
       .groupBy(col("q_vec"), col("_qv"))
       .agg(graft.expressions.TopKAggregate
         .topK(-col("_d"), col("p_cluster").cast("long"), nprobe).as("top"))
@@ -291,7 +295,7 @@ object AnnSweep {
     val tabs = qsubs
       .join(broadcast(books.select(col("subspace").as("j"),
         col("code"), col("cent"))), "j")
-      .withColumn("dd", expr(sqDist("qsub", "cent")))
+      .withColumn("dd", sqDist("qsub", "cent"))
       .groupBy(col("q_vec"), col("j"))
       .agg(map_from_arrays(collect_list(col("code")), collect_list(col("dd")))
         .as("tab"))
@@ -348,7 +352,7 @@ object AnnSweep {
     val scored = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("_e"))
       .crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("neighbor"))
-      .withColumn("_d", expr(sqDist("_qv", "_e")))
+      .withColumn("_d", sqDist("_qv", "_e"))
     val w = Window.partitionBy("q_vec").orderBy(col("_d").asc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)

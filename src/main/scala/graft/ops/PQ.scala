@@ -207,10 +207,7 @@ object PQ {
     // never could — PartitionPruning does not traverse Union).
     val probePipeline = q.crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
-      .withColumn("d", expr(
-        """aggregate(zip_with(_qv, cent, (x, y) ->
-          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("d", graft.expressions.SqDist.sqDist(col("_qv"), col("cent")))
       .groupBy(col("q_vec"), col("_qv"))
       .agg(graft.expressions.TopKAggregate
         .topK(-col("d"), col("p_cluster").cast("long"), nprobe).as("top"))

@@ -318,10 +318,7 @@ object Similarity {
     // the old window order exactly, so the selected cells are unchanged.
     val probePipeline = q.crossJoin(broadcast(
         cents.select(col("cluster").as("p_cluster"), col("cent"))))
-      .withColumn("d", expr(
-        """aggregate(zip_with(q_emb, cent, (x, y) ->
-          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-          |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+      .withColumn("d", graft.expressions.SqDist.sqDist(col("q_emb"), col("cent")))
       .groupBy(col("q_vec"), col("q_emb"), col("q_nrm"))
       .agg(graft.expressions.TopKAggregate
         .topK(-col("d"), col("p_cluster").cast("long"), nprobe).as("top"))

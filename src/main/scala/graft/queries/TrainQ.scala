@@ -825,10 +825,7 @@ object TrainQ {
           .partitionBy("q_vec").orderBy(col("d").asc, col("p_cluster").asc)
         val probeParts = q.crossJoin(broadcast(
             cents.select(col("cluster").as("p_cluster"), col("cent"))))
-          .withColumn("d", expr(
-            """aggregate(zip_with(q_emb, cent, (x, y) ->
-              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("d", graft.expressions.SqDist.sqDist(col("q_emb"), col("cent")))
           .withColumn("pr", row_number().over(wProbe))
           .filter(col("pr") <= 2)
           .select("q_vec", "q_emb", "q_nrm", "p_cluster")
@@ -927,10 +924,7 @@ object TrainQ {
           .orderBy(col("d").asc, col("p_cluster").asc)
         val probe = q.crossJoin(broadcast(
             cents.select(col("cluster").as("p_cluster"), col("cent"))))
-          .withColumn("d", expr(
-            """aggregate(zip_with(_qv, cent, (x, y) ->
-              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("d", graft.expressions.SqDist.sqDist(col("_qv"), col("cent")))
           .withColumn("pr", row_number().over(wProbe))
           .filter(col("pr") <= 2)
           .select("q_vec", "_qv", "p_cluster")
@@ -1167,10 +1161,7 @@ object TrainQ {
           .orderBy(col("d").asc, col("p_cluster").asc)
         val probe = q.crossJoin(broadcast(
             cents.select(col("cluster").as("p_cluster"), col("cent"))))
-          .withColumn("d", expr(
-            """aggregate(zip_with(_qv, cent, (x, y) ->
-              |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-              |CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin))
+          .withColumn("d", graft.expressions.SqDist.sqDist(col("_qv"), col("cent")))
           .withColumn("pr", row_number().over(wProbe))
           .filter(col("pr") <= 2)
           .withColumn("qres",

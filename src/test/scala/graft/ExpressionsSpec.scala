@@ -22,6 +22,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(native === 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
   }
 
+  test("SqDist matches the zip_with/aggregate formulation bit-for-bit, " +
+      "on float and double arrays (all four side combinations)") {
+    import graft.expressions.SqDist.sqDist
+    import spark.implicits._
+    val hof = "aggregate(zip_with(%s, %s, (x, y) -> " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    val df = Seq((Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.0f)))
+      .toDF("af", "bf")
+      .withColumn("ad", expr("transform(af, x -> CAST(x AS DOUBLE))"))
+      .withColumn("bd", expr("transform(bf, x -> CAST(x AS DOUBLE))"))
+    for ((a, b) <- Seq(("af", "bf"), ("af", "bd"), ("ad", "bf"), ("ad", "bd"))) {
+      val native = df.select(sqDist(col(a), col(b))).collect()(0).getDouble(0)
+      val ref = df.selectExpr(hof.format(a, b)).collect()(0).getDouble(0)
+      assert(native === ref, s"($a, $b)")
+      assert(native === { // left-to-right fold, double widening
+        val x = Seq(1.5, -2.25, 3.125); val y = Seq(0.5, 4.0, -1.0)
+        ((x(0) - y(0)) * (x(0) - y(0)) + (x(1) - y(1)) * (x(1) - y(1))) +
+          (x(2) - y(2)) * (x(2) - y(2))
+      })
+    }
+  }
+
+  test("SqDist is null-safe and survives both codegen and interpreted paths") {
+    import graft.expressions.SqDist.sqDist
+    import spark.implicits._
+    val df = Seq((Option.empty[Seq[Float]], Option(Seq(1.0f)))).toDF("a", "b")
+    assert(df.select(sqDist(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // Interpreted path (eval): force it through an aggregation expression
+    // tree where codegen falls back.
+    val vals = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 5.0f))).toDF("a", "b")
+    val viaFilter = vals.filter(sqDist(col("a"), col("b")) > 0).count()
+    assert(viaFilter === 1)
+    assert(vals.select(sqDist(col("a"), col("b"))).collect()(0).getDouble(0)
+      === 13.0)
+  }
+
   test("DotProduct is null-safe") {
     import spark.implicits._
     val df = Seq((Option.empty[Seq[Float]], Option(Seq(1.0f)))).toDF("a", "b")

@@ -198,6 +198,28 @@ class PlanGateSpec extends AnyFunSuite {
     assert(gate(baselineFp, b2, times = Map("plain_query" -> (2.5, 0.1))).size === 1)
   }
 
+  test("episode allowance is CAPPED relative to the clean floor (round 17): " +
+      "a re-base cannot widen the gate past EpisodeAllowanceCap x floor") {
+    // r16 state: maxsim_topk re-based at med 8.243 with floor 1.689 fired
+    // only above ~16.5 s (~10x clean). With the cap the operative gate is
+    // min(med, 4 x floor): a measurement at ~9 s — inside the old unbounded
+    // allowance, > 2x the capped gate — now FIRES.
+    val b = baseline.updated("plain_query", Base(Fp(5, 0), 8.243, 1.689))
+    assert(b("plain_query").gateMedianS === 4.0 * 1.689)
+    val v = gate(baselineFp, b, times = Map("plain_query" -> (14.0, 0.1)))
+    assert(v.size === 1 && v.head.contains("pure-time regression"), v)
+    // Below 2x the capped gate: non-gating (still an info-line floor
+    // exceedance, as before).
+    assert(gate(baselineFp, b, times = Map("plain_query" -> (13.0, 0.1))).isEmpty)
+    assert(PlanGate.infoLines(b,
+      Map("plain_query" -> (13.0, 0.1))).size === 1)
+    // A mild re-base (med within the cap) is unaffected: gate = med.
+    val mild = baseline.updated("plain_query", Base(Fp(5, 0), 3.12, 0.95))
+    assert(mild("plain_query").gateMedianS === 3.12)
+    // No carried floor: gate = med (the cap needs a floor to bite).
+    assert(baseline("plain_query").gateMedianS === 1.0)
+  }
+
   test("the COMMITTED baseline: historical floors survive the episode " +
       "re-base, and a 2x-of-gate slowdown still fires") {
     // Reads the real PLAN_BASELINE.json. These rows spent rounds 11-15 on

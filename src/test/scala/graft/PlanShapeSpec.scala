@@ -595,57 +595,57 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
         "the text again:\n" + docScans.mkString("\n"))
   }
 
-  test("bucketed-forward MaxSim serve: stage-2 forward scan is dynamically " +
+  /** Root directory of the executed scan whose path contains `tag` — the
+    * on-disk denominator for static-pruning assertions (static pruning
+    * happens at listing time, so the scan reports no pre-prune total the
+    * way a live DPP scan's staticFilesNum does). */
+  private def scanRoot(df: DataFrame, tag: String): String =
+    graft.engine.ScanMetrics.scans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .find(_.contains(tag)).get.stripPrefix("file:")
+
+  test("bucketed-forward MaxSim serve: stage-2 forward scan is STATICALLY " +
       "partition-pruned on fb, and the corpus text is still query-only") {
-    // The round-14 structure: the forward component is partitioned by
-    // fb = pmod(doc_id, buckets), and the stage-2 candidate join carries fb
-    // so DPP prunes the forward read to candidate buckets — bounded by the
-    // workload, not the corpus. Without the dynamic filter the layout is
-    // decoration (stage 2 silently reads all buckets, the same linear-scan
-    // class as r12's text re-explode).
+    // Round 14 structure, round 17 mechanism: the forward component is
+    // partitioned by fb = pmod(doc_id, buckets); the candidate set is
+    // workload-bounded (≤ |q_tokens|·T pairs), so it is materialized at
+    // planning and each segment's bucket set lands as a STATIC fb IN
+    // partition filter — pruned at listing time, stage 1 executed exactly
+    // once, no dynamic subquery left to degrade (the exact migration the
+    // dense serves made in r16; the per-segment DPP form re-executed
+    // stage 1 inside every segment's broadcast). Without the filter the
+    // layout is decoration (stage 2 silently reads all buckets, the same
+    // linear-scan class as r12's text re-explode).
     val df = SparkEntry.queries("retrieval_maxsim_ivf_fwd")(spark, dir)
     // collect(), not count(): count() runs a SEPARATE QueryExecution, so
-    // df's own plan would stay unexecuted and any runtime-metric read on
-    // it would see zeros (the string assertions below survive either way —
-    // DPP insertion/degradation happens at planning — but the execution
-    // must be df's own for the comment and any future metrics to be true).
+    // df's own plan would stay unexecuted and the scan-metric reads below
+    // would see zeros.
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val fwdScans = p.linesIterator
       .filter(l => l.contains("PartitionFilters") && l.contains("fb#"))
       .toSeq
     assert(fwdScans.nonEmpty, "expected the fb-partitioned forward scan:\n" + p)
-    // "dynamicpruning#<id>" is a LIVE subquery reference; a filter Catalyst
-    // degraded to dynamicpruningexpression(true) also contains the word
-    // "dynamicpruning" but reads every bucket — the r14 pin accepted it
-    // (the layout was decorative at runtime for one round). Require the
-    // live form explicitly.
-    assert(fwdScans.forall(_.contains("dynamicpruning#")),
-      "forward scan without a LIVE dynamic fb filter — stage 2 reads " +
-        "every bucket:\n" + fwdScans.mkString("\n"))
+    assert(fwdScans.forall(l => l.contains(" IN (") || l.contains("INSET")),
+      "forward scan without the static candidate-bucket IN filter — " +
+        "stage 2 reads every bucket:\n" + fwdScans.mkString("\n"))
     assert(!p.contains("dynamicpruningexpression(true)"),
       "a dynamic filter degenerated to literal true:\n" + p)
-    // Executed-scan evidence (round 16, the discipline the string pin
-    // cannot carry alone): staticFilesNum EXISTS only when the dynamic
-    // filter actually ran, and the post-DPP numFiles must be a strict
-    // subset of the layout (27/32 buckets at this workload).
-    val (nf, snf, _, _) = graft.engine.ScanMetrics
+    // Executed-scan evidence (round 16 discipline): the post-prune
+    // numFiles must be a strict subset of the on-disk layout
+    // (27/32 buckets at this workload).
+    val (nf, _, _, _) = graft.engine.ScanMetrics
       .forPath(df, "graft_msfwd").get
-    assert(snf > 0 && nf >= 1 && nf < snf,
-      s"forward scan read $nf of staticFilesNum=$snf — the dynamic fb " +
-        "filter did not execute or did not prune")
-    // stage 1's cluster pruning is STATIC as of round 15 (the probed-
-    // cluster set is collected at planning and lands as an IN filter on
-    // the partition column — stronger than the dynamic filter it
-    // replaced, and the nested subquery it carried was what degraded the
-    // forward filter to true).
-    val cellScans = p.linesIterator
-      .filter(l => l.contains("PartitionFilters") && l.contains("cluster#"))
-      .toSeq
-    assert(cellScans.nonEmpty, "expected the cluster-partitioned cells scan")
-    assert(cellScans.forall(l => l.contains("cluster#") && l.contains(" IN (")),
-      "cells scan without the static probed-cluster IN filter:\n" +
-        cellScans.mkString("\n"))
+    val total = graft.engine.ScanMetrics
+      .parquetFilesUnder(scanRoot(df, "graft_msfwd"))
+    assert(nf >= 1 && nf < total,
+      s"forward scan read $nf of $total on-disk files — the static fb " +
+        "filter did not prune at runtime")
+    // Stage 1 (the probed-cells candidate pipeline) no longer appears in
+    // the SERVED plan at all — it executes exactly once, at planning,
+    // inside the candidate materialization. Its static cluster-IN pruning
+    // is the same shared code path the persisted (non-fwd) serve keeps
+    // in-plan, pinned by the test above.
     assert(!p.contains("CartesianProduct"), p)
     // and the r13 pin holds here too: every documents scan is query-side
     val docScans = p.linesIterator
@@ -657,13 +657,15 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
   }
 
   test("lifecycle MaxSim fwd serves: EVERY forward-segment scan (base AND " +
-      "delta moduli, and the compacted merge) is DPP-pruned on fb") {
+      "delta moduli, and the compacted merge) is statically pruned on fb") {
     // Round 15: the lifecycle serves previously forward-read the cells
     // union — correct but corpus-linear. The bucketed variants fetch from
     // per-segment forward layouts; the union sits ABOVE the candidate
-    // joins because Catalyst's PartitionPruning rule does not traverse
-    // Union — pinned here so a refactor that unions below the join (and
-    // silently reverts every segment to a full scan) fails loudly.
+    // joins (each segment's fb modulus differs) — pinned here so a
+    // refactor that unions below the join (and silently reverts every
+    // segment to a full scan) fails loudly. Round 17: each segment's
+    // bucket set is a STATIC fb IN filter rendered from the materialized
+    // candidate set (see the base fwd pin above for the full story).
     val expectedScans = Map(
       "retrieval_maxsim_ivf_append_fwd" -> 2, // base + delta segments
       "retrieval_maxsim_ivf_delete_fwd" -> 2,
@@ -683,23 +685,22 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
       assert(fwdLocs.size == nScans,
         s"$name: expected $nScans fb-partitioned forward scans, got " +
           s"${fwdLocs.size}:\n" + fwdScans.mkString("\n"))
-      // Live subquery reference required — dynamicpruningexpression(true)
-      // is Catalyst's silent give-up and reads every bucket (see the base
-      // fwd pin above for the full story).
-      assert(fwdScans.forall(_.contains("dynamicpruning#")),
-        s"$name: forward scan without a LIVE dynamic fb filter — stage 2 " +
-          "reads every bucket:\n" + fwdScans.mkString("\n"))
+      // Static IN form required on every segment scan (the dynamic form
+      // this replaces re-executed stage 1 per segment and could silently
+      // degrade to dynamicpruningexpression(true) — see the base fwd pin).
+      assert(fwdScans.forall(l => l.contains(" IN (") || l.contains("INSET")),
+        s"$name: forward scan without the static candidate-bucket IN " +
+          "filter — stage 2 reads every bucket:\n" + fwdScans.mkString("\n"))
       assert(!p.contains("dynamicpruningexpression(true)"),
         s"$name: a dynamic filter degenerated to literal true:\n" + p)
       assert(!p.contains("CartesianProduct"), p)
-      // Executed-scan evidence per segment: the dynamic filter RAN —
-      // staticFilesNum exists ONLY when a live filter executed (the
-      // degenerate form leaves no static metrics at all). The PRUNED
-      // FRACTION is workload geometry, not a structural property: the
-      // bigvocab lifecycle candidates touch all 32 base buckets at
-      // sf0.001 (measured), while the base fwd row prunes 27/32 — so the
-      // fraction is pinned only where it is known (the base fwd test
-      // above); here liveness is the contract.
+      // Executed-scan evidence per segment. The PRUNED FRACTION is
+      // workload geometry, not a structural property: the bigvocab
+      // lifecycle candidates touch all 32 base buckets at sf0.001
+      // (measured), while the base fwd row prunes 27/32 — so strictness
+      // is pinned only where it is known (the base fwd test above); here
+      // the contract is that the executed scan reads no more than the
+      // layout holds and the static filter is in the plan.
       val segTags = Map(
         "retrieval_maxsim_ivf_append_fwd" ->
           Seq("graft_msfwd_big", "graft_msfwd_delta"),
@@ -708,10 +709,11 @@ class PlanShapeSpec extends SparkSpec with SlowSuite {
         "retrieval_maxsim_ivf_lifecycle_compacted_fwd" ->
           Seq("graft_msfwd_compact"))
       for (tag <- segTags(name)) {
-        val (nf, snf, _, _) = graft.engine.ScanMetrics.forPath(df, tag).get
-        assert(snf > 0 && nf >= 0 && nf <= snf,
-          s"$name/$tag: read $nf of staticFilesNum=$snf — the dynamic fb " +
-            "filter did not execute")
+        val (nf, _, _, _) = graft.engine.ScanMetrics.forPath(df, tag).get
+        val total = graft.engine.ScanMetrics
+          .parquetFilesUnder(scanRoot(df, tag))
+        assert(nf >= 0 && nf <= total,
+          s"$name/$tag: read $nf of $total on-disk files")
       }
     }
   }
