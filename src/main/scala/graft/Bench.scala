@@ -199,7 +199,6 @@ object Bench {
       if (!lifecycleServes.forall(selected.contains)) Seq.empty
       else try {
         import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val vecs = graft.engine.Catalog.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
@@ -213,9 +212,10 @@ object Bench {
             .filter(col("q_vec") =!= col("neighbor"))
             .withColumn("d2",
               graft.expressions.SqDist.sqDist(col("q"), col("e")))
-            .withColumn("rank", row_number().over(
-              Window.partitionBy("q_vec").orderBy(col("d2").asc, col("neighbor").asc)))
-            .filter(col("rank") <= 10)
+            // Bounded cut, not a window — the truth pass scores
+            // |corpus|·|Q| rows and the window form sorted them all.
+            .transform(df => graft.ops.Similarity.topKCut(df, "d2", 10,
+              ascending = true))
             .select("q_vec", "neighbor").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         val truthBase = truthSet(vecs)
@@ -785,8 +785,8 @@ object Bench {
     // evidence that cannot lie this way.
     // (row, layout tail, numFiles, staticFilesNum, on-disk files) — also
     // emitted as the machine-readable "scan_audit" artifact section.
-    val auditRows =
-      scala.collection.mutable.Buffer.empty[(String, String, Long, Long, Long)]
+    val auditRows = scala.collection.mutable.Buffer
+      .empty[(String, String, Long, String, Long, Long)]
     if (only.isEmpty) {
       val scanAudit = Seq("ann_ivf_persisted", "ann_ivf_kmeans_persisted",
         "ann_ivf_pq_persisted", "ann_ivf_pq_append", "ann_ivf_pq_promoted",
@@ -805,16 +805,26 @@ object Bench {
             def m(n: String) = f.metrics.get(n).map(_.value).getOrElse(-1L)
             val total = graft.engine.ScanMetrics.parquetFilesUnder(local)
             val tail = local.split('/').takeRight(2).mkString("/")
-            // numFiles <= 0 on a scan under an InMemoryRelation means the
-            // session cache served the rows and the scan never ran — say
-            // so; "files=0" would read as a broken layout (it is the
-            // opposite: the cache IS the reuse story for bucketed
-            // layouts).
+            // numFiles <= 0 on a BUCKETED layout scan is the CATALOG
+            // relation cache (round 17, closing the r16 "cached(0)" blind
+            // spot with the actual mechanism): the table's file listing is
+            // computed once per session, so the lazy selectedPartitions —
+            // and the driver metrics it posts — belong to the layout-build
+            // execution, not this one. The scan itself RAN (its
+            // numOutputRows are this row's rows); the uncached datum is
+            // the relation's own file listing, which is exactly the file
+            // set a bucketed serve reads (no bucket pruning is claimed —
+            // the layout's claim is zero exchanges, gated separately).
             val nf = m("numFiles")
-            val files = if (nf <= 0) "files=cached(0)" else s"files=$nf"
+            val (filesVal, status) =
+              if (nf > 0) (nf, "executed")
+              else (f.relation.location.inputFiles
+                .count(_.endsWith(".parquet")).toLong, "listed")
             println(s"BENCH_DETAIL scan_audit $name $tail " +
-              s"$files staticDpp=${m("staticFilesNum")} onDisk=$total")
-            auditRows += ((name, tail, nf, m("staticFilesNum"), total))
+              s"files=$filesVal($status) staticDpp=${m("staticFilesNum")} " +
+              s"onDisk=$total")
+            auditRows += ((name, tail, filesVal, status,
+              m("staticFilesNum"), total))
           }
         }
       } catch {
@@ -933,12 +943,14 @@ object Bench {
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val gate = allViolations.map(jq).mkString("[", ",", "]")
       val gInfo = gateInfo.map(jq).mkString("[", ",", "]")
-      // "cached" mirrors the printed files=cached(0) marker (r16 advice): a
-      // JSON consumer must be able to tell "the session cache served the
-      // scan" from "the layout read zero files".
-      val audit = auditRows.map { case (row, layout, nf, snf, total) =>
+      // "status" mirrors the printed files=N(status) marker (r16 advice +
+      // verdict #3): "executed" = the scan's own driver metrics;
+      // "listed" = the catalog relation cache pre-computed the listing, so
+      // the number is the relation's file inventory — a JSON consumer can
+      // tell the two apart, and neither reads as "layout read zero files".
+      val audit = auditRows.map { case (row, layout, nf, status, snf, total) =>
           s"""{"row":${jq(row)},"layout":${jq(layout)},"files":$nf,""" +
-            s""""cached":${nf <= 0},"static_dpp":$snf,"on_disk":$total}"""
+            s""""status":${jq(status)},"static_dpp":$snf,"on_disk":$total}"""
         }.mkString("[", ",", "]")
       val maint = maintRecall.map(r =>
           s"""{"point":"${r.name}","appended":${r3(r.appended)},"retrained":${r3(r.retrained)},"append_s":${r3(r.appendS)},"retrain_s":${r3(r.retrainS)}}""")

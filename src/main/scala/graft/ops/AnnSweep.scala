@@ -147,12 +147,18 @@ object AnnSweep {
   def assignJoin(
       vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame =
+    // min over (_d, _ac) alone — the pair is already a total order per id
+    // (one row per centroid), so dropping vecCol from the struct changes
+    // nothing; carrying it copied the full vector array into a fresh
+    // struct on EVERY one of the n·k candidate rows (round 17 — the
+    // vector rides a first() instead: it is functionally determined by
+    // the group key, so first() is deterministic).
     vecs.crossJoin(broadcast(cents.select(col("cluster").as("_ac"), col("cent"))))
       .withColumn("_d", sqDist(vecCol, "cent"))
       .groupBy(col(idCol))
-      .agg(min(struct(col("_d"), col("_ac"), col(vecCol))).as("_m"))
-      .select(col(idCol), col("_m._ac").as("cluster"),
-        col(s"_m.$vecCol").as(vecCol))
+      .agg(min(struct(col("_d"), col("_ac"))).as("_m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("_m._ac").as("cluster"), col(vecCol))
 
   /** Lloyd's k-means on the JOIN path — the large-k trainer ([[KMeans.lloyd]]
     * with data centroids instead of literals; same seeds, same fixed-point
@@ -197,14 +203,19 @@ object AnnSweep {
         .filter(col("_rn") <= k)
         .select(col("j"), (col("_rn") - 1).cast("int").as("cluster"),
           expr("transform(sub, x -> CAST(x AS DOUBLE))").as("cent"))
+      // Same slim-argmin shape as [[assignJoin]]: (_d, _ac) is a total
+      // order per (j, id), and sub is functionally determined by the
+      // group key — first() instead of copying the subvector into a
+      // struct on each of the n·m·k candidate rows.
       def assignAll(cs: DataFrame): DataFrame =
         subs.join(broadcast(cs.select(col("j"),
             col("cluster").as("_ac"), col("cent"))), "j")
           .withColumn("_d", sqDist("sub", "cent"))
           .groupBy(col("j"), col(idCol))
-          .agg(min(struct(col("_d"), col("_ac"), col("sub"))).as("_m"))
+          .agg(min(struct(col("_d"), col("_ac"))).as("_m"),
+            first(col("sub")).as("sub"))
           .select(col("j"), col(idCol), col("_m._ac").as("cluster"),
-            col("_m.sub").as("sub"))
+            col("sub"))
       def centAgg(assigned: DataFrame): DataFrame = {
         val sums = (1 to sub).map { i =>
           sum(expr(s"CAST(floor(CAST(element_at(sub, $i) AS DOUBLE) * " +
@@ -230,12 +241,15 @@ object AnnSweep {
     } finally subs.unpersist()
   }
 
-  /** (id, j, sub) — each vector exploded into its m subvectors. */
+  /** (id, j, sub) — each vector exploded into its m subvectors. Unrolled
+    * `array(slice…)` rather than `transform(sequence…)`: the lambda form is
+    * CodegenFallback (interpreted per element); the array of m literal
+    * slices is the same values in codegen, and posexplode's pos IS j. */
   private def subVectors(
       vecs: DataFrame, idCol: String, vecCol: String,
       m: Int, sub: Int): DataFrame =
-    vecs.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $sub + 1, $sub))")))
+    vecs.select(col(idCol), posexplode(array((0 until m).map(j =>
+        expr(s"slice($vecCol, ${j * sub + 1}, $sub)")): _*)))
       .select(col(idCol), col("pos").as("j"), col("col").as("sub"))
 
   /** Encode an assigned corpus against data codebooks: one subvector
@@ -353,9 +367,9 @@ object AnnSweep {
       .crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("neighbor"))
       .withColumn("_d", sqDist("_qv", "_e"))
-    val w = Window.partitionBy("q_vec").orderBy(col("_d").asc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kTop)
+    // Bounded cut — the truth pass scores |corpus|·|Q| rows; the window
+    // form it replaces sorted them all (same (d asc, id asc) order).
+    Similarity.topKCut(scored, "_d", kTop, ascending = true)
       .select("q_vec", "neighbor").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }

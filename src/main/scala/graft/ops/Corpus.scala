@@ -796,9 +796,16 @@ object Corpus {
       .join(broadcast(thetas.join(mq, "q_id")), "q_id")
       .filter(col("impact") >= col("theta") / col("m").cast("double"))
       .select("q_id", "doc_id").distinct()
-    rescore(survivors)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "rank", "doc_id", "score")
+    // Final cut: bounded TopKAggregate ((score desc, doc_id asc) ≡ the
+    // window order — bit-identical); the window form exchanged and sorted
+    // every surviving rescored candidate. The theta window above stays:
+    // its input is the ≤ |Q|·k seed set.
+    Similarity.topKCut(
+        rescore(survivors).withColumnRenamed("q_id", "q_vec")
+          .withColumnRenamed("doc_id", "neighbor"),
+        "score", k)
+      .select(col("q_vec").as("q_id"), col("rank"),
+        col("neighbor").as("doc_id"), col("score"))
   }
 
   /** Deterministic query workload for the batched serve: q_id i carries

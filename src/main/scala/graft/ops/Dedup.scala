@@ -23,12 +23,20 @@ import graft.functions.Hashing._
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `tieBreak` per distinct
-    * `key`. One hash shuffle on the key; at 100 TB dedup on a long text
-    * column should key on a digest instead — pass e.g. `xxhash64(text)`. */
+    * `key`. At 100 TB dedup on a long text column should key on a digest
+    * instead — pass e.g. `xxhash64(text)`.
+    *
+    * min_by PARTIAL AGGREGATE, not a row_number window (round 17, guide
+    * §2.3 "aggregate before you shuffle"): the window form shuffled EVERY
+    * row to its key's partition and sorted it; the aggregate collapses
+    * map-side to one candidate row per (key × input partition), so the
+    * exchange carries |keys| rows, not |corpus|. Callers pass a UNIQUE
+    * tieBreak (doc_id), so min_by picks exactly the window's first row. */
   def exactKeepFirst(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key).orderBy(tieBreak.asc)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns
+    df.groupBy(key)
+      .agg(min_by(struct(cols.map(col): _*), tieBreak).as("_r"))
+      .select(cols.map(c => col(s"_r.$c")): _*)
   }
 
   /** Shingle sets in hashed (BIGINT) space: Jaccard over hashes is the

@@ -116,11 +116,16 @@ object Relational {
   def applyCdc(
       snapshot: DataFrame, changelog: DataFrame,
       keyCol: String, opCol: String, seqCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    val latest = changelog
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", seqCol)
+    // Latest-op-per-key as a max_by PARTIAL AGGREGATE, not a row_number
+    // window (round 17, guide §2.3): the window form shuffled and sorted
+    // the WHOLE changelog; the aggregate collapses map-side to one
+    // candidate per (key × input partition). seq is unique per key (a
+    // changelog's ordering contract — the window form was equally
+    // tie-undefined without it), so max_by picks exactly the window's row.
+    val keepCols = changelog.columns.filterNot(_ == seqCol)
+    val latest = changelog.groupBy(col(keyCol))
+      .agg(max_by(struct(keepCols.map(col): _*), col(seqCol)).as("_r"))
+      .select(keepCols.map(c => col(s"_r.$c")): _*)
     val kept = snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
     kept.unionByName(
       latest.filter(col(opCol).isin("I", "U")).drop(opCol))

@@ -151,10 +151,14 @@ object Similarity {
       vecs: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    val wRep = Window.partitionBy(labelCol).orderBy(col(idCol).asc)
-    val reps = vecs
-      .withColumn("_rn", row_number().over(wRep)).filter(col("_rn") === 1)
-      .select(col(labelCol).as("rep_label"), col(vecCol).as("rep_emb"))
+    // min-id representative as a PARTIAL AGGREGATE (round 17): the
+    // row_number()=1 window this replaces exchanged and sorted the WHOLE
+    // corpus by label; min_by collapses map-side to one row per label
+    // before the shuffle. Ids are unique, so min_by is deterministic and
+    // picks exactly the window's first row.
+    val reps = vecs.groupBy(col(labelCol))
+      .agg(min_by(col(vecCol), col(idCol)).as("rep_emb"))
+      .select(col(labelCol).as("rep_label"), col("rep_emb"))
 
     val q = probes.select(col(idCol).as("q_vec"), col(vecCol).as("q_emb"),
       norm(col(vecCol)).as("q_nrm"))
@@ -189,9 +193,10 @@ object Similarity {
       labelCol: String, path: String): Unit = {
     vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col(labelCol))
       .write.mode("overwrite").option("compression", "zstd").partitionBy(labelCol).parquet(s"$path/cells")
-    val wRep = Window.partitionBy(labelCol).orderBy(col(idCol).asc)
-    vecs.withColumn("_rn", row_number().over(wRep)).filter(col("_rn") === 1)
-      .select(col(labelCol).as("rep_label"), col(vecCol).as("rep_emb"))
+    // min_by, not a corpus-wide row_number window — see [[knnIvf]].
+    vecs.groupBy(col(labelCol))
+      .agg(min_by(col(vecCol), col(idCol)).as("rep_emb"))
+      .select(col(labelCol).as("rep_label"), col("rep_emb"))
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/reps")
   }
 
@@ -215,7 +220,7 @@ object Similarity {
     * label) cast to long becomes null — the probe set would come back
     * empty and the serve would return zero rows with no error. Misuse must
     * fail at construction instead. */
-  private[ops] def requireIntegralId(df: DataFrame, colName: String,
+  private[graft] def requireIntegralId(df: DataFrame, colName: String,
       ctx: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(df.schema.fieldIndex(colName)).dataType
@@ -238,7 +243,7 @@ object Similarity {
     * combine ships at most |Q|·k rows per input partition into the
     * shuffle. `scored` must carry (q_vec, neighbor: integral, valueCol).
     * Output: q_vec, rank, neighbor, valueCol. */
-  private[ops] def topKCut(scored: DataFrame, valueCol: String, k: Int,
+  private[graft] def topKCut(scored: DataFrame, valueCol: String, k: Int,
       ascending: Boolean = false): DataFrame = {
     requireIntegralId(scored, "neighbor", "topKCut")
     // Rendered back at the id's input type so the output schema matches the

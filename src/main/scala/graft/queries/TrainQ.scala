@@ -114,12 +114,16 @@ object TrainQ {
     * it with one portable integer op: (h² mod P) differences carry the
     * factor 2·h·Δ + Δ², and h varies per dimension, so per-dim differences
     * decorrelate (re-pinned: min d² = 24.9). h < P ≈ 1e9 keeps h² < 2^63. */
-  private def promCoordSpark: String = {
+  /** The same coordinate expression with the dimension as caller-provided
+    * SQL (a literal in the unrolled [[promotedCorpus]] array, the lambda
+    * var in documentation/tests). Every arithmetic op is per-element and
+    * identical either way, so the unrolled form is bit-exact. */
+  private def promCoordSparkAt(d: String): String = {
     val P = graft.functions.Hashing.P
     val ph = graft.functions.Hashing.polyHashSpark(
-      s"'ctr:' || CAST((vec_id % $PromC) * 997 + d AS STRING)")
+      s"'ctr:' || CAST((vec_id % $PromC) * 997 + $d AS STRING)")
     s"(CAST((($ph) * ($ph)) % $P % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0" +
-      " + CAST(element_at(embedding, d) AS DOUBLE)"
+      s" + CAST(element_at(embedding, $d) AS DOUBLE)"
   }
 
   private def promCoordDuck: String = {
@@ -130,12 +134,19 @@ object TrainQ {
       " + CAST(embedding[CAST(d AS INT)] AS DOUBLE)"
   }
 
-  /** The derived clustered corpus (vec_id, embedding: array<double>). */
+  /** The derived clustered corpus (vec_id, embedding: array<double>).
+    *
+    * Round-17 note: an unrolled `array(e1 … e64)` codegen form of this
+    * transform was tried and measured NEUTRAL (warm noop 1.94 s both ways
+    * at sf0.1, cold slightly worse from the bigger codegen unit) — the
+    * per-element cost is the polyhash STRING build, identical in either
+    * execution mode — so the lambda form stays. */
   private[graft] def promotedCorpus(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Catalog.load(s, dir, "embeddings")
       .select(col("vec_id"),
-        expr(s"transform(sequence(1, $Dims), d -> $promCoordSpark)").as("embedding"))
+        expr(s"transform(sequence(1, $Dims), d -> ${promCoordSparkAt("d")})")
+          .as("embedding"))
 
   /** DuckDB CTE body computing the same corpus from the embeddings view. */
   private def promotedCorpusCte: String =
@@ -155,14 +166,24 @@ object TrainQ {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val corpus = promotedCorpus(s, dir)
         .persist(MEMORY_AND_DISK)
-      val (assigned, cents) = AnnSweep.lloydJoin(
+      val (assigned0, cents) = AnnSweep.lloydJoin(
         corpus, "vec_id", "embedding", PromKc, PromIters, Dims)
+      // The assignment feeds THREE evaluations downstream (encodeJoin
+      // references it twice — the subvector explode and the cluster
+      // re-attach — and the cents write re-derives the centroid means
+      // from it); unpersisted, each re-ran the full coarse-assign pass
+      // over the corpus (round 17). n rows × (64-dim vector + cluster)
+      // — megabytes, not corpus-scale.
+      val assigned = assigned0
+        .persist(MEMORY_AND_DISK)
+      assigned.count()
       val books = AnnSweep.trainBooksJoin(
         corpus, "vec_id", "embedding", PromM, PromKcode, PromIters, Dims)
       val enc = AnnSweep.encodeJoin(assigned, "vec_id", "embedding",
         books, PromM, PromSub)
       val tmp = graft.engine.TempDirs.create("graft_ivfpq_prom")
       AnnSweep.writeIndexJoin(enc, cents, books, tmp)
+      assigned.unpersist()
       books.unpersist()
       corpus.unpersist()
       tmp
@@ -756,13 +777,14 @@ object TrainQ {
           Similarity.norm(col("embedding")).as("nrm"))
         import graft.expressions.DotProduct.dot
         val scored = v.join(broadcast(q), col("label") =!= col("q_label"))
-          .select(col("q_vec"), col("vec_id").as("neg"),
+          .select(col("q_vec"), col("vec_id").as("neighbor"),
             (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_vec").orderBy(col("cos").desc, col("neg").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select("q_vec", "rank", "neg", "cos")
+        // Bounded top-5 cut (heap order (cos desc, id asc) ≡ the window
+        // order it replaces — bit-identical): the window form exchanged
+        // and sorted all ~|corpus|·|Q| cross-label scored rows.
+        Similarity.topKCut(scored, "cos", 5)
+          .select(col("q_vec"), col("rank"), col("neighbor").as("neg"),
+            col("cos"))
           .orderBy("q_vec", "rank")
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding,
@@ -835,10 +857,9 @@ object TrainQ {
             col("cluster") === col("p_cluster") && col("vec_id") =!= col("q_vec"))
           .select(col("q_vec"), col("vec_id").as("neighbor"),
             (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_vec").orderBy(col("cos").desc, col("neighbor").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        // Bounded final cut (≡ the window order); the tiny |Q|·kc probe
+        // window above stays — broadcast build side, no partitioned scan.
+        Similarity.topKCut(scored, "cos", 10)
           .select("q_vec", "rank", "neighbor", "cos")
           .orderBy("q_vec", "rank")
       },
@@ -938,10 +959,12 @@ object TrainQ {
           .withColumn("adist",
             (0 until PqM).map(j => expr(s"element_at(tab$j, code$j)"))
               .reduce(_ + _))
-        val w = Window.partitionBy("q_vec")
-          .orderBy(col("adist").asc, col("neighbor").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        // Final cut: the bounded TopKAggregate (heap order (adist asc,
+        // neighbor asc) ≡ the window order — bit-identical, same oracle);
+        // the window form exchanged and sorted every scored candidate.
+        // The tiny probe window above stays: its input is |Q|·kc rows and
+        // it sits in a broadcast build side with no partitioned scan below.
+        Similarity.topKCut(scored, "adist", 10, ascending = true)
           .select("q_vec", "rank", "neighbor", "adist")
           .orderBy("q_vec", "rank")
       },
@@ -1175,10 +1198,8 @@ object TrainQ {
           .withColumn("adist",
             (0 until PqM).map(j => expr(s"element_at(tab$j, code$j)"))
               .reduce(_ + _))
-        val w = Window.partitionBy("q_vec")
-          .orderBy(col("adist").asc, col("neighbor").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        // Bounded final cut — see ann_ivf_pq_topk for the rationale.
+        Similarity.topKCut(scored, "adist", 10, ascending = true)
           .select("q_vec", "rank", "neighbor", "adist")
           .orderBy("q_vec", "rank")
       },
