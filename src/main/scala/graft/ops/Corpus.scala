@@ -753,7 +753,6 @@ object Corpus {
   def bm25ImpactTopKBatched(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, buckets: Int): DataFrame = {
     import graft.functions.Hashing.polyHashLocal
-    import org.apache.spark.sql.expressions.Window
     // Dedup the workload at entry: a repeated (q_id, term) row would
     // double-count that term's impact in the collect_list rescore AND
     // inflate m_q's prune divisor — the single-query serve rejects
@@ -777,20 +776,33 @@ object Corpus {
     val sortedFold = expr(
       "aggregate(transform(array_sort(collect_list(struct(term, impact))), " +
         "p -> p.impact), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-    def rescore(cands: DataFrame): DataFrame =
-      cands.join(qidx, Seq("q_id", "doc_id"))
+    // The seed set is workload-bounded by construction (≤ |Q|·m·k rows —
+    // irank <= k per (term, segment), m terms per query), so its rescore
+    // join rides a BROADCAST instead of exchanging the bucket-pruned
+    // postings on (q_id, doc_id) (round 17, guide §3.1); the survivor
+    // rescore keeps the lazy shuffle join — survivors are prune-bounded,
+    // not workload-bounded.
+    def rescore(cands: DataFrame, broadcastCands: Boolean = false): DataFrame =
+      (if (broadcastCands) broadcast(cands) else cands)
+        .join(qidx, Seq("q_id", "doc_id"))
         .groupBy("q_id", "doc_id", "dl")
         .agg(sortedFold.as("score"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
     val seeds = qidx.filter(col("irank") <= k)
       .select("q_id", "doc_id").distinct()
-    val thetas = rescore(seeds)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // θ = the k-th best seed score per query, as a bounded TopKAggregate
+    // instead of a row_number window (round 17, the last window in this
+    // path): heap order (score desc, doc_id asc) ≡ the window order, and
+    // "k-th element's score" ≡ "min(score) over the rn <= k rows", so θ is
+    // bit-identical; fewer than k seeds ⇒ MinValue (exact scoring), as
+    // before. The window form exchanged AND per-group-sorted the rescored
+    // seed set; the aggregate map-side-combines to ≤ k entries per query.
+    Similarity.requireIntegralId(qidx, "doc_id", "bm25ImpactTopKBatched")
+    val thetas = rescore(seeds, broadcastCands = true)
       .groupBy("q_id")
-      .agg(count(lit(1)).as("_n"), min(col("score")).as("_kth"))
-      .select(col("q_id"), when(col("_n") < k, lit(Double.MinValue))
-        .otherwise(col("_kth")).as("theta"))
+      .agg(graft.expressions.TopKAggregate
+        .topK(col("score"), col("doc_id").cast("long"), k).as("_top"))
+      .select(col("q_id"), when(size(col("_top")) < k, lit(Double.MinValue))
+        .otherwise(element_at(col("_top"), k).getField("score")).as("theta"))
     val mq = qt.groupBy("q_id").agg(count(lit(1)).as("m"))
     val survivors = qidx
       .join(broadcast(thetas.join(mq, "q_id")), "q_id")

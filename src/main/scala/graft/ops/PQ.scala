@@ -69,17 +69,82 @@ object PQ {
 
   /** Train one codebook per subspace with the exact fixed-point Lloyd.
     * Returns `m` codebooks, each `(code, centroid)` with `sub = dims/m`
-    * coordinates. O(m · iters) tiny jobs; O(k · dims) driver scalars. */
+    * coordinates. O(k · dims) driver scalars.
+    *
+    * All m subspace Lloyds share their data passes (round 17, guide §1.2
+    * "remove unnecessary passes"): the per-subspace form ran m·iters
+    * aggregate jobs plus m seed scans, every one a full pass over `vecs`;
+    * this form runs ONE seed pass (the k seed ROWS are subspace-independent
+    * — [[KMeans.seedHash]] reads only the id) and ONE aggregate job per
+    * Lloyd round. Bit-identical to the per-subspace training the DuckDB
+    * oracle replays: subspace assignments are independent map-side literal
+    * expressions (identical expression text per subspace), and the
+    * fixed-point BIGINT sums — grouped by (subspace, cluster) — are exact
+    * integer arithmetic, so neither partitioning nor fold order can move
+    * any centroid (PQSpec pins repartition-invariance and the merged ≡
+    * sequential equality). */
   def train(
       vecs: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, dims: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    require(iters >= 1, s"iters=$iters must be >= 1")
     val sub = dims / m
-    (0 until m).map { j =>
-      val sv = vecs.select(col(idCol), expr(subSpark(vecCol, j, sub)).as("_sub"))
-      val (_, cents) = KMeans.lloyd(sv, idCol, "_sub", k, iters, sub)
-      KMeans.collectCents(cents.select(col("cluster"), col("cent")))
+    val sv = vecs.select(col(idCol) +:
+      (0 until m).map(j => expr(subSpark(vecCol, j, sub)).as(s"_sub$j")): _*)
+    // One seed pass for every subspace: same k rows, same (hash, id) order
+    // — subspace j's seed codebook is its slice of them (the exact rows
+    // [[KMeans.seeds]] picks per subspace).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_h"), col(idCol))
+    val seedRows = sv
+      .withColumn("_h", expr(KMeans.seedHash(idCol)))
+      .orderBy(col("_h"), col(idCol)).limit(k)
+      .withColumn("cluster", (row_number().over(w) - 1).cast("int"))
+      .select(col("cluster") +: (0 until m).map(j =>
+        expr(s"transform(_sub$j, x -> CAST(x AS DOUBLE))").as(s"_sub$j")): _*)
+      .collect()
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      seedRows.map(r => r.getInt(0) -> (r.getSeq[Double](j + 1): Seq[Double]))
+        .sortBy(_._1).toSeq
     }
+    // Nearest-centroid columns for ALL subspaces in one projection — each
+    // is the identical codegen'd literal expression [[KMeans.assign]]
+    // builds for its subspace.
+    def assignAll(): DataFrame = (0 until m).foldLeft(sv) { case (d, j) =>
+      val structs = books(j).sortBy(_._1).map { case (c, arr) =>
+        s"named_struct('d', ${KMeans.distSpark(s"_sub$j", arr)}, 'c', $c)"
+      }
+      d.withColumn(s"_c$j",
+        expr(s"array_min(array(${structs.mkString(", ")})).c"))
+    }
+    // One fixed-point centroid update for ALL subspaces: explode to
+    // (subspace, cluster, subvec) — the generator rows collapse in the
+    // map-side partial aggregate to ≤ m·k rows per partition before the
+    // exchange (same per-coordinate floor·2^20 BIGINT sums + single
+    // division as [[KMeans.centroidAgg]]).
+    def aggAll(assigned: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+      val sums = (1 to sub).map(i => sum(expr(
+        s"CAST(floor(CAST(element_at(_v, $i) AS DOUBLE) * ${KMeans.Scale}) AS BIGINT)"))
+        .as(s"_s$i"))
+      val rows = assigned
+        .select(posexplode(array((0 until m).map(j =>
+          struct(col(s"_c$j").as("c"), col(s"_sub$j").as("v"))): _*)))
+        .select(col("pos").as("_j"), col("col.c").as("_cl"), col("col.v").as("_v"))
+        .groupBy(col("_j"), col("_cl"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("_j") +: col("_cl") +: (1 to sub).map(i =>
+          expr(s"CAST(_s$i AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+            s"CAST(${KMeans.Scale} AS DOUBLE))").as(s"_m$i")): _*)
+        .collect()
+      (0 until m).map { j =>
+        rows.filter(_.getInt(0) == j)
+          .map(r => r.getInt(1) ->
+            ((2 until 2 + sub).map(r.getDouble): Seq[Double]))
+          .sortBy(_._1).toSeq
+      }
+    }
+    (2 to iters).foreach { _ => books = aggAll(assignAll()) }
+    aggAll(assignAll())
   }
 
   /** Encode every vector as `m` codes (columns `code0..code{m-1}`): nearest

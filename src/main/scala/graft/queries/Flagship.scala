@@ -576,24 +576,39 @@ object Flagship {
 
     // Q21-shape: suppliers who were the SOLE late shipper in multi-supplier
     // orders ("late" = shipped >120 days after order date; the testdata has
-    // no receipt/commit dates). Distinct late pairs + one EXISTS semi join +
-    // one NOT EXISTS anti join — the reference's dialect has none of these
-    // (SURVEY §2.2).
+    // no receipt/commit dates). Same oracle as always (distinct late pairs,
+    // EXISTS semi, NOT EXISTS anti) — but computed as per-order COUNTS
+    // (round 17, guide §2.3 "aggregate before you shuffle"): the semi/anti
+    // formulation built the late pair set TWICE (two full lineitem⋈orders
+    // distinct subtrees merge-anti-joined) and broadcast the corpus-sized
+    // distinct (orderkey, suppkey) pair set for the semi probe — a shape
+    // that dies at 100 TB where that pair set is lineitem-sized. Per pair
+    // (ok, sk): is_late = any line late; per order: n_supp suppliers,
+    // n_late late suppliers. A late pair qualifies iff the order has
+    // ANOTHER supplier (n_supp >= 2 ⇔ the EXISTS, since the pair itself is
+    // in the set) and NO OTHER late supplier (n_late == 1 ⇔ the NOT
+    // EXISTS, the pair itself being late). One lineitem pass (the (ok,sk)
+    // exchange is reused by both aggregates), counts instead of pair-set
+    // joins, nothing corpus-sized broadcast. The orders join is LEFT so
+    // orphan lines (no matching order) stay in the pair set exactly as the
+    // un-joined `pairs` kept them.
     Q("tpch_q21_waiting_supplier",
       (s, dir) => {
         val l = Catalog.load(s, dir, "lineitem")
         val o = Catalog.load(s, dir, "orders")
-        val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
-            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 120 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-          .distinct()
-        val lateOther = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-        late
-          .join(pairs, col("ok2") === col("l_orderkey") &&
-            col("sk2") =!= col("l_suppkey"), "left_semi")
-          .join(lateOther, col("ok3") === col("l_orderkey") &&
-            col("sk3") =!= col("l_suppkey"), "left_anti")
+        val perPair = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_outer")
+          .select(l("l_orderkey"), col("l_suppkey"),
+            (col("o_orderdate").isNotNull &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+              .as("late"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("late")).as("is_late"))
+        val perOrder = perPair.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"))
+        perPair.filter(col("is_late"))
+          .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
+            "l_orderkey")
           .groupBy(col("l_suppkey").as("suppkey"))
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("suppkey").asc)

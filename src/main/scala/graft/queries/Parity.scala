@@ -585,8 +585,19 @@ object Parity {
     Q("subq_min_retail",
       (s, dir) => {
         Catalog.registerAll(s, dir)
+        // BROADCAST(pCalc) (round 17, guide §3.1): pCalc aggregates to at
+        // most |region|×|brand| rows (25 brands × 5 regions — bounded by
+        // the group-key domain at ANY scale), but Catalyst's size estimate
+        // of an aggregate over a 5-way join is far above the auto-broadcast
+        // threshold, so the planner sort-merge-joined it — exchanging and
+        // sorting the ENTIRE outer 5-way-joined lineitem on
+        // (retailprice, brand, r_name). The hint is advisory-only (zero
+        // semantic change; the oracle text below is identical modulo the
+        // hint comment) and drops the plan from 3 exchanges to the single
+        // ORDER BY range exchange.
         s.sql(
-          """SELECT r.r_name, p.p_brand, s.s_name, p.p_retailprice
+          """SELECT /*+ BROADCAST(pCalc) */
+            |  r.r_name, p.p_brand, s.s_name, p.p_retailprice
             |FROM supplier s, nation n, region r, lineitem l, part p,
             |  (SELECT r2.r_name AS r_name, p2.p_brand AS p_brand,
             |          MIN(p2.p_retailprice) AS min_retail

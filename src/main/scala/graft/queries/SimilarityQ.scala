@@ -1576,15 +1576,19 @@ object SimilarityQ {
           Catalog.load(s, dir, "documents"), "doc_id", "text", n = 2)
         val qsh = broadcast(sh.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("q_doc"), col("s").as("qs")))
-        val lexW = Window.partitionBy("q_doc")
-          .orderBy(col("jacc").desc, col("doc_id").asc)
-        val lr = sh.crossJoin(qsh).filter(col("doc_id") =!= col("q_doc"))
+        // Bounded top-k cut, not a window (round 17): the window form
+        // map-side SORTED the entire |Q|·|corpus| scored cross product per
+        // partition before WindowGroupLimit could bound it; the
+        // TopKAggregate heap ((jacc desc, doc_id asc) ≡ the window order —
+        // identical rows, same oracle) updates in O(log k) per row and
+        // ships ≤ |Q|·20 rows per partition into the exchange.
+        val lscored = sh.crossJoin(qsh).filter(col("doc_id") =!= col("q_doc"))
           .withColumn("ni", intersectSize(col("qs"), col("s")))
-          .withColumn("jacc",
-            expr("CAST(ni AS DOUBLE) / (size(qs) + size(s) - ni)"))
-          .withColumn("l_rank", row_number().over(lexW))
-          .filter(col("l_rank") <= 20)
-          .select(col("q_doc"), col("doc_id").as("l_doc"), col("l_rank"))
+          .select(col("q_doc").as("q_vec"), col("doc_id").as("neighbor"),
+            expr("CAST(ni AS DOUBLE) / (size(qs) + size(s) - ni)").as("jacc"))
+        val lr = Similarity.topKCut(lscored, "jacc", 20)
+          .select(col("q_vec").as("q_doc"), col("neighbor").as("l_doc"),
+            col("rank").as("l_rank"))
         val fused = vr.join(lr,
             vr("q_vec") === lr("q_doc") && vr("neighbor") === lr("l_doc"),
             "full_outer")

@@ -216,4 +216,24 @@ class PQSpec extends SparkSpec with SlowSuite {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
       s"query tables must broadcast:\n$plan")
   }
+
+  test("merged multi-subspace training equals the sequential per-subspace Lloyd") {
+    // Round 17: PQ.train now trains all m subspaces in shared data passes
+    // (one seed scan, one aggregate job per Lloyd round). This pin replays
+    // the OLD sequential form — one KMeans.lloyd per subspace slice — and
+    // requires codebook equality to the last bit, on a corpus whose size
+    // (40) exceeds k so seeds, assignment ties and fixed-point sums are all
+    // exercised.
+    import graft.ops.KMeans
+    val merged = PQ.train(vecs, "vec_id", "embedding", M, K, iters = 2, Dims)
+    val sub = Dims / M
+    val sequential = (0 until M).map { j =>
+      val sv = vecs.select(col("vec_id"),
+        expr(PQ.subSpark("embedding", j, sub)).as("_sub"))
+      val (_, cents) = KMeans.lloyd(sv, "vec_id", "_sub", K, iters = 2, sub)
+      KMeans.collectCents(cents.select(col("cluster"), col("cent")))
+    }
+    assert(merged === sequential,
+      "merged training must be bit-identical to per-subspace Lloyd")
+  }
 }
